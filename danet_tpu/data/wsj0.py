@@ -1,0 +1,81 @@
+"""WSJ0 dataset: HDF5-backed variable-length STFT spectra.
+
+Reads the ``wsj0-danet.hdf5`` file produced by danet_tpu/data/WSJ0/process.py
+(fuel-compatible layout: a ``features`` dataset of flattened variable-length
+complex spectra plus per-example shapes and a ``split`` attribute — same
+schema as the reference, /root/reference/app/datasets/WSJ0/process.py:148-222)
+— but accessed with plain h5py instead of the fuel dependency
+(reference wsj0.py:1-57).  Epoch semantics match: index list padded modulo
+dataset size so every batch is full, optional shuffle, per-batch zero-pad to
+the batch max length with random left/right split.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from danet_tpu.data.audio import random_zeropad
+from danet_tpu.data.dataset import Dataset
+from danet_tpu.hparams import hparams
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover - h5py is baked into the image
+    h5py = None
+
+
+@hparams.register_dataset("wsj0")
+class Wsj0Dataset(Dataset):
+    def __init__(self, path: str | None = None):
+        super().__init__()
+        self.path = path or os.path.join(
+            os.path.dirname(__file__), "WSJ0", "wsj0-danet.hdf5")
+
+    def __del__(self):
+        if getattr(self, "is_loaded", False):
+            self.h5file.close()
+
+    def install_and_load(self):
+        if h5py is None:
+            raise RuntimeError("h5py is required for the WSJ0 dataset")
+        if not os.path.exists(self.path):
+            raise IOError(
+                'Did not find WSJ0 file "%s", run data/WSJ0/install.sh first'
+                % self.path)
+        self.h5file = h5py.File(self.path, "r")
+        # split table: {subset: (start, stop)} row indices into features
+        self.splits = {}
+        for row in self.h5file.attrs["split"]:
+            name = row["split"] if isinstance(row["split"], str) \
+                else row["split"].decode()
+            self.splits.setdefault(name, (int(row["start"]), int(row["stop"])))
+        self.is_loaded = True
+
+    def _fetch(self, subset: str, rows: np.ndarray):
+        start, _ = self.splits[subset]
+        feats = self.h5file["features"]
+        shapes = self.h5file["features_shapes"]
+        out = []
+        for r in np.sort(rows):
+            t, f = shapes[start + r]
+            out.append(feats[start + r].reshape(t, f))
+        return out
+
+    def epoch(self, subset, batch_size, shuffle=False):
+        if not self.is_loaded:
+            raise RuntimeError("Dataset is not loaded.")
+        start, stop = self.splits[subset]
+        size = stop - start
+        n_pad = ((size + batch_size - 1) // batch_size) * batch_size
+        indices = np.arange(n_pad) % size  # wrap so every batch is full
+        if shuffle:
+            np.random.shuffle(indices)
+        for i in range(0, n_pad, batch_size):
+            batch_rows = indices[i:i + batch_size]
+            spectra_li = self._fetch(subset, batch_rows)
+            max_len = max(len(x) for x in spectra_li)
+            spectra = np.stack([
+                random_zeropad(x, max_len - len(x), axis=-2)
+                for x in spectra_li])
+            yield (spectra,)

@@ -1,0 +1,59 @@
+"""Module ABCs: Encoder / Estimator / Separator.
+
+Functional counterparts of the reference's module abstractions
+(/root/reference/app/modules.py:11-93).  A module is constructed from the
+hyperparameter namespace and exposes:
+
+  * ``init(rng) -> params``   — build its parameter pytree (may be ``{}``)
+  * ``apply(params, ...) -> outputs`` — pure function of params + inputs
+
+so the whole model is a pytree of arrays + pure functions, ready for
+``jax.jit`` / ``pjit`` and ``jax.grad``.  Registration uses the same
+decorator surface as the reference (``@hparams.register_encoder(name)`` ...).
+"""
+from __future__ import annotations
+
+
+class ModelModule:
+    """Base class for a sub-module (reference modules.py:11-25)."""
+
+    def __init__(self, hp, name: str):
+        self.hp = hp
+        self.name = name
+        self.debug_fetches = {}
+
+    def init(self, rng):
+        return {}
+
+    def apply(self, params, *args, **kwargs):
+        raise NotImplementedError()
+
+
+class Encoder(ModelModule):
+    """Maps log-magnitude spectra [B, T, F] to embeddings [B, T, F, E].
+
+    (reference modules.py:28-50)
+    """
+
+    def apply(self, params, log_spectra, train=False, rng=None):
+        raise NotImplementedError()
+
+
+class Estimator(ModelModule):
+    """Estimates attractors [B, N, E] from embeddings (and, for USE_TRUTH
+    estimators, ground-truth per-source power).  (reference modules.py:53-70)
+    """
+
+    USE_TRUTH = True
+
+    def apply(self, params, embed, src_pwr=None, mix_pwr=None):
+        raise NotImplementedError()
+
+
+class Separator(ModelModule):
+    """Computes per-source power spectra [B, N, T, F] from mixture power,
+    attractors, and flat embeddings.  (reference modules.py:73-93)
+    """
+
+    def apply(self, params, mix_pwr, attractors, embed_flat):
+        raise NotImplementedError()

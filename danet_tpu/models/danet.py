@@ -1,0 +1,183 @@
+"""DaNet model composition: feature front-end -> encoder -> estimator ->
+separator -> reconstruction, plus PIT loss / SNR metrics.
+
+Functional equivalent of the reference's monolithic graph builder
+(/root/reference/main.py:208-399), re-designed for XLA:
+
+  * **ri layout.** Complex spectra live on device as float tensors with a
+    trailing (real, imag) axis — complex dtypes never cross the host/TPU
+    boundary (the tunnel rejects them, and XLA decomposes complex anyway).
+  * **Phase-as-unit-vector.** The reference reconstructs with
+    ``cos(atan2(im,re))`` / ``sin(atan2)`` (main.py:237-238,281-284); here
+    the unit phase vector is ``mix / (|mix| + eps)`` — no transcendentals,
+    identical output wherever the mask output is nonzero.
+  * Three pure entry points (train_loss / valid_metrics / separate) instead
+    of one graph with three fetch lists; each jits to a single fused XLA
+    program.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from danet_tpu.hparams import hparams
+from danet_tpu.ops import loss as loss_ops
+
+
+def mixture_features(src_ri: jnp.ndarray, eps: float):
+    """From per-source ri spectra [B,N,T,F,2]:
+    (mix_ri [B,T,F,2], src_pwr [B,N,T,F], mix_pwr [B,T,F],
+     logmag [B,T,F], phase_unit [B,T,F,2]).
+
+    In-graph mixing as in reference main.py:233-240: the mixture IS the sum
+    of the (shuffle-paired) source spectra.
+    """
+    mix_ri = jnp.sum(src_ri, axis=1)
+    src_pwr = jnp.sqrt(jnp.sum(jnp.square(src_ri), axis=-1))
+    mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
+    logmag = jnp.log1p(mix_pwr)
+    phase_unit = mix_ri / (mix_pwr[..., None] + eps)
+    return mix_ri, src_pwr, mix_pwr, logmag, phase_unit
+
+
+class DaNet:
+    """The composed model; sub-modules resolved from the registries by the
+    same config keys as the reference (ENCODER_TYPE,
+    TRAIN/INFER_ESTIMATOR_METHOD, SEPARATOR_TYPE — main.py:210,249-270)."""
+
+    def __init__(self, hp=None, name: str = "danet"):
+        hp = hp if hp is not None else hparams
+        self.hp = hp
+        self.name = name
+        self.encoder = hp.get_encoder()(hp, "encoder")
+        self.train_estimator = hp.get_estimator(
+            hp.TRAIN_ESTIMATOR_METHOD)(hp, "train_estimator")
+        self.same_method = (
+            hp.INFER_ESTIMATOR_METHOD == hp.TRAIN_ESTIMATOR_METHOD)
+        if self.same_method:
+            self.infer_estimator = self.train_estimator
+        else:
+            self.infer_estimator = hp.get_estimator(
+                hp.INFER_ESTIMATOR_METHOD)(hp, "infer_estimator")
+            # reference main.py:266: inference estimator must not need truth
+            assert not self.infer_estimator.USE_TRUTH
+        self.separator = hp.get_separator(hp.SEPARATOR_TYPE)(hp, "separator")
+
+    # ------------------------------------------------------------------
+    def init(self, rng) -> dict:
+        k_enc, k_te, k_ie, k_sep = jax.random.split(rng, 4)
+        params = {
+            "encoder": self.encoder.init(k_enc),
+            "train_estimator": self.train_estimator.init(k_te),
+            "separator": self.separator.init(k_sep),
+        }
+        if not self.same_method:
+            params["infer_estimator"] = self.infer_estimator.init(k_ie)
+        return params
+
+    # ------------------------------------------------------------------
+    def _embed(self, params, logmag, train: bool, rng):
+        embed = self.encoder.apply(
+            params["encoder"], logmag, train=train, rng=rng)
+        b = embed.shape[0]
+        embed_flat = embed.reshape(b, -1, embed.shape[-1])
+        return embed, embed_flat
+
+    def _infer_est_params(self, params):
+        return params["train_estimator"] if self.same_method \
+            else params["infer_estimator"]
+
+    # ------------------------------------------------------------------
+    def train_loss(self, params, src_ri: jnp.ndarray,
+                   rng: Optional[jax.Array] = None):
+        """PIT training loss on complex reconstruction + aux metrics.
+
+        Mirrors reference main.py:289-309 (train path): loss on the
+        complex (ri) separated signals vs the true sources, then
+        un-permute and report SNR.
+
+        Returns (loss, aux) — aux = {snr, separated_ri, perm_idx}.
+        """
+        hp = self.hp
+        (mix_ri, src_pwr, mix_pwr, logmag,
+         phase_unit) = mixture_features(src_ri, hp.EPS)
+        embed, embed_flat = self._embed(params, logmag, train=True, rng=rng)
+        attractors = self.train_estimator.apply(
+            params["train_estimator"], embed,
+            src_pwr=src_pwr, mix_pwr=mix_pwr)
+        sep_pwr = self.separator.apply(
+            params["separator"], mix_pwr, attractors, embed_flat)
+        sep_ri = sep_pwr[..., None] * phase_unit[:, None]   # [B,N,T,F,2]
+
+        loss, perms, perm_idx = loss_ops.pit_mse_loss(
+            src_ri, sep_ri, complex_ri=True)
+        sep_ri_pit = loss_ops.unpermute(sep_ri, perms, perm_idx)
+        snr = jnp.mean(loss_ops.batch_snr(
+            src_ri, sep_ri_pit, eps=hp.EPS, complex_ri=True))
+        if getattr(hp, "REG_APPLY", False) and hp.REG_TYPE is not None:
+            loss = loss + reg_loss(params, hp.REG_TYPE, hp.REG_SCALE)
+        return loss, {"snr": snr, "separated_ri": sep_ri_pit,
+                      "perm_idx": perm_idx}
+
+    # ------------------------------------------------------------------
+    def valid_metrics(self, params, src_ri: jnp.ndarray):
+        """Validation loss/SNR through the inference estimator path.
+
+        Mirrors reference main.py:312-337: PIT loss on *magnitudes*,
+        un-permute, reconstruct with mixture phase, SNR vs true sources.
+        """
+        hp = self.hp
+        (mix_ri, src_pwr, mix_pwr, logmag,
+         phase_unit) = mixture_features(src_ri, hp.EPS)
+        embed, embed_flat = self._embed(params, logmag, train=False, rng=None)
+        attractors = self.infer_estimator.apply(
+            self._infer_est_params(params), embed,
+            src_pwr=src_pwr, mix_pwr=mix_pwr)
+        sep_pwr = self.separator.apply(
+            params["separator"], mix_pwr, attractors, embed_flat)
+
+        loss, perms, perm_idx = loss_ops.pit_mse_loss(src_pwr, sep_pwr)
+        sep_pwr_pit = loss_ops.unpermute(sep_pwr, perms, perm_idx)
+        sep_ri = sep_pwr_pit[..., None] * phase_unit[:, None]
+        snr = jnp.mean(loss_ops.batch_snr(
+            src_ri, sep_ri, eps=hp.EPS, complex_ri=True))
+        return {"loss": loss, "SNR": snr, "separated_ri": sep_ri}
+
+    # ------------------------------------------------------------------
+    def separate(self, params, mix_ri: jnp.ndarray) -> jnp.ndarray:
+        """Inference: mixture ri spectra [B,T,F,2] -> separated ri
+        [B,N,T,F,2] (reference infer_fetches, main.py:333-335,384-385;
+        output source order is arbitrary, as in the reference)."""
+        hp = self.hp
+        mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
+        logmag = jnp.log1p(mix_pwr)
+        phase_unit = mix_ri / (mix_pwr[..., None] + hp.EPS)
+        embed, embed_flat = self._embed(params, logmag, train=False, rng=None)
+        attractors = self.infer_estimator.apply(
+            self._infer_est_params(params), embed)
+        sep_pwr = self.separator.apply(
+            params["separator"], mix_pwr, attractors, embed_flat)
+        return sep_pwr[..., None] * phase_unit[:, None]
+
+    # ------------------------------------------------------------------
+    def parameter_count(self, params) -> int:
+        """Total trainable parameter count (reference main.py:542-548)."""
+        return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def reg_loss(params, reg_type: str, scale: float):
+    """L1/L2 parameter regularization.
+
+    The reference attaches a regularizer to the variable scope but never
+    adds the collection to the objective (main.py:228-229; inert — see
+    SURVEY.md appendix), so this is OFF by default (REG_APPLY=false) and
+    functional when enabled.
+    """
+    leaves = jax.tree_util.tree_leaves(params)
+    if reg_type == "L2":
+        return scale * sum(jnp.sum(jnp.square(x)) for x in leaves)
+    if reg_type == "L1":
+        return scale * sum(jnp.sum(jnp.abs(x)) for x in leaves)
+    raise ValueError("Unknown REG_TYPE %r" % (reg_type,))

@@ -1,0 +1,215 @@
+"""Encoder zoo: toy MLP, LSTM, BiLSTM, Conv-BiLSTM hybrid.
+
+TPU-native re-implementations of the reference encoder registry
+(/root/reference/app/modules.py:96-379), with identical registry keys and
+architecture hyperparameters (hidden sizes, init ranges, gate-bias inits),
+built on the time-major fused-gate scan in danet_tpu.ops.rnn.
+
+Unlike the reference, dropout in the (Bi)LSTM stacks is actually functional
+(the reference feeds a dropout placeholder that is never connected —
+main.py:225-227,243).
+"""
+from __future__ import annotations
+
+from math import sqrt
+
+import jax
+import jax.numpy as jnp
+
+from danet_tpu.hparams import hparams
+from danet_tpu.models.base import Encoder
+from danet_tpu.ops import nn, rnn
+
+
+def _candidate_activation(hp) -> str:
+    """'linear' reproduces the reference's no-tanh candidate cell
+    (ops.py:143-147); default is the standard 'tanh'."""
+    return "linear" if getattr(hp, "LSTM_LEGACY_CELL", False) else "tanh"
+
+
+@hparams.register_encoder("toy")
+class ToyEncoder(Encoder):
+    """3-layer MLP for debugging (reference modules.py:96-116)."""
+
+    def init(self, rng):
+        hp = self.hp
+        k0, k1 = jax.random.split(rng)
+        return {
+            "linear0": nn.linear_init(k0, hp.FEATURE_SIZE, hp.FFT_SIZE * 2),
+            "linear1": nn.linear_init(
+                k1, hp.FFT_SIZE * 2, hp.FEATURE_SIZE * hp.EMBED_SIZE),
+        }
+
+    def apply(self, params, log_spectra, train=False, rng=None):
+        hp = self.hp
+        b, t = log_spectra.shape[0], log_spectra.shape[1]
+        mid = nn.linear_apply(params["linear0"], log_spectra)
+        mid = nn.leaky_relu(mid, hp.RELU_LEAKAGE)
+        out = nn.linear_apply(params["linear1"], mid)
+        return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+
+
+class _LstmHead:
+    """Shared output head: mean-center + bias-free linear to F*E + reshape
+    (reference modules.py:181-195,244-259)."""
+
+    @staticmethod
+    def init(rng, hp, in_dim):
+        return nn.linear_init(
+            rng, in_dim, hp.FEATURE_SIZE * hp.EMBED_SIZE,
+            w_scale=1.85, bias=False)
+
+    @staticmethod
+    def apply(params, hp, x):
+        x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+        out = nn.linear_apply(params, x)
+        b, t = x.shape[0], x.shape[1]
+        return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+
+
+@hparams.register_encoder("lstm-orig")
+class LstmEncoder(Encoder):
+    """4x unidirectional LSTM, hdim=600 (reference modules.py:140-196)."""
+
+    HDIM = 600
+    N_LAYERS = 4
+
+    def init(self, rng):
+        hp = self.hp
+        keys = jax.random.split(rng, self.N_LAYERS + 1)
+        w_scale = 1.15 / sqrt(self.HDIM)
+        gate_bias = (0.0, 1.5, -1.0, 1.0)  # cand, input, forget, output
+        params = {}
+        in_dim = hp.FEATURE_SIZE
+        for i in range(self.N_LAYERS):
+            params[f"lstm{i}"] = rnn.lstm_init(
+                keys[i], in_dim, self.HDIM, w_scale, gate_bias)
+            in_dim = self.HDIM
+        params["output"] = _LstmHead.init(keys[-1], hp, in_dim)
+        return params
+
+    def apply(self, params, log_spectra, train=False, rng=None):
+        hp = self.hp
+        act = _candidate_activation(hp)
+        x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        for i in range(self.N_LAYERS):
+            x = rnn.lstm_apply(params[f"lstm{i}"], x, act)
+        return _LstmHead.apply(params["output"], hp, x)
+
+
+@hparams.register_encoder("bilstm-orig")
+class BiLstmEncoder(Encoder):
+    """4x BiLSTM, hdim=300 per direction, per-layer dropout
+    (reference modules.py:199-260) — the paper architecture and the
+    flagship encoder of this framework."""
+
+    HDIM = 300
+    N_LAYERS = 4
+
+    def init(self, rng):
+        hp = self.hp
+        keys = jax.random.split(rng, self.N_LAYERS + 1)
+        w_scale = 0.75 / sqrt(self.HDIM)
+        gate_bias = (0.0, 1.5, -1.0, 1.0)
+        params = {}
+        in_dim = hp.FEATURE_SIZE
+        for i in range(self.N_LAYERS):
+            params[f"lstm{i}"] = rnn.bilstm_init(
+                keys[i], in_dim, self.HDIM, w_scale, gate_bias)
+            in_dim = self.HDIM * 2
+        params["output"] = _LstmHead.init(keys[-1], hp, in_dim)
+        return params
+
+    def apply(self, params, log_spectra, train=False, rng=None):
+        hp = self.hp
+        act = _candidate_activation(hp)
+        keep = hp.DROPOUT_KEEP_PROB if train else 1.0
+        drop_keys = (jax.random.split(rng, self.N_LAYERS)
+                     if (rng is not None and keep < 1.0) else
+                     [None] * self.N_LAYERS)
+        x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        for i in range(self.N_LAYERS):
+            x = rnn.bilstm_apply(
+                params[f"lstm{i}"], x, act,
+                dropout_rng=drop_keys[i], keep_prob=keep)
+        return _LstmHead.apply(params["output"], hp, x)
+
+
+@hparams.register_encoder("conv-bilstm-v1")
+class ConvBiLstmEncoder(Encoder):
+    """U-Net-ish CNN + BiLSTM hybrid (reference modules.py:263-379).
+
+    Shape contract: T must be a multiple of LENGTH_ALIGN (4) and
+    FEATURE_SIZE//4 == FFT_SIZE//8 (holds for the odd onesided size since
+    pooling floors).  Down: conv8-conv16-pool, conv32-conv16-pool; middle:
+    2x BiLSTM(hdim=FFT_SIZE) with residual; up: conv32-conv64 +
+    pixel-shuffle x2, conv16-conv8; dense head to F*E.
+    """
+
+    def init(self, rng):
+        hp = self.hp
+        nfft = hp.FFT_SIZE
+        ks = jax.random.split(rng, 11)
+        gate_bias = (0.0, 1.0, -1.0, 1.0)  # reference modules.py:282-285
+        w_scale = 2.0 / sqrt(nfft)
+        conv_scale = 3e-1  # reference modules.py:336-338 (up-path convs)
+        return {
+            "down0a": nn.conv2d_init(ks[0], 1, 8, 5),
+            "down0b": nn.conv2d_init(ks[1], 8, 16, 5),
+            "down1a": nn.conv2d_init(ks[2], 16, 32, 3),
+            "down1b": nn.conv2d_init(ks[3], 32, 16, 3),
+            "lstm0": rnn.bilstm_init(ks[4], nfft * 2, nfft, w_scale, gate_bias),
+            "lstm1": rnn.bilstm_init(ks[5], nfft * 2, nfft, w_scale, gate_bias),
+            "up0a": nn.conv2d_init(ks[6], 16, 32, 3, w_scale=conv_scale),
+            "up0b": nn.conv2d_init(ks[7], 32, 64, 3, w_scale=conv_scale),
+            "up1a": nn.conv2d_init(ks[8], 16, 16, 5),
+            "up1b": nn.conv2d_init(ks[9], 16, 8, 5),
+            "output": nn.linear_init(
+                ks[10], nfft, hp.FEATURE_SIZE * hp.EMBED_SIZE, bias=False),
+        }
+
+    def apply(self, params, log_spectra, train=False, rng=None):
+        hp = self.hp
+        nfft = hp.FFT_SIZE
+        alpha = hp.RELU_LEAKAGE
+        act = _candidate_activation(hp)
+        keep = hp.DROPOUT_KEEP_PROB if train else 1.0
+        drop_keys = (jax.random.split(rng, 2)
+                     if (rng is not None and keep < 1.0) else [None, None])
+        b = log_spectra.shape[0]
+
+        x = log_spectra[:, None]  # [B, 1, T, F]
+        x = nn.leaky_relu(nn.conv2d_apply(params["down0a"], x), alpha)
+        x = nn.leaky_relu(nn.conv2d_apply(params["down0b"], x), alpha)
+        x = nn.max_pool_2x2(x)                       # [B, 16, T/2, F/2]
+        x = nn.leaky_relu(nn.conv2d_apply(params["down1a"], x), alpha)
+        x = nn.leaky_relu(nn.conv2d_apply(params["down1b"], x), alpha)
+        x = nn.max_pool_2x2(x)                       # [B, 16, T/4, nfft/8]
+        x = x - jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        skip = x
+
+        # [B, T/4, 16*nfft/8 = nfft*2]
+        seq = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, x.shape[2], nfft * 2)
+        seq = rnn.bilstm_apply(params["lstm0"], seq, act,
+                               dropout_rng=drop_keys[0], keep_prob=keep)
+        seq = rnn.bilstm_apply(params["lstm1"], seq, act,
+                               dropout_rng=drop_keys[1], keep_prob=keep)
+        x = jnp.transpose(
+            seq.reshape(b, -1, 16, nfft // 8), (0, 2, 1, 3))
+        x = x + skip
+        x = x - jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+
+        x = nn.leaky_relu(nn.conv2d_apply(params["up0a"], x), alpha)
+        x = nn.leaky_relu(nn.conv2d_apply(params["up0b"], x), alpha)
+        # pixel-shuffle x2 in T and F (reference modules.py:350-353)
+        t4 = x.shape[2]
+        x = x.reshape(b, 16, 2, 2, t4, nfft // 8)
+        x = jnp.transpose(x, (0, 1, 4, 2, 5, 3))
+        x = x.reshape(b, 16, t4 * 2, nfft // 4)
+        x = nn.leaky_relu(nn.conv2d_apply(params["up1a"], x), alpha)
+        x = nn.leaky_relu(nn.conv2d_apply(params["up1b"], x), alpha)
+        # [B, 8, T/2, nfft/4] -> fold channels+freq into time x nfft
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, -1, nfft)
+
+        out = nn.linear_apply(params["output"], x)
+        return out.reshape(b, -1, hp.FEATURE_SIZE, hp.EMBED_SIZE)

@@ -1,0 +1,143 @@
+"""Attractor estimators: truth / truth-threshold / truth-weighted / anchor.
+
+TPU-native re-implementations of the reference estimator registry
+(/root/reference/app/modules.py:382-545).  The reference computes per-source
+means with ``tf.map_fn`` + ``unsorted_segment_sum``; here the hard assignment
+becomes a one-hot tensor and every segment mean is a single batched einsum —
+a GEMM on the MXU with no scatter, no host loop, and a trivially clean
+gradient.  The anchored estimator is pure einsum/argmin and maps 1:1 to XLA.
+"""
+from __future__ import annotations
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from danet_tpu.hparams import hparams
+from danet_tpu.models.base import Estimator
+
+
+def _flatten_embed(embed):
+    """[B, T, F, E] -> [B, T*F, E]"""
+    b, t, f, e = embed.shape
+    return embed.reshape(b, t * f, e)
+
+
+def _hard_assignment(src_pwr):
+    """One-hot dominant-source assignment per TF bin.
+
+    src_pwr: [B, N, T, F] -> one-hot [B, T*F, N]
+    (argmax as in reference modules.py:396).
+    """
+    b, n = src_pwr.shape[0], src_pwr.shape[1]
+    labels = jnp.argmax(src_pwr, axis=1)          # [B, T, F]
+    onehot = jax.nn.one_hot(labels, n, dtype=src_pwr.dtype)
+    return onehot.reshape(b, -1, n)               # [B, TF, N]
+
+
+@hparams.register_estimator("truth")
+class AverageEstimator(Estimator):
+    """Plain per-source mean of embeddings (reference modules.py:382-412).
+
+    Keeps the reference's ``/(count + 1)`` denominator (modules.py:407) for
+    metric parity — documented quirk, not a standard mean.
+    """
+
+    USE_TRUTH = True
+
+    def apply(self, params, embed, src_pwr=None, mix_pwr=None):
+        embed_flat = _flatten_embed(embed)
+        onehot = _hard_assignment(src_pwr)
+        sums = jnp.einsum("bkn,bke->bne", onehot, embed_flat,
+                          preferred_element_type=embed_flat.dtype)
+        counts = jnp.sum(onehot, axis=1)          # [B, N]
+        return sums / (counts[..., None] + 1.0)
+
+
+@hparams.register_estimator("truth-threshold")
+class ThresholdedAverageEstimator(Estimator):
+    """Mean over bins whose mixture magnitude exceeds 5
+    (reference modules.py:415-450)."""
+
+    USE_TRUTH = True
+
+    def apply(self, params, embed, src_pwr=None, mix_pwr=None):
+        hp = self.hp
+        embed_flat = _flatten_embed(embed)
+        onehot = _hard_assignment(src_pwr)
+        b = embed.shape[0]
+        w = (mix_pwr.reshape(b, -1, 1) > 5.0).astype(embed_flat.dtype)
+        sums = jnp.einsum("bkn,bke->bne", onehot, embed_flat * w,
+                          preferred_element_type=embed_flat.dtype)
+        wsum = jnp.einsum("bkn,bko->bno", onehot, w,
+                          preferred_element_type=embed_flat.dtype)
+        return sums / (wsum + hp.EPS)
+
+
+@hparams.register_estimator("truth-weighted")
+class WeightedAverageEstimator(Estimator):
+    """Mixture-magnitude-weighted mean — the default train estimator
+    (reference modules.py:453-487, default.json:29)."""
+
+    USE_TRUTH = True
+
+    def apply(self, params, embed, src_pwr=None, mix_pwr=None):
+        hp = self.hp
+        embed_flat = _flatten_embed(embed)
+        onehot = _hard_assignment(src_pwr)
+        b = embed.shape[0]
+        w = mix_pwr.reshape(b, -1, 1).astype(embed_flat.dtype)
+        sums = jnp.einsum("bkn,bke->bne", onehot, embed_flat * w,
+                          preferred_element_type=embed_flat.dtype)
+        wsum = jnp.einsum("bkn,bko->bno", onehot, w,
+                          preferred_element_type=embed_flat.dtype)
+        return sums / (wsum + hp.EPS)
+
+
+@hparams.register_estimator("anchor")
+class AnchoredEstimator(Estimator):
+    """Trainable anchors + softmax assignment + min-similarity subset pick —
+    the inference-time estimator (reference modules.py:490-545, DaNet paper
+    eq. 6-9).  All dense einsums; the subset choice is an argmin-gather over
+    the C(NUM_ANCHOR, N) combinations."""
+
+    USE_TRUTH = False
+
+    def init(self, rng):
+        hp = self.hp
+        return {
+            "anchors": jax.random.normal(
+                rng, (hp.NUM_ANCHOR, hp.EMBED_SIZE), dtype=jnp.float32),
+        }
+
+    def apply(self, params, embed, src_pwr=None, mix_pwr=None):
+        hp = self.hp
+        n = hp.MAX_N_SIGNAL
+        combs = np.asarray(
+            list(itertools.combinations(range(hp.NUM_ANCHOR), n)),
+            dtype=np.int32)
+        anchor_sets = params["anchors"][jnp.asarray(combs)]   # [P, N, E]
+
+        # eq (6): soft assignment of each TF bin to the anchors in a subset
+        logits = jnp.einsum("btfe,pce->bptfc", embed, anchor_sets,
+                            preferred_element_type=embed.dtype)
+        assignment = jax.nn.softmax(logits, axis=-1)
+
+        # eq (7): assignment-weighted mean embedding per anchor
+        attractor_sets = jnp.einsum(
+            "bptfc,btfe->bpce", assignment, embed,
+            preferred_element_type=embed.dtype)
+        attractor_sets = attractor_sets / jnp.sum(
+            assignment, axis=(2, 3))[..., None]
+
+        # eq (8): in-set max pairwise similarity
+        sim = jnp.einsum("bpce,bpde->bpcd", attractor_sets, attractor_sets,
+                         preferred_element_type=embed.dtype)
+        in_set_sim = jnp.max(sim, axis=(-1, -2))
+
+        # eq (9): pick the least-similar subset
+        choice = jnp.argmin(in_set_sim, axis=1)               # [B]
+        return jnp.take_along_axis(
+            attractor_sets, choice[:, None, None, None], axis=1)[:, 0]

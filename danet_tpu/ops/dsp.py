@@ -1,0 +1,171 @@
+"""TPU-native STFT / iSTFT as GEMM-native DFT.
+
+The reference computes STFT on the host with ``scipy.signal.stft``
+(/root/reference/app/utils.py:117-122) and iSTFT with a Python overlap-add
+loop (utils.py:53-75).  On TPU the natural formulation is a *matmul against a
+precomputed DFT basis*: framing is a static gather, and the windowed DFT of
+all frames is a single ``[num_frames, fft_size] @ [fft_size, 2*feature]``
+GEMM that XLA tiles straight onto the MXU.  No FFT primitive is needed for
+speech-sized FFTs (256-1024 points); the O(N^2) matmul is faster than a
+poorly-tiled FFT at these sizes and fuses with neighbouring elementwise ops
+(window, log1p) in one XLA computation.
+
+Conventions match ``scipy.signal.stft`` with ``boundary='zeros'``,
+``padded=True``, one-sided output, and ``1/window.sum()`` scaling, so that
+device-side spectra are interchangeable with the host preprocessing output
+(tested to ~1e-6 in tests/test_dsp.py).
+
+The inverse transform reproduces the reference's overlap-add with window**2
+normalization (utils.py:53-75), including its frame-count convention.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def stft_frame_count(n_samples: int, fft_size: int, stride: int) -> int:
+    """Number of STFT frames scipy.signal.stft produces for n_samples."""
+    padded = n_samples + fft_size  # boundary='zeros' adds fft_size//2 twice
+    nadd = (-(padded - fft_size) % stride) % stride
+    return (padded + nadd - fft_size) // stride + 1
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_basis(fft_size: int, dtype_name: str):
+    """Real/imag DFT basis, windowless: B[n, k] = exp(-2i*pi*n*k/N)."""
+    n = np.arange(fft_size)[:, None]
+    k = np.arange(fft_size // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / fft_size
+    cos_b = np.cos(ang).astype(dtype_name)
+    sin_b = (-np.sin(ang)).astype(dtype_name)
+    return cos_b, sin_b
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_basis(fft_size: int, dtype_name: str):
+    """Real iDFT basis: x[n] = Re @ C[k,n] + Im @ S[k,n] (one-sided input)."""
+    feat = fft_size // 2 + 1
+    k = np.arange(feat)[:, None]
+    n = np.arange(fft_size)[None, :]
+    ang = 2.0 * np.pi * k * n / fft_size
+    # irfft: x[n] = (1/N) * sum_k w_k * (re_k cos - im_k sin),
+    # w_k = 1 for k in {0, N/2}, else 2.
+    wk = np.full((feat, 1), 2.0)
+    wk[0] = 1.0
+    if fft_size % 2 == 0:
+        wk[-1] = 1.0
+    cos_b = (wk * np.cos(ang) / fft_size).astype(dtype_name)
+    sin_b = (-wk * np.sin(ang) / fft_size).astype(dtype_name)
+    return cos_b, sin_b
+
+
+def frame_signal(x: jnp.ndarray, fft_size: int, stride: int) -> jnp.ndarray:
+    """Frame a zero-boundary-padded signal: [..., L] -> [..., T, fft_size].
+
+    Applies scipy.signal.stft's boundary ('zeros': fft_size//2 each side) and
+    end padding so the signal divides into whole frames.
+    """
+    n = x.shape[-1]
+    half = fft_size // 2
+    padded = n + 2 * half
+    nadd = (-(padded - fft_size) % stride) % stride
+    pad = [(0, 0)] * (x.ndim - 1) + [(half, half + nadd)]
+    xp = jnp.pad(x, pad)
+    n_frames = (padded + nadd - fft_size) // stride + 1
+    idx = (np.arange(n_frames)[:, None] * stride
+           + np.arange(fft_size)[None, :])
+    return xp[..., idx]
+
+
+def stft(x: jnp.ndarray, fft_size: int, stride: int,
+         window: np.ndarray) -> jnp.ndarray:
+    """STFT of real signal(s) [..., L] -> complex [..., T, F].
+
+    scipy.signal.stft-compatible (boundary zeros, padded, onesided,
+    1/window.sum() scaling). Reference usage: app/utils.py:117-122.
+    """
+    dtype = str(window.dtype)
+    frames = frame_signal(x.astype(dtype), fft_size, stride)
+    cos_b, sin_b = _dft_basis(fft_size, dtype)
+    scale = 1.0 / float(np.sum(window))
+    wcos = jnp.asarray(window[:, None] * cos_b * scale)
+    wsin = jnp.asarray(window[:, None] * sin_b * scale)
+    re = jnp.matmul(frames, wcos, preferred_element_type=frames.dtype)
+    im = jnp.matmul(frames, wsin, preferred_element_type=frames.dtype)
+    return jax.lax.complex(re, im)
+
+
+def stft_mag_logmag(x: jnp.ndarray, fft_size: int, stride: int,
+                    window: np.ndarray):
+    """Fused STFT -> (|Z|, log1p|Z|) front-end; all-real math, fully fusable.
+
+    Avoids materializing complex spectra when only the DaNet feature path
+    (magnitude + log-magnitude, reference main.py:239-240) is needed.
+    """
+    dtype = str(window.dtype)
+    frames = frame_signal(x.astype(dtype), fft_size, stride)
+    cos_b, sin_b = _dft_basis(fft_size, dtype)
+    scale = 1.0 / float(np.sum(window))
+    wcos = jnp.asarray(window[:, None] * cos_b * scale)
+    wsin = jnp.asarray(window[:, None] * sin_b * scale)
+    re = jnp.matmul(frames, wcos, preferred_element_type=frames.dtype)
+    im = jnp.matmul(frames, wsin, preferred_element_type=frames.dtype)
+    mag = jnp.sqrt(re * re + im * im)
+    return mag, jnp.log1p(mag)
+
+
+def istft(spectra: jnp.ndarray, stride: int, window: np.ndarray,
+          length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT via iDFT matmul + scatter overlap-add.
+
+    Matches the reference's overlap-add semantics (app/utils.py:53-75):
+    output length ``T*stride``; frames placed at ``i*stride`` for
+    ``i*stride < T*stride - fft_size``; window**2-sum normalization with
+    zero-division guard.
+
+    Args:
+        spectra: complex [..., T, F]
+        stride: hop size
+        window: synthesis window of length (F-1)*2
+        length: optional output trim length
+    Returns:
+        real [..., T*stride]
+    """
+    fft_size = (spectra.shape[-1] - 1) * 2
+    n_frames_total = spectra.shape[-2]
+    dtype = str(window.dtype)
+    out_len = n_frames_total * stride
+    # reference loop: for n, i in enumerate(range(0, out_len - fft_size, stride))
+    n_used = max(0, -(-(out_len - fft_size) // stride))
+    if out_len - fft_size <= 0:
+        n_used = 0
+
+    cos_b, sin_b = _idft_basis(fft_size, dtype)
+    re = jnp.real(spectra)[..., :n_used, :].astype(dtype)
+    im = jnp.imag(spectra)[..., :n_used, :].astype(dtype)
+    frames = (jnp.matmul(re, jnp.asarray(cos_b),
+                         preferred_element_type=re.dtype)
+              + jnp.matmul(im, jnp.asarray(sin_b),
+                           preferred_element_type=im.dtype))
+    frames = frames * jnp.asarray(window)
+
+    idx = (np.arange(n_used)[:, None] * stride
+           + np.arange(fft_size)[None, :])  # [n_used, fft_size]
+    out = jnp.zeros(spectra.shape[:-2] + (out_len,), dtype=frames.dtype)
+    out = out.at[..., idx.reshape(-1)].add(
+        frames.reshape(frames.shape[:-2] + (-1,)))
+
+    # static window-power normalization
+    wsum = np.zeros(out_len, dtype=np.float64)
+    w2 = np.asarray(window, dtype=np.float64) ** 2
+    for i in range(n_used):
+        wsum[i * stride:i * stride + fft_size] += w2
+    denom = np.where(wsum != 0, wsum, 1.0).astype(dtype)
+    out = out / jnp.asarray(denom)
+    if length is not None:
+        out = out[..., :length]
+    return out

@@ -1,0 +1,95 @@
+"""Small functional NN layer library: linear, leaky-relu, dropout, conv.
+
+Functional (pytree params + pure apply) equivalents of the reference op
+layer zoo (/root/reference/app/ops.py:37-107 lyr_linear/relu).  Params are
+plain dicts created by ``*_init`` functions; apply functions are pure and
+jit/pjit-friendly.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def uniform_init(rng, shape, scale, dtype=jnp.float32):
+    return jax.random.uniform(
+        rng, shape, dtype=dtype, minval=-scale, maxval=scale)
+
+
+def linear_init(rng, idim: int, odim: int, w_scale: Optional[float] = None,
+                bias: bool = True, b_value=0.0, dtype=jnp.float32):
+    """Params for y = x @ W + b (reference ops.py:37-90 lyr_linear).
+
+    Default W init matches tf.get_variable's glorot_uniform default
+    (the reference passes no initializer for most linears).
+    """
+    if w_scale is None:
+        w_scale = float(np.sqrt(6.0 / (idim + odim)))  # glorot uniform
+    params = {"w": uniform_init(rng, (idim, odim), w_scale, dtype)}
+    if bias:
+        b = jnp.full((odim,), b_value, dtype=dtype) if np.isscalar(b_value) \
+            else jnp.asarray(b_value, dtype=dtype)
+        params["b"] = b
+    return params
+
+
+def linear_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ W (+ b) on the last axis, any leading rank."""
+    y = jnp.matmul(x, params["w"], preferred_element_type=x.dtype)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def leaky_relu(x: jnp.ndarray, alpha: float = 0.0) -> jnp.ndarray:
+    """max(x*alpha, x) — reference ops.py:93-107."""
+    if alpha == 0.0:
+        return jax.nn.relu(x)
+    return jnp.maximum(x * alpha, x)
+
+
+def dropout(rng, x: jnp.ndarray, keep_prob: float) -> jnp.ndarray:
+    """Inverted dropout.
+
+    Note: the reference *intends* dropout in its BiLSTM stack but never wires
+    the placeholder through (main.py:243 vs modules.py:137) so it is inert
+    there; here it is functional. keep_prob=1 is the identity.
+    """
+    if keep_prob >= 1.0:
+        return x
+    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
+
+
+def conv2d_init(rng, in_ch: int, out_ch: int, ksize: int,
+                w_scale: Optional[float] = None, dtype=jnp.float32):
+    """Params for an NCHW same-padded conv (reference modules.py:289-363
+    uses tf.layers.conv2d channels_first)."""
+    if w_scale is None:
+        fan_in = in_ch * ksize * ksize
+        fan_out = out_ch * ksize * ksize
+        w_scale = float(np.sqrt(6.0 / (fan_in + fan_out)))
+    return {
+        "w": uniform_init(rng, (out_ch, in_ch, ksize, ksize), w_scale, dtype),
+        "b": jnp.zeros((out_ch,), dtype=dtype),
+    }
+
+
+def conv2d_apply(params, x: jnp.ndarray) -> jnp.ndarray:
+    """NCHW 'SAME' convolution; feeds the MXU via lax.conv_general_dilated."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=x.dtype)
+    return y + params["b"][None, :, None, None]
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/2 max pool, NCHW."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, 2, 2), window_strides=(1, 1, 2, 2),
+        padding="VALID")

@@ -1,0 +1,180 @@
+"""Recurrent layers as time-major ``lax.scan`` with fused gate GEMMs.
+
+TPU-first redesign of the reference's RNN stack (tf.scan over a per-step
+"flat" cell — /root/reference/main.py:76-183, app/ops.py:110-188):
+
+  * **Input projections are hoisted out of the scan.**  The x-part of the
+    gate pre-activation for *all* timesteps is one big
+    ``[T*B, idim] @ [idim, 4*hdim]`` GEMM that XLA tiles onto the MXU; only
+    the unavoidable recurrent ``h @ Wh`` stays inside the scan.
+  * **Time-major layout** ([T, B, H]) so each scan step is a contiguous
+    matmul, and weights stay resident across steps.
+  * **Gate weights are stored as [in, 4, h]** so each of the four gates is
+    contiguous in the trailing (lane) axis — this lets tensor-parallel
+    sharding split the *hidden* axis while keeping all gate elementwise math
+    local to a shard.
+
+Cell semantics match reference ops.py:110-148: pre-activation split into
+[candidate, i, f, o]; ``c' = sigmoid(i)*g(cand) + sigmoid(f)*c``;
+``h' = sigmoid(o)*tanh(c')``.  The reference's candidate has *no* tanh
+(nonstandard, ops.py:143-147); that behaviour is kept behind
+``candidate_activation='linear'`` while the default here is the standard
+``'tanh'`` (see SURVEY.md §7 hard-parts note).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from danet_tpu.ops.nn import uniform_init, dropout
+
+
+def lstm_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
+              gate_bias: tuple = (0.0, 0.0, 0.0, 0.0), dtype=jnp.float32):
+    """LSTM params: wx [idim,4,h], wh [h,4,h], b [4,h].
+
+    gate_bias = (candidate, input, forget, output) initial biases — the
+    reference encoders use (0, 1.5, -1, 1) (modules.py:158-162).
+    Equivalent to the reference's single concat([x,h]) @ W[(idim+h),4h]
+    with one uniform init over the whole matrix.
+    """
+    kx, kh = jax.random.split(rng)
+    if w_scale is None:
+        w_scale = float(1.0 / np.sqrt(hdim))
+    b = np.zeros((4, hdim), dtype=np.float32)
+    for g in range(4):
+        b[g, :] = gate_bias[g]
+    return {
+        "wx": uniform_init(kx, (idim, 4, hdim), w_scale, dtype),
+        "wh": uniform_init(kh, (hdim, 4, hdim), w_scale, dtype),
+        "b": jnp.asarray(b, dtype=dtype),
+    }
+
+
+def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
+               candidate_activation: str):
+    """Core scan. x_tm: [T, B, idim] time-major. Returns hidden seq [T,B,h]."""
+    hdim = params["wh"].shape[0]
+    t, b = x_tm.shape[0], x_tm.shape[1]
+    # Hoisted input projection: one large MXU GEMM over all timesteps.
+    xp = jnp.einsum("tbi,igh->tbgh", x_tm, params["wx"],
+                    preferred_element_type=x_tm.dtype) + params["b"]
+
+    wh = params["wh"]
+    g_fn = jnp.tanh if candidate_activation == "tanh" else (lambda z: z)
+
+    def step(carry, xp_t):
+        c, h = carry
+        act = xp_t + jnp.einsum("bh,hgk->bgk", h, wh,
+                                preferred_element_type=h.dtype)
+        cand = g_fn(act[:, 0])
+        i = jax.nn.sigmoid(act[:, 1])
+        f = jax.nn.sigmoid(act[:, 2])
+        o = jax.nn.sigmoid(act[:, 3])
+        c_new = i * cand + f * c
+        h_new = o * jnp.tanh(c_new)
+        return (c_new, h_new), h_new
+
+    if c0 is None:
+        c0 = jnp.zeros((b, hdim), dtype=x_tm.dtype)
+    if h0 is None:
+        h0 = jnp.zeros((b, hdim), dtype=x_tm.dtype)
+    (_, _), hs = jax.lax.scan(step, (c0, h0), xp)
+    return hs
+
+
+def lstm_apply(params, x: jnp.ndarray, candidate_activation: str = "tanh",
+               reverse: bool = False, c0=None, h0=None) -> jnp.ndarray:
+    """Run an LSTM over x [B, T, idim] -> [B, T, hdim].
+
+    reverse=True runs over time-reversed input and re-reverses the output
+    (the reference builds its backward BiLSTM direction the same way,
+    modules.py:128-136). Initial state is zero, matching the reference's
+    per-batch state reset (main.py:432,538-540).
+    """
+    x_tm = jnp.swapaxes(x, 0, 1)
+    if reverse:
+        x_tm = x_tm[::-1]
+    hs = _lstm_scan(params, x_tm, c0, h0, candidate_activation)
+    if reverse:
+        hs = hs[::-1]
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def bilstm_init(rng, idim: int, hdim: int, w_scale=None,
+                gate_bias=(0.0, 0.0, 0.0, 0.0), dtype=jnp.float32):
+    """Forward + backward LSTM params (reference modules.py:120-137)."""
+    kf, kb = jax.random.split(rng)
+    return {
+        "fwd": lstm_init(kf, idim, hdim, w_scale, gate_bias, dtype),
+        "bwd": lstm_init(kb, idim, hdim, w_scale, gate_bias, dtype),
+    }
+
+
+def bilstm_apply(params, x: jnp.ndarray,
+                 candidate_activation: str = "tanh",
+                 dropout_rng=None, keep_prob: float = 1.0) -> jnp.ndarray:
+    """BiLSTM: concat(fwd, bwd-reversed) [B,T,2h], optional dropout.
+
+    The two directions' hoisted input GEMMs and scans are independent; XLA
+    schedules them concurrently on device.
+    """
+    h_f = lstm_apply(params["fwd"], x, candidate_activation)
+    h_b = lstm_apply(params["bwd"], x, candidate_activation, reverse=True)
+    y = jnp.concatenate([h_f, h_b], axis=-1)
+    if dropout_rng is not None and keep_prob < 1.0:
+        y = dropout(dropout_rng, y, keep_prob)
+    return y
+
+
+def gru_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
+             dtype=jnp.float32):
+    """GRU params (reference ops.py:151-188): gate and candidate linears.
+
+    Candidate bias inits to 1.0 as in the reference (ops.py:175-176).
+    """
+    kgx, kgh, kcx, kch = jax.random.split(rng, 4)
+    if w_scale is None:
+        w_scale = float(0.1 / np.sqrt(hdim))  # reference main.py:175
+    return {
+        "wgx": uniform_init(kgx, (idim, 2, hdim), w_scale, dtype),
+        "wgh": uniform_init(kgh, (hdim, 2, hdim), w_scale, dtype),
+        "bg": jnp.zeros((2, hdim), dtype=dtype),
+        "wcx": uniform_init(kcx, (idim, hdim), w_scale, dtype),
+        "wch": uniform_init(kch, (hdim, hdim), w_scale, dtype),
+        "bc": jnp.ones((hdim,), dtype=dtype),
+    }
+
+
+def gru_apply(params, x: jnp.ndarray, c0=None) -> jnp.ndarray:
+    """GRU over [B, T, idim] -> [B, T, hdim].
+
+    Semantics per reference ops.py:151-188: gates (r, u) from concat(x, c);
+    candidate tanh from concat(x, c*r); c' = c*u + cand*(1-u).
+    """
+    hdim = params["wch"].shape[0]
+    x_tm = jnp.swapaxes(x, 0, 1)
+    gx = jnp.einsum("tbi,igh->tbgh", x_tm, params["wgx"],
+                    preferred_element_type=x_tm.dtype) + params["bg"]
+    cx = jnp.matmul(x_tm, params["wcx"],
+                    preferred_element_type=x_tm.dtype) + params["bc"]
+
+    def step(c, inp):
+        gx_t, cx_t = inp
+        gates = jax.nn.sigmoid(
+            gx_t + jnp.einsum("bh,hgk->bgk", c, params["wgh"],
+                              preferred_element_type=c.dtype))
+        r, u = gates[:, 0], gates[:, 1]
+        cand = jnp.tanh(
+            cx_t + jnp.matmul(c * r, params["wch"],
+                              preferred_element_type=c.dtype))
+        c_new = c * u + cand * (1.0 - u)
+        return c_new, c_new
+
+    if c0 is None:
+        c0 = jnp.zeros((x.shape[0], hdim), dtype=x.dtype)
+    _, cs = jax.lax.scan(step, c0, (gx, cx))
+    return jnp.swapaxes(cs, 0, 1)

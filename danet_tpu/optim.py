@@ -1,0 +1,55 @@
+"""Optimizer registry (optax-backed).
+
+Equivalent of the reference optimizer layer (/root/reference/app/ozers.py
+plus the gradient-clip/apply logic at main.py:354-363): named factories
+resolved via ``hparams.get_optimizer()``, elementwise gradient value
+clipping at +/-GRAD_CLIP_THRES, and a runtime-adjustable learning rate
+(the reference keeps LR in a tf Variable; here it is an injected
+hyperparameter living in the optax state so LR decay needs no recompile).
+"""
+from __future__ import annotations
+
+import optax
+
+from danet_tpu.hparams import hparams
+
+
+def _with_clip_and_lr(opt_factory, learn_rate: float, grad_clip):
+    parts = []
+    if grad_clip is not None:
+        parts.append(optax.clip(float(grad_clip)))  # elementwise value clip
+    parts.append(optax.inject_hyperparams(opt_factory)(
+        learning_rate=learn_rate))
+    return optax.chain(*parts)
+
+
+@hparams.register_optimizer("sgd")
+def sgd_ozer(learn_rate, grad_clip=None, **kwargs):
+    return _with_clip_and_lr(optax.sgd, learn_rate, grad_clip)
+
+
+@hparams.register_optimizer("adam")
+def adam_ozer(learn_rate, grad_clip=None, **kwargs):
+    return _with_clip_and_lr(optax.adam, learn_rate, grad_clip)
+
+
+def make_optimizer(hp=None):
+    """Build the configured optimizer with the reference's clip semantics."""
+    hp = hp if hp is not None else hparams
+    factory = hp.get_optimizer()
+    return factory(hp.LR, grad_clip=hp.GRAD_CLIP_THRES)
+
+
+def set_learn_rate(opt_state, lr: float):
+    """Update the injected learning rate inside an optax state pytree."""
+    # the inject_hyperparams state is the last element of the chain state
+    import jax.numpy as jnp
+    inner = opt_state[-1]
+    old = inner.hyperparams["learning_rate"]
+    new = jnp.asarray(lr, dtype=old.dtype) if hasattr(old, "dtype") else lr
+    inner.hyperparams["learning_rate"] = new
+    return opt_state
+
+
+def get_learn_rate(opt_state) -> float:
+    return float(opt_state[-1].hyperparams["learning_rate"])
