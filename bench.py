@@ -1,0 +1,101 @@
+"""Benchmark harness: flagship train-step throughput in mixtures/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: full jitted training step (fwd+bwd+Adam update) of the flagship
+bilstm-orig DaNet under the reference default hyperparameters
+(/root/reference/default.json: BATCH_SIZE=32, MAX_N_SIGNAL=2,
+MAX_TRAIN_LEN=128, FFT_SIZE=256 -> F=129) — i.e. the per-step work of
+`python main.py -m train` with the paper encoder.
+
+Baseline: the reference publishes NO numbers (BASELINE.md); the BASELINE.md
+target is ">=5x mixtures/sec/chip over CPU TF1 baseline".  As the TF1 stack
+cannot run here, the stand-in baseline is this same workload measured on
+this container's CPU backend (run `python bench.py --cpu-baseline` to
+re-measure; the committed constant below is from that measurement).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# measured via `python bench.py --cpu-baseline` on this container's CPU
+# (see module docstring) — mixtures/sec for the identical train step.
+CPU_BASELINE_MIX_PER_SEC = 5.42
+
+BATCH = 32
+N_SIGNAL = 2
+T = 128
+
+
+def build_step():
+    import os
+    import jax
+    import optax
+    from danet_tpu.hparams import hparams
+    import danet_tpu  # noqa: F401
+    from danet_tpu.models import DaNet
+    from danet_tpu import optim as optim_lib
+
+    hparams.load_json(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "default.json"))
+    hparams.ENCODER_TYPE = "bilstm-orig"
+    hparams.BATCH_SIZE = BATCH
+    hparams.digest()
+
+    model = DaNet()
+    optimizer = optim_lib.make_optimizer(hparams)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = jax.jit(optimizer.init)(params)
+    src = jax.device_put(np.random.RandomState(0).randn(
+        BATCH, N_SIGNAL, T, hparams.FEATURE_SIZE, 2).astype(np.float32))
+
+    @jax.jit
+    def train_step(params, opt_state, src_ri):
+        (loss, aux), grads = jax.value_and_grad(
+            model.train_loss, has_aux=True)(params, src_ri, None)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step, params, opt_state, src
+
+
+def measure(n_warmup: int = 3, n_iters: int = 50) -> float:
+    import jax
+    step, params, opt_state, src = build_step()
+    for _ in range(n_warmup):
+        params, opt_state, loss = step(params, opt_state, src)
+    jax.block_until_ready(params)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = step(params, opt_state, src)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(loss))
+    return BATCH * n_iters / dt
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        mps = measure(n_warmup=1, n_iters=3)
+        print("CPU baseline: %.2f mixtures/sec" % mps)
+        return
+    mps = measure()
+    print(json.dumps({
+        "metric": "train_mixtures_per_sec",
+        "value": round(mps, 2),
+        "unit": "mixtures/sec/chip",
+        "vs_baseline": round(mps / CPU_BASELINE_MIX_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Offline WSJ0 preprocessing: NIST SPHERE -> STFT spectra HDF5.
+
+Equivalent of the reference pipeline
+(/root/reference/app/datasets/WSJ0/process.py): reads the si_tr_s /
+si_dt_05 / si_et_05 file lists produced by install.sh, decodes each SPHERE
+file (via the bundled native C++ decoder in danet_tpu/native — the
+reference shells out to the external sph2pipe C tool), downsamples to
+SMPRATE, STFTs with stride FFT_SIZE/4, and stores the variable-length
+complex spectra in an HDF5 file with per-subset split attributes.  Up to
+100 corrupt source files are tolerated before aborting, and the RNG is
+seeded (SEED=1337) as in the reference.
+
+Schema: single 'features' vlen dataset + 'features_shapes' + a 'split'
+attribute table {split, source, start, stop} — readable by
+danet_tpu.data.wsj0.Wsj0Dataset (which also reads the reference's
+fuel-style per-subset layout).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+from math import ceil
+
+import h5py
+import numpy as np
+import scipy.io.wavfile
+import scipy.signal
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+sys.path.insert(0, _REPO)
+
+from danet_tpu.hparams import hparams  # noqa: E402
+
+hparams.load_json(os.path.join(_REPO, "default.json"))
+hparams.digest()
+
+FFT_SIZE = hparams.FFT_SIZE
+FFT_WND = hparams.FFT_WND_ARRAY
+SMPRATE = hparams.SMPRATE
+FLOATX = hparams.FLOATX
+COMPLEXX = hparams.COMPLEXX
+SEED = 1337
+FILENAME = "wsj0-danet.hdf5"
+MAX_ERRORS = 100
+
+assert FFT_SIZE % 4 == 0
+
+
+def load_sphere(fname: str, smprate: int = 16000) -> np.ndarray:
+    """Decode a NIST SPHERE file to float samples at `smprate`.
+
+    Prefers the bundled native decoder (danet_tpu.native.sphere); falls
+    back to an external sph2pipe binary if present (reference behaviour,
+    WSJ0/process.py:46-49)."""
+    try:
+        from danet_tpu.native.sphere import read_sphere
+        rate, data = read_sphere(fname)
+    except Exception:
+        if os.system("./sph2pipe -f rif %s speech.wav" % fname):
+            raise RuntimeError("File is corrupt")
+        rate, data = scipy.io.wavfile.read("speech.wav")
+    if rate == smprate:
+        return data.astype(FLOATX)
+    if (rate % smprate) == 0:
+        factor = rate // smprate
+        data = np.pad(data, [(0, (-len(data)) % factor)], mode="constant")
+        return data.reshape(len(data) // factor, factor).astype(
+            FLOATX).mean(axis=1)
+    newlen = int(ceil(len(data) * (smprate / rate)))
+    return scipy.signal.resample(data, newlen).astype(FLOATX)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-o", "--output-file", default=FILENAME,
+                        help="path to output HDF5 file")
+    parser.add_argument("--list-dir", default=".",
+                        help="directory containing *_set_files lists")
+    args = parser.parse_args()
+
+    subsets = []
+    for name in ["train", "valid", "test"]:
+        with open(os.path.join(args.list_dir,
+                               "%s_set_files" % name), "r") as f:
+            files = sorted(line.strip() for line in f if line.strip())
+        subsets.append((name, files))
+
+    random.seed(SEED)
+    np.random.seed(SEED)
+
+    total = sum(len(fl) for _, fl in subsets)
+    with h5py.File(args.output_file, "w") as out:
+        data_t = h5py.special_dtype(vlen=np.dtype(COMPLEXX))
+        feats = out.create_dataset("features", (total,), dtype=data_t)
+        shapes = out.create_dataset(
+            "features_shapes", (total, 2), dtype=np.int32)
+        split_rows = []
+        row = 0
+        for name, files in subsets:
+            sys.stdout.write('Generating subset "%s" ...' % name)
+            sys.stdout.flush()
+            start = row
+            err_cnt = 0
+            for fname in files:
+                try:
+                    wav = load_sphere(fname, SMPRATE)
+                except Exception:
+                    err_cnt += 1
+                    if err_cnt > MAX_ERRORS:
+                        sys.stderr.write(
+                            "Too many file reading failures, abort."
+                            " Raising latest exception:\n")
+                        raise
+                    continue
+                spectra = scipy.signal.stft(
+                    wav.astype(FLOATX), window=FFT_WND, nperseg=FFT_SIZE,
+                    noverlap=(FFT_SIZE * 3) // 4)[2].T.astype(COMPLEXX)
+                feats[row] = spectra.flatten()
+                shapes[row] = (len(spectra), 1 + FFT_SIZE // 2)
+                row += 1
+                sys.stdout.write(".")
+                sys.stdout.flush()
+            split_rows.append((name.encode(), b"features", start, row))
+            sys.stdout.write(" done (%d ok, %d failed)\n"
+                             % (row - start, err_cnt))
+        split_dt = np.dtype([
+            ("split", "S8"), ("source", "S16"),
+            ("start", np.int64), ("stop", np.int64)])
+        out.attrs["split"] = np.asarray(split_rows, dtype=split_dt)
+    print("Wrote %s" % args.output_file)
+
+
+if __name__ == "__main__":
+    main()

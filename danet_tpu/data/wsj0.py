@@ -44,18 +44,26 @@ class Wsj0Dataset(Dataset):
                 'Did not find WSJ0 file "%s", run data/WSJ0/install.sh first'
                 % self.path)
         self.h5file = h5py.File(self.path, "r")
-        # split table: {subset: (start, stop)} row indices into features
+        # split table rows: (split, source, start, stop).  Two layouts are
+        # supported: ours (single 'features' source) and the reference's
+        # fuel-style one ('{split}_spectra' source per subset,
+        # reference WSJ0/process.py:148-222).
         self.splits = {}
         for row in self.h5file.attrs["split"]:
             name = row["split"] if isinstance(row["split"], str) \
                 else row["split"].decode()
-            self.splits.setdefault(name, (int(row["start"]), int(row["stop"])))
+            source = row["source"] if isinstance(row["source"], str) \
+                else row["source"].decode()
+            self.splits.setdefault(
+                name, (source, int(row["start"]), int(row["stop"])))
         self.is_loaded = True
 
     def _fetch(self, subset: str, rows: np.ndarray):
-        start, _ = self.splits[subset]
-        feats = self.h5file["features"]
-        shapes = self.h5file["features_shapes"]
+        source, start, _ = self.splits[subset]
+        feats = self.h5file[source]
+        shapes = self.h5file[source + "_shapes"] \
+            if source + "_shapes" in self.h5file \
+            else self.h5file["features_shapes"]
         out = []
         for r in np.sort(rows):
             t, f = shapes[start + r]
@@ -65,7 +73,7 @@ class Wsj0Dataset(Dataset):
     def epoch(self, subset, batch_size, shuffle=False):
         if not self.is_loaded:
             raise RuntimeError("Dataset is not loaded.")
-        start, stop = self.splits[subset]
+        _, start, stop = self.splits[subset]
         size = stop - start
         n_pad = ((size + batch_size - 1) // batch_size) * batch_size
         indices = np.arange(n_pad) % size  # wrap so every batch is full

@@ -1,0 +1,133 @@
+"""Device mesh + sharding rules: data / tensor parallelism via GSPMD.
+
+The reference is single-process, single-device (README.md:226, SURVEY.md
+§2.4).  This module is the TPU-native replacement: a ``('data', 'model')``
+``jax.sharding.Mesh``, path-based PartitionSpec rules for the parameter
+pytree, and helpers to place batches/params.  XLA's SPMD partitioner then
+inserts the ICI collectives (gradient psum over 'data'; all-gathers for the
+tensor-sharded LSTM gate GEMMs over 'model') — no hand-written NCCL/MPI.
+
+Sharding layout:
+  * batch axis of every input  -> 'data'   (pure data parallelism)
+  * LSTM gate weights [in,4,h] -> shard h on 'model' (each gate's hidden
+    slice is local to a shard; gate elementwise math needs no comms)
+  * gate biases [4,h]          -> shard h on 'model'
+  * output-head / MLP weights [in, out] -> shard out on 'model'
+  * conv kernels, anchors, small biases -> replicated
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from danet_tpu.hparams import hparams
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
+              devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    With no explicit factors, all devices go to the 'data' axis (pure DP is
+    the north-star upgrade over the reference's single-GPU limit).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n_dev = len(devices)
+    if n_data is None and n_model is None:
+        n_data, n_model = n_dev, 1
+    elif n_data is None:
+        n_data = n_dev // n_model
+    elif n_model is None:
+        n_model = n_dev // n_data
+    assert n_data * n_model == n_dev, (
+        "mesh %dx%d != %d devices" % (n_data, n_model, n_dev))
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def mesh_from_hparams(hp=None, devices=None) -> Mesh:
+    """Mesh from MESH_DATA/MESH_MODEL config; the default (1x1 config on a
+    multi-device host) data-parallelizes over as many devices as the batch
+    size divides into, leaving the rest idle rather than failing."""
+    import math
+
+    hp = hp if hp is not None else hparams
+    n_data = getattr(hp, "MESH_DATA", None) or None
+    n_model = getattr(hp, "MESH_MODEL", None) or None
+    devices = devices if devices is not None else jax.devices()
+    if (n_data or 1) * (n_model or 1) > 1:
+        return make_mesh(n_data, n_model, devices)
+    batch = getattr(hp, "BATCH_SIZE", len(devices))
+    n_data = math.gcd(len(devices), batch)
+    return make_mesh(n_data, 1, devices=devices[:n_data])
+
+
+# ---------------------------------------------------------------------------
+# parameter partition rules
+# ---------------------------------------------------------------------------
+
+def _leaf_spec(path: str, leaf, n_model: int = 1) -> P:
+    """PartitionSpec for one parameter leaf, by name pattern + rank.
+
+    A dimension is only sharded if divisible by the model-axis size;
+    otherwise the leaf is replicated (e.g. hdim=300 on an 8-way model
+    axis falls back cleanly).
+    """
+    ndim = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    last = path.split("/")[-1]
+
+    def ok(dim_idx):
+        return n_model <= 1 or shape[dim_idx] % n_model == 0
+
+    if last in ("wx", "wh", "wgx", "wgh") and ndim == 3 and ok(2):
+        return P(None, None, "model")             # gates [in, G, h]
+    if last in ("b", "bg") and ndim == 2 and ok(1):
+        return P(None, "model")                   # gate bias [G, h]
+    if last in ("w", "wcx", "wch") and ndim == 2 and ok(1):
+        return P(None, "model")                   # linear [in, out]
+    if last in ("b", "bc") and ndim == 1 and ok(0):
+        return P("model")                         # linear bias [out]
+    return P()  # replicate (convs, anchors, scalars, indivisible dims)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return "/".join(parts)
+
+
+def param_pspecs(params, mesh: Optional[Mesh] = None) -> dict:
+    """PartitionSpec pytree matching a parameter pytree.
+
+    If a mesh is given, dims not divisible by its 'model' axis size are
+    replicated instead of sharded.
+    """
+    n_model = mesh.shape.get("model", 1) if mesh is not None else 1
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _leaf_spec(_path_str(path), leaf, n_model),
+        params)
+
+
+def named_shardings(mesh: Mesh, pspecs):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), pspecs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(mesh: Mesh, params):
+    """Place a parameter pytree onto the mesh per the partition rules."""
+    shardings = named_shardings(mesh, param_pspecs(params, mesh))
+    return jax.device_put(params, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Inputs are sharded along the leading batch axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

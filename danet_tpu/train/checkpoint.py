@@ -1,0 +1,46 @@
+"""Checkpoint save/load (Orbax-backed).
+
+Equivalent of the reference's tf.train.Saver flow
+(/root/reference/main.py:192-206,399,461-477) with two deliberate fixes
+(SURVEY.md §5): optimizer state IS checkpointed (the reference saves
+trainable variables only, losing Adam moments on resume), and the learning
+rate + epoch counter round-trip too.  The `-i/-o` CLI semantics and the
+per-epoch `saves/<name>_e<i>` layout are preserved.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _abspath(path: str) -> str:
+    return os.path.abspath(path)
+
+
+def save_checkpoint(path: str, state: dict) -> None:
+    """Save a train-state pytree {params, opt_state, step, epoch, lr}."""
+    path = _abspath(path)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    # host-side numpy copy so no device sync issues on the tunnel
+    state = jax.tree_util.tree_map(np.asarray, state)
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, template: dict) -> dict:
+    """Restore a train-state pytree; template supplies structure/shapes."""
+    path = _abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    template = jax.tree_util.tree_map(np.asarray, template)
+    return ckptr.restore(path, template)
+
+
+def load_params_only(path: str, template: dict) -> dict:
+    """Restore only model params from a full checkpoint (for transfer into
+    a fresh optimizer, mirroring the reference's params-only Saver)."""
+    state = load_checkpoint(path, template)
+    return state

@@ -1,0 +1,232 @@
+"""danet_tpu CLI driver.
+
+Same public surface as the reference driver (/root/reference/main.py:551-740):
+modes train/valid/test/demo/debug/interactive; flags -n/-m/-i/-o/-c/-ne/
+--no-save-on-epoch/--no-valid-on-epoch/-if/-ds/-lr/-tl/-bs; layered config
+default.json -> -c JSON -> CLI overrides.  Runs on whatever JAX backend is
+active (TPU under axon; CPU with JAX_PLATFORMS=cpu).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from danet_tpu.hparams import hparams
+import danet_tpu  # noqa: F401  (populates registries)
+from danet_tpu.data import audio
+from danet_tpu.models import DaNet
+from danet_tpu.train.trainer import Trainer, prepare_batch
+
+g_args = None
+g_model = None
+g_trainer = None
+g_state = None
+g_dataset = None
+
+
+def build_argparser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-n", "--name", default="UnnamedExperiment",
+                        help="name of experiment, affects checkpoint saves")
+    parser.add_argument("-m", "--mode", default="train",
+                        help='Mode: "train", "valid", "test", "demo", '
+                             '"debug" or "interactive"')
+    parser.add_argument("-i", "--input-pfile",
+                        help="path to input model parameter file")
+    parser.add_argument("-o", "--output-pfile",
+                        help="path to output model parameters file")
+    parser.add_argument("-c", "--hparams-file",
+                        help="path to hyperparameters (config) JSON file")
+    parser.add_argument("-ne", "--num-epoch", type=int, default=10,
+                        help="number of training epochs")
+    parser.add_argument("--no-save-on-epoch", action="store_true",
+                        help="don't save parameters after each epoch")
+    parser.add_argument("--no-valid-on-epoch", action="store_true",
+                        help="don't sweep validation set after each epoch")
+    parser.add_argument("-if", "--input-file",
+                        help='input WAV file for "demo" mode')
+    parser.add_argument("-ds", "--dataset",
+                        help="dataset to use, overrides hparams.DATASET_TYPE")
+    parser.add_argument("-lr", "--learn-rate",
+                        help="learn rate, overrides hparams.LR")
+    parser.add_argument("-tl", "--train-length",
+                        help="training segment length, overrides "
+                             "hparams.MAX_TRAIN_LEN")
+    parser.add_argument("-bs", "--batch-size",
+                        help="batch size, overrides hparams.BATCH_SIZE")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="PRNG seed for init/dropout")
+    return parser
+
+
+def load_config(args):
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "default.json")
+    hparams.load_json(base)
+    if args.hparams_file is not None:
+        hparams.load_json(args.hparams_file)
+    if args.learn_rate is not None:
+        hparams.LR = float(args.learn_rate)
+        assert hparams.LR >= 0.0
+    if args.train_length is not None:
+        hparams.MAX_TRAIN_LEN = int(args.train_length)
+        assert hparams.MAX_TRAIN_LEN >= 2
+    if args.dataset is not None:
+        hparams.DATASET_TYPE = args.dataset
+    if args.batch_size is not None:
+        hparams.BATCH_SIZE = int(args.batch_size)
+        assert hparams.BATCH_SIZE > 0
+    hparams.digest()
+
+
+def _draw_test_mixture(dataset, n_signal):
+    """Draw N test utterances, align-pad, and sum into a mixture
+    (reference main.py:662-674)."""
+    for data_pt in dataset.epoch("test", n_signal):
+        break
+    sigs = data_pt[0]
+    max_len = max(len(x) for x in sigs)
+    max_len += (-max_len) % hparams.LENGTH_ALIGN
+    src = np.stack([
+        audio.random_zeropad(x, max_len - len(x), axis=-2) for x in sigs])
+    return src
+
+
+def run_demo(args):
+    import jax
+    if args.input_file is None:
+        filename = "demo.wav"
+        src = _draw_test_mixture(g_dataset, hparams.MAX_N_SIGNAL)
+        raw_mixture = np.sum(src, axis=0)            # [T, F] complex
+        audio.save_wavfile(filename, raw_mixture)
+        print("Mixture written to %s" % filename)
+    else:
+        filename = args.input_file
+        raw_mixture = audio.load_wavfile(args.input_file)
+        t = len(raw_mixture)
+        pad = (-t) % hparams.LENGTH_ALIGN
+        if pad:
+            raw_mixture = np.pad(raw_mixture, [(0, pad), (0, 0)])
+
+    mix_ri = audio.to_ri(raw_mixture[None])           # [1, T, F, 2]
+    sep_ri = g_trainer.separate(g_state, mix_ri)
+    signals = audio.from_ri(sep_ri[0])                # [N, T, F] complex
+    base, ext = os.path.splitext(filename)
+    for i, s in enumerate(signals):
+        out = base + ("_separated_%d" % (i + 1)) + (ext or ".wav")
+        audio.save_wavfile(out, s)
+        print("Separated source written to %s" % out)
+
+
+def run_debug(args):
+    """Dump inputs/embeddings/attractors/masks for one test batch to
+    debug/debug_data.mat (reference main.py:717-737)."""
+    import jax
+    import scipy.io
+    for data_pt in g_dataset.epoch(
+            "test", hparams.MAX_N_SIGNAL, shuffle=True):
+        break
+    sigs = data_pt[0]
+    max_len = max(len(x) for x in sigs)
+    max_len += (-max_len) % hparams.LENGTH_ALIGN
+    src = np.stack([
+        audio.random_zeropad(x, max_len - len(x), axis=-2) for x in sigs])
+    src_ri = audio.to_ri(src[None])                   # [1, N, T, F, 2]
+
+    from danet_tpu.models.danet import mixture_features
+    params = g_state["params"]
+    model = g_model
+
+    def debug_fetch(params, src_ri):
+        hp = model.hp
+        (mix_ri, src_pwr, mix_pwr, logmag,
+         phase_unit) = mixture_features(src_ri, hp.EPS)
+        embed, embed_flat = model._embed(params, logmag, False, None)
+        attractors = model.train_estimator.apply(
+            params["train_estimator"], embed,
+            src_pwr=src_pwr, mix_pwr=mix_pwr)
+        sep_pwr = model.separator.apply(
+            params["separator"], mix_pwr, attractors, embed_flat)
+        sep_ri = sep_pwr[..., None] * phase_unit[:, None]
+        return dict(embed=embed, attrs=attractors, masks=sep_pwr,
+                    output=sep_ri)
+
+    data = jax.jit(debug_fetch)(params, src_ri)
+    data = {k: np.asarray(v) for k, v in data.items()}
+    data["input"] = np.stack([src.real, src.imag], -1)
+    os.makedirs("debug", exist_ok=True)
+    scipy.io.savemat("debug/debug_data.mat", data)
+    print("Debug data written to debug/debug_data.mat")
+
+
+def main():
+    global g_args, g_model, g_trainer, g_state, g_dataset
+    parser = build_argparser()
+    g_args = parser.parse_args()
+    load_config(g_args)
+
+    sys.stdout.write('Preparing dataset "%s" ... ' % hparams.DATASET_TYPE)
+    sys.stdout.flush()
+    g_dataset = hparams.get_dataset()()
+    g_dataset.install_and_load()
+    sys.stdout.write("done\n")
+
+    print('Encoder type: "%s"' % hparams.ENCODER_TYPE)
+    print('Separator type: "%s"' % hparams.SEPARATOR_TYPE)
+    print('Training estimator type: "%s"' % hparams.TRAIN_ESTIMATOR_METHOD)
+    print('Inference estimator type: "%s"' % hparams.INFER_ESTIMATOR_METHOD)
+
+    if g_args.mode in ("demo", "debug"):
+        hparams.BATCH_SIZE = 1
+        print('  Warning: setting hparams.BATCH_SIZE to 1 for "%s" mode'
+              % g_args.mode)
+        if g_args.mode == "debug":
+            hparams.DEBUG = True
+
+    sys.stdout.write("Building model ... ")
+    sys.stdout.flush()
+    import jax
+    g_model = DaNet()
+    g_trainer = Trainer(g_model, name=g_args.name)
+    g_state = g_trainer.init_state(jax.random.PRNGKey(g_args.seed))
+    print("done (%d parameters, %d device(s): %s)" % (
+        g_model.parameter_count(g_state["params"]),
+        len(jax.devices()), jax.devices()[0].platform))
+
+    if g_args.input_pfile is not None:
+        sys.stdout.write(
+            "Loading parameters from %s ... " % g_args.input_pfile)
+        g_state = g_trainer.load_params(g_state, g_args.input_pfile)
+        sys.stdout.write("done\n")
+
+    if g_args.mode == "interactive":
+        print("Now in interactive mode, you should run this with python -i")
+        return
+    elif g_args.mode == "train":
+        g_state = g_trainer.train(
+            n_epoch=g_args.num_epoch, dataset=g_dataset,
+            save_on_epoch=not g_args.no_save_on_epoch,
+            valid_on_epoch=not g_args.no_valid_on_epoch,
+            state=g_state, rng=jax.random.PRNGKey(g_args.seed + 1))
+        if g_args.output_pfile is not None:
+            sys.stdout.write(
+                "Saving parameters into %s ... " % g_args.output_pfile)
+            g_trainer.save_params(g_state, g_args.output_pfile)
+            sys.stdout.write("done\n")
+    elif g_args.mode == "test":
+        g_trainer.test(g_state, g_dataset)
+    elif g_args.mode == "valid":
+        g_trainer.test(g_state, g_dataset, "valid", "Valid")
+    elif g_args.mode == "demo":
+        run_demo(g_args)
+    elif g_args.mode == "debug":
+        run_debug(g_args)
+    else:
+        raise ValueError('Unknown mode "%s"' % g_args.mode)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Data layer contract tests: toy/TIMIT/WSJ0 epoch semantics."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from danet_tpu.data.dataset import WhiteNoiseData
+from danet_tpu.data.timit import TimitDataset
+from danet_tpu.data.wsj0 import Wsj0Dataset
+
+
+def test_toy_dataset_contract(fresh_hparams):
+    hp = fresh_hparams
+    ds = WhiteNoiseData()
+    with pytest.raises(RuntimeError):
+        next(ds.epoch("train", 4))
+    ds.install_and_load()
+    batches = list(ds.epoch("train", 4))
+    assert len(batches) == 10
+    assert batches[0][0].shape == (4, 128, hp.FEATURE_SIZE)
+
+
+def _write_timit_pickles(dirpath, n=10, feat=129):
+    rng = np.random.RandomState(0)
+    os.makedirs(dirpath, exist_ok=True)
+    for subset in ["train", "test"]:
+        sigs = [
+            (rng.randn(rng.randint(20, 50), feat)
+             + 1j * rng.randn(1, feat)).astype(np.complex64)
+            for _ in range(n)]
+        phonemes = [rng.randint(0, 60, size=(5,)).astype(np.int32)
+                    for _ in range(n)]
+        texts = [rng.randint(0, 27, size=(8,)).astype(np.int32)
+                 for _ in range(n)]
+        with open(os.path.join(dirpath, "%s_set.pkl" % subset), "wb") as f:
+            pickle.dump(sigs, f, -1)
+            pickle.dump(phonemes, f, -1)
+            pickle.dump(texts, f, -1)
+
+
+def test_timit_epoch(fresh_hparams, tmp_path):
+    _write_timit_pickles(str(tmp_path))
+    ds = TimitDataset(data_dir=str(tmp_path))
+    ds.install_and_load()
+    assert "valid" in ds.subset  # valid aliases test
+    batches = list(ds.epoch("train", 4, shuffle=True))
+    # 10 utterances, batch 4: 2 full batches + 1 remainder batch
+    assert len(batches) == 3
+    for sigs, (t_idx, t_val, t_shape) in batches:
+        assert sigs.shape[0] == 4
+        assert sigs.dtype == np.complex64
+        # all batch members padded to equal length
+        assert sigs.ndim == 3
+        assert t_shape[0] == 4
+    with pytest.raises(KeyError):
+        next(ds.epoch("bogus", 4))
+
+
+def test_timit_text_codec():
+    s = "hello world"
+    arr = TimitDataset.encode_from_str(s)
+    assert TimitDataset.decode_to_str(arr) == s
+
+
+def _write_wsj0_h5(path, sizes=(10, 6, 6), feat=129):
+    import h5py
+    rng = np.random.RandomState(0)
+    names = ["train", "valid", "test"]
+    lens = [rng.randint(20, 60, size=s) for s in sizes]
+    total = sum(sizes)
+    with h5py.File(path, "w") as f:
+        dt = h5py.special_dtype(vlen=np.dtype("complex64"))
+        feats = f.create_dataset("features", (total,), dtype=dt)
+        shapes = f.create_dataset(
+            "features_shapes", (total, 2), dtype="int32")
+        row = 0
+        for li in lens:
+            for ln in li:
+                feats[row] = (rng.randn(ln * feat)
+                              + 1j * rng.randn(ln * feat)).astype(
+                                  np.complex64)
+                shapes[row] = (ln, feat)
+                row += 1
+        split_dt = np.dtype([
+            ("split", "S8"), ("source", "S16"),
+            ("start", "int64"), ("stop", "int64")])
+        rows = []
+        start = 0
+        for name, s in zip(names, sizes):
+            rows.append((name.encode(), b"features", start, start + s))
+            start += s
+        f.attrs["split"] = np.asarray(rows, dtype=split_dt)
+
+
+def test_wsj0_epoch(fresh_hparams, tmp_path):
+    h5py = pytest.importorskip("h5py")  # noqa: F841
+    path = str(tmp_path / "wsj0-danet.hdf5")
+    _write_wsj0_h5(path)
+    ds = Wsj0Dataset(path=path)
+    ds.install_and_load()
+    batches = list(ds.epoch("train", 4, shuffle=False))
+    # 10 examples, batch 4 -> padded to 12 (wraps modulo size): 3 batches
+    assert len(batches) == 3
+    for (sigs,) in batches:
+        assert sigs.shape[0] == 4
+        assert sigs.dtype == np.complex64
+    # every batch is full even for non-divisible subsets
+    vbatches = list(ds.epoch("valid", 4))
+    assert all(b[0].shape[0] == 4 for b in vbatches)

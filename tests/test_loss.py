@@ -1,0 +1,116 @@
+"""Loss/metric oracle tests: PIT vs brute-force permutations, SNR vs numpy
+(SURVEY.md §4 implication: unit tests with numpy oracles)."""
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+
+from danet_tpu.ops import loss as L
+
+
+def _brute_force_pit(x, y):
+    """Oracle: min over permutations of sum_i mean|x_i - y_p(i)|^2,
+    then mean over batch (complex numpy arrays [B, N, ...])."""
+    b, n = x.shape[:2]
+    losses = np.zeros(b)
+    best_perm = np.zeros((b, n), dtype=int)
+    for bi in range(b):
+        best = np.inf
+        for perm in itertools.permutations(range(n)):
+            tot = sum(
+                np.mean(np.abs(x[bi, i] - y[bi, perm[i]]) ** 2)
+                for i in range(n))
+            if tot < best:
+                best = tot
+                best_perm[bi] = perm
+        losses[bi] = best
+    return losses.mean(), best_perm
+
+
+def test_pit_matches_brute_force_real():
+    rng = np.random.RandomState(0)
+    x = rng.randn(5, 3, 7, 4).astype(np.float32)
+    y = rng.randn(5, 3, 7, 4).astype(np.float32)
+    loss, perms, idx = L.pit_mse_loss(jnp.asarray(x), jnp.asarray(y))
+    ref, ref_perm = _brute_force_pit(x, y)
+    np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(perms)[np.asarray(idx)],
+                                  ref_perm)
+
+
+def test_pit_complex_ri_matches_complex():
+    rng = np.random.RandomState(1)
+    xc = (rng.randn(4, 2, 6, 5) + 1j * rng.randn(4, 2, 6, 5)).astype(
+        np.complex64)
+    yc = (rng.randn(4, 2, 6, 5) + 1j * rng.randn(4, 2, 6, 5)).astype(
+        np.complex64)
+    x_ri = np.stack([xc.real, xc.imag], -1)
+    y_ri = np.stack([yc.real, yc.imag], -1)
+    loss_ri, _, idx_ri = L.pit_mse_loss(
+        jnp.asarray(x_ri), jnp.asarray(y_ri), complex_ri=True)
+    ref, ref_perm = _brute_force_pit(xc, yc)
+    np.testing.assert_allclose(float(loss_ri), ref, rtol=1e-5)
+
+
+def test_unpermute_restores_order():
+    rng = np.random.RandomState(2)
+    x = rng.randn(4, 3, 8).astype(np.float32)
+    # y = x with sources shuffled per batch elem; PIT must recover x's order
+    y = np.empty_like(x)
+    true_perm = np.stack([np.random.permutation(3) for _ in range(4)])
+    for b in range(4):
+        for i in range(3):
+            y[b, i] = x[b, true_perm[b, i]]
+    loss, perms, idx = L.pit_mse_loss(jnp.asarray(x), jnp.asarray(y))
+    assert float(loss) < 1e-10
+    y_fixed = np.asarray(L.unpermute(jnp.asarray(y), perms, idx))
+    np.testing.assert_allclose(y_fixed, x, atol=1e-6)
+
+
+def test_batch_snr_oracle():
+    rng = np.random.RandomState(3)
+    clear = rng.randn(6, 2, 10, 4).astype(np.float32)
+    noisy = clear + 0.1 * rng.randn(6, 2, 10, 4).astype(np.float32)
+    out = np.asarray(L.batch_snr(jnp.asarray(clear), jnp.asarray(noisy)))
+    eps = 1e-7
+    ref = 4.342944819 * (
+        np.log(np.mean(clear ** 2, axis=(1, 2, 3)) + eps)
+        - np.log(np.mean((clear - noisy) ** 2, axis=(1, 2, 3)) + eps))
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_batch_snr_ri_matches_complex():
+    rng = np.random.RandomState(4)
+    c = (rng.randn(3, 5, 4) + 1j * rng.randn(3, 5, 4)).astype(np.complex64)
+    n = c + 0.3 * (rng.randn(3, 5, 4)
+                   + 1j * rng.randn(3, 5, 4)).astype(np.complex64)
+    ri = np.asarray(L.batch_snr(
+        jnp.asarray(np.stack([c.real, c.imag], -1)),
+        jnp.asarray(np.stack([n.real, n.imag], -1)), complex_ri=True))
+    # numpy complex oracle (reference ops.py:208-210: abs of signal & noise)
+    eps = 1e-7
+    ref = 4.342944819 * (
+        np.log(np.mean(np.abs(c) ** 2, axis=(1, 2)) + eps)
+        - np.log(np.mean(np.abs(c - n) ** 2, axis=(1, 2)) + eps))
+    np.testing.assert_allclose(ri, ref, rtol=1e-4)
+
+
+def test_si_snr_perfect_and_scaled():
+    rng = np.random.RandomState(5)
+    t = rng.randn(3, 1000).astype(np.float32)
+    # scale invariance: si_snr(t, 0.5*t) should be very high
+    out = np.asarray(L.si_snr(jnp.asarray(t), jnp.asarray(0.5 * t)))
+    assert (out > 40).all()
+    noisy = t + 0.1 * rng.randn(3, 1000).astype(np.float32)
+    out2 = np.asarray(L.si_snr(jnp.asarray(t), jnp.asarray(noisy)))
+    assert ((out2 > 15) & (out2 < 25)).all()
+
+
+def test_combinations_gather():
+    data = jnp.arange(10).reshape(5, 2).astype(jnp.float32)
+    out = np.asarray(L.combinations_gather(data, 2))
+    combs = list(itertools.combinations(range(5), 2))
+    assert out.shape == (len(combs), 2, 2)
+    for i, (a, b) in enumerate(combs):
+        np.testing.assert_array_equal(out[i, 0], np.asarray(data[a]))
+        np.testing.assert_array_equal(out[i, 1], np.asarray(data[b]))

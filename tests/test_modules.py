@@ -1,0 +1,164 @@
+"""Module zoo tests: encoder shapes, estimator oracles, separator math
+(golden-value tests per SURVEY.md §4 implication)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from danet_tpu.models import DaNet
+
+
+B, N, T = 2, 2, 16
+
+
+def _src(hp, n=N, t=T, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(B, n, t, hp.FEATURE_SIZE, 2).astype(np.float32)
+
+
+@pytest.mark.parametrize("enc", ["toy", "lstm-orig", "bilstm-orig",
+                                 "conv-bilstm-v1"])
+def test_encoder_shapes(fresh_hparams, enc):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = enc
+    hp.BATCH_SIZE = B
+    encoder = hp.get_encoder()(hp, "encoder")
+    params = encoder.init(jax.random.PRNGKey(0))
+    logmag = jnp.asarray(
+        np.random.RandomState(1).randn(B, T, hp.FEATURE_SIZE)
+        .astype(np.float32))
+    out = encoder.apply(params, logmag)
+    assert out.shape == (B, T, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def _estimator_inputs(hp, seed=0):
+    rng = np.random.RandomState(seed)
+    embed = rng.randn(B, T, hp.FEATURE_SIZE, hp.EMBED_SIZE).astype(
+        np.float32)
+    src_pwr = np.abs(rng.randn(B, N, T, hp.FEATURE_SIZE)).astype(np.float32)
+    mix_pwr = src_pwr.sum(axis=1)
+    return embed, src_pwr, mix_pwr
+
+
+def test_truth_estimator_oracle(fresh_hparams):
+    """truth = per-source sum of embeddings / (count + 1) — including the
+    reference's +1 quirk (modules.py:407)."""
+    hp = fresh_hparams
+    est = hp.get_estimator("truth")(hp, "e")
+    embed, src_pwr, mix_pwr = _estimator_inputs(hp)
+    out = np.asarray(est.apply({}, jnp.asarray(embed), jnp.asarray(src_pwr),
+                               jnp.asarray(mix_pwr)))
+    flat = embed.reshape(B, -1, hp.EMBED_SIZE)
+    labels = src_pwr.argmax(axis=1).reshape(B, -1)
+    for b in range(B):
+        for c in range(N):
+            mask = labels[b] == c
+            ref = flat[b][mask].sum(axis=0) / (mask.sum() + 1.0)
+            np.testing.assert_allclose(out[b, c], ref, atol=1e-4)
+
+
+def test_truth_weighted_estimator_oracle(fresh_hparams):
+    hp = fresh_hparams
+    est = hp.get_estimator("truth-weighted")(hp, "e")
+    embed, src_pwr, mix_pwr = _estimator_inputs(hp, seed=1)
+    out = np.asarray(est.apply({}, jnp.asarray(embed), jnp.asarray(src_pwr),
+                               jnp.asarray(mix_pwr)))
+    flat = embed.reshape(B, -1, hp.EMBED_SIZE)
+    w = mix_pwr.reshape(B, -1)
+    labels = src_pwr.argmax(axis=1).reshape(B, -1)
+    for b in range(B):
+        for c in range(N):
+            mask = labels[b] == c
+            ref = ((flat[b] * w[b][:, None])[mask].sum(axis=0)
+                   / (w[b][mask].sum() + hp.EPS))
+            np.testing.assert_allclose(out[b, c], ref, rtol=1e-3)
+
+
+def test_truth_threshold_estimator_oracle(fresh_hparams):
+    hp = fresh_hparams
+    est = hp.get_estimator("truth-threshold")(hp, "e")
+    embed, src_pwr, mix_pwr = _estimator_inputs(hp, seed=2)
+    mix_pwr = mix_pwr * 4.0  # make some bins exceed the fixed threshold 5
+    out = np.asarray(est.apply({}, jnp.asarray(embed), jnp.asarray(src_pwr),
+                               jnp.asarray(mix_pwr)))
+    flat = embed.reshape(B, -1, hp.EMBED_SIZE)
+    w = (mix_pwr.reshape(B, -1) > 5.0).astype(np.float32)
+    labels = src_pwr.argmax(axis=1).reshape(B, -1)
+    assert w.sum() > 0
+    for b in range(B):
+        for c in range(N):
+            mask = labels[b] == c
+            ref = ((flat[b] * w[b][:, None])[mask].sum(axis=0)
+                   / (w[b][mask].sum() + hp.EPS))
+            np.testing.assert_allclose(out[b, c], ref, atol=1e-4)
+
+
+def test_anchor_estimator_properties(fresh_hparams):
+    """Anchored estimator returns attractors that are convex-ish combinations
+    of embeddings (assignment-weighted means), shape [B, N, E]."""
+    hp = fresh_hparams
+    est = hp.get_estimator("anchor")(hp, "e")
+    params = est.init(jax.random.PRNGKey(0))
+    assert params["anchors"].shape == (hp.NUM_ANCHOR, hp.EMBED_SIZE)
+    embed, _, _ = _estimator_inputs(hp, seed=3)
+    out = np.asarray(est.apply(params, jnp.asarray(embed)))
+    assert out.shape == (B, N, hp.EMBED_SIZE)
+    # attractors lie within embedding min/max envelope (weighted means)
+    assert out.max() <= embed.max() + 1e-5
+    assert out.min() >= embed.min() - 1e-5
+
+
+def test_separator_sigmoid_oracle(fresh_hparams):
+    hp = fresh_hparams
+    sep = hp.get_separator("dot-sigmoid-orig")(hp, "s")
+    rng = np.random.RandomState(4)
+    mix_pwr = np.abs(rng.randn(B, T, hp.FEATURE_SIZE)).astype(np.float32)
+    attractors = rng.randn(B, N, hp.EMBED_SIZE).astype(np.float32)
+    embed_flat = rng.randn(B, T * hp.FEATURE_SIZE, hp.EMBED_SIZE).astype(
+        np.float32)
+    out = np.asarray(sep.apply({}, jnp.asarray(mix_pwr),
+                               jnp.asarray(attractors),
+                               jnp.asarray(embed_flat)))
+    logits = np.einsum("bke,bne->bkn", embed_flat, attractors).reshape(
+        B, T, hp.FEATURE_SIZE, N)
+    masks = 1 / (1 + np.exp(-logits))
+    ref = np.transpose(mix_pwr[..., None] * masks, (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_separator_softmax_masks_sum_to_one(fresh_hparams):
+    hp = fresh_hparams
+    sep = hp.get_separator("dot-softmax-orig")(hp, "s")
+    rng = np.random.RandomState(5)
+    mix_pwr = np.ones((B, T, hp.FEATURE_SIZE), np.float32)
+    attractors = rng.randn(B, N, hp.EMBED_SIZE).astype(np.float32)
+    embed_flat = rng.randn(B, T * hp.FEATURE_SIZE, hp.EMBED_SIZE).astype(
+        np.float32)
+    out = np.asarray(sep.apply({}, jnp.asarray(mix_pwr),
+                               jnp.asarray(attractors),
+                               jnp.asarray(embed_flat)))
+    # with unit mixture power, per-bin source powers sum to 1 (softmax)
+    np.testing.assert_allclose(out.sum(axis=1),
+                               np.ones((B, T, hp.FEATURE_SIZE)), atol=1e-5)
+
+
+def test_danet_infer_estimator_assertion(fresh_hparams):
+    hp = fresh_hparams
+    hp.TRAIN_ESTIMATOR_METHOD = "anchor"
+    hp.INFER_ESTIMATOR_METHOD = "truth"
+    with pytest.raises(AssertionError):
+        DaNet()
+
+
+def test_danet_three_speakers(fresh_hparams):
+    hp = fresh_hparams
+    hp.MAX_N_SIGNAL = 3
+    hp.BATCH_SIZE = B
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = _src(hp, n=3)
+    loss, aux = jax.jit(model.train_loss)(params, src, None)
+    assert np.isfinite(float(loss))
+    sep = model.separate(params, jnp.asarray(src.sum(axis=1)))
+    assert sep.shape == (B, 3, T, hp.FEATURE_SIZE, 2)

@@ -1,0 +1,130 @@
+"""Parallelism tests on the 8-device virtual CPU mesh: DP numerical
+equivalence with single-device, TP sharding rules, full dp x tp step
+(SURVEY.md §2.4 / §4 multi-chip strategy)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import PartitionSpec as P
+
+from danet_tpu import optim as optim_lib
+from danet_tpu.models import DaNet
+from danet_tpu.parallel import (batch_sharding, make_mesh, param_pspecs,
+                                replicated, shard_params)
+
+
+def _build(hp, encoder="toy", batch=8):
+    hp.ENCODER_TYPE = encoder
+    hp.BATCH_SIZE = batch
+    hp.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = np.random.RandomState(0).randn(
+        batch, hp.MAX_N_SIGNAL, 16, hp.FEATURE_SIZE, 2).astype(np.float32)
+    return model, params, src
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_param_pspec_rules(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "bilstm-orig"
+    hp.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    specs = param_pspecs(params)
+    lstm0 = specs["encoder"]["lstm0"]["fwd"]
+    assert lstm0["wx"] == P(None, None, "model")
+    assert lstm0["wh"] == P(None, None, "model")
+    assert lstm0["b"] == P(None, "model")
+    assert specs["encoder"]["output"]["w"] == P(None, "model")
+    assert specs["infer_estimator"]["anchors"] == P()
+
+
+def test_dp_matches_single_device(fresh_hparams):
+    """Data-parallel loss/grads over 8 devices == single-device values."""
+    model, params, src = _build(fresh_hparams, batch=8)
+
+    def loss_fn(p, x):
+        return model.train_loss(p, x, None)[0]
+
+    # single device
+    l1 = jax.jit(loss_fn)(params, src)
+    g1 = jax.jit(jax.grad(loss_fn))(params, src)
+
+    # 8-way data parallel
+    mesh = make_mesh(8, 1)
+    p_sh = shard_params(mesh, params)
+    x_sh = jax.device_put(src, batch_sharding(mesh))
+    l8 = jax.jit(loss_fn)(p_sh, x_sh)
+    g8 = jax.jit(jax.grad(loss_fn))(p_sh, x_sh)
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_tp_matches_single_device(fresh_hparams):
+    """Tensor-parallel (model-axis) forward == replicated forward."""
+    model, params, src = _build(fresh_hparams, encoder="bilstm-orig",
+                                batch=4)
+
+    def loss_fn(p, x):
+        return model.train_loss(p, x, None)[0]
+
+    l1 = float(jax.jit(loss_fn)(params, src))
+    mesh = make_mesh(2, 4)  # 4-way TP (hdim=300 divides by 4, not 8)
+    p_sh = shard_params(mesh, params)
+    x_sh = jax.device_put(src, batch_sharding(mesh))
+    l8 = float(jax.jit(loss_fn)(p_sh, x_sh))
+    np.testing.assert_allclose(l1, l8, rtol=1e-4)
+
+    # on an 8-way model axis, indivisible dims fall back to replication
+    mesh8 = make_mesh(1, 8)
+    specs8 = param_pspecs(params, mesh8)
+    assert specs8["encoder"]["lstm0"]["fwd"]["wx"] == P()   # h=300 % 8 != 0
+    assert specs8["encoder"]["output"]["w"] == P()          # 2580 % 8 != 0
+
+
+def test_full_sharded_train_step_dp_tp(fresh_hparams):
+    """One full fwd+bwd+update step on a 4x2 (data x model) mesh."""
+    hp = fresh_hparams
+    model, params, src = _build(hp, encoder="bilstm-orig", batch=8)
+    mesh = make_mesh(4, 2)
+    optimizer = optim_lib.make_optimizer(hp)
+    p_sh = shard_params(mesh, params)
+    opt_state = jax.jit(optimizer.init)(p_sh)
+    x_sh = jax.device_put(src, batch_sharding(mesh))
+
+    @jax.jit
+    def step(p, s, x):
+        (loss, aux), grads = jax.value_and_grad(
+            model.train_loss, has_aux=True)(p, x, None)
+        updates, s = optimizer.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    p2, s2, loss = step(p_sh, opt_state, x_sh)
+    jax.block_until_ready(p2)
+    assert np.isfinite(float(loss))
+    # params actually moved
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2)))
+    assert moved
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    loss, snr = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss)) and np.isfinite(float(snr))

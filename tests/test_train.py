@@ -1,0 +1,106 @@
+"""End-to-end training smoke tests: loss decreases, checkpoints round-trip,
+LR decay policies (SURVEY.md §4: toy-dataset train-smoke)."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from danet_tpu.data.dataset import WhiteNoiseData
+from danet_tpu.models import DaNet
+from danet_tpu.train.trainer import Trainer, prepare_batch
+from danet_tpu.parallel import make_mesh
+
+
+def _tiny_hp(hp):
+    hp.BATCH_SIZE = 4
+    hp.MAX_TRAIN_LEN = 32
+    hp.TIME_BUCKET = 32
+    hp.digest()
+    return hp
+
+
+def test_loss_decreases_on_fixed_batch(fresh_hparams):
+    """The core learning smoke: repeated steps on one batch reduce loss."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.LR = 1e-3
+    model = DaNet()
+    trainer = Trainer(model, name="smoke",
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    # separable-by-construction sources: disjoint frequency supports, so an
+    # ideal mask exists and gradient descent has signal to follow
+    flat = rng.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 32,
+                    hp.FEATURE_SIZE).astype(np.float32)
+    flat[0::2, :, 1::2] = 0.0   # even utterances: even bins only
+    flat[1::2, :, 0::2] = 0.0   # odd utterances: odd bins only
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+    src = trainer._put_batch(batch)
+    losses = []
+    for i in range(25):
+        state["params"], state["opt_state"], m = trainer._train_step(
+            state["params"], state["opt_state"], src,
+            jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_trainer_epoch_and_checkpoint_roundtrip(fresh_hparams, tmp_path):
+    hp = _tiny_hp(fresh_hparams)
+    hp.SUMMARY_DIR = str(tmp_path / "logs")
+    model = DaNet()
+    trainer = Trainer(model, name="ckpt-test", save_dir=str(tmp_path / "sv"))
+    dataset = WhiteNoiseData()
+    dataset.install_and_load()
+    state = trainer.train(1, dataset, save_on_epoch=True,
+                          valid_on_epoch=True)
+    assert state["step"] == 10  # toy dataset yields 10 batches/epoch
+    assert os.path.exists(trainer.save_path(1))
+
+    # checkpoint round-trip restores params AND optimizer state
+    restored = trainer.load_params(
+        trainer.init_state(jax.random.PRNGKey(42)), trainer.save_path(1))
+    for a, b in zip(jax.tree_util.tree_leaves(state["params"]),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state["opt_state"]),
+                    jax.tree_util.tree_leaves(restored["opt_state"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_lr_decay_fixed(fresh_hparams, tmp_path):
+    hp = _tiny_hp(fresh_hparams)
+    hp.SUMMARY_DIR = str(tmp_path / "logs")
+    hp.LR_DECAY_TYPE = "fixed"
+    hp.NUM_EPOCH_PER_LR_DECAY = 1
+    model = DaNet()
+    trainer = Trainer(model, name="lr-test", save_dir=str(tmp_path / "sv"))
+    dataset = WhiteNoiseData()
+    dataset.install_and_load()
+    state = trainer.train(2, dataset, save_on_epoch=False,
+                          valid_on_epoch=False)
+    lr = trainer.get_learn_rate(state)
+    np.testing.assert_allclose(lr, hp.LR * hp.LR_DECAY ** 2, rtol=1e-5)
+
+
+def test_unknown_lr_decay_raises(fresh_hparams, tmp_path):
+    hp = _tiny_hp(fresh_hparams)
+    hp.SUMMARY_DIR = str(tmp_path / "logs")
+    hp.LR_DECAY_TYPE = "bogus"
+    model = DaNet()
+    trainer = Trainer(model, name="x", save_dir=str(tmp_path / "sv"))
+    dataset = WhiteNoiseData()
+    dataset.install_and_load()
+    with pytest.raises(ValueError):
+        trainer.train(1, dataset, save_on_epoch=False, valid_on_epoch=False)
+
+
+def test_prepare_batch_crop_and_bucket(fresh_hparams):
+    hp = fresh_hparams
+    flat = np.random.rand(6, 100, hp.FEATURE_SIZE).astype(np.float32)
+    out = prepare_batch(flat, 3, 2, max_len=40, bucket=32)
+    assert out.shape == (3, 2, 64, hp.FEATURE_SIZE, 2)  # 40 -> pad to 64
+    assert (out[..., 1] == 0).all()  # real input -> zero imag
+    out2 = prepare_batch(flat, 3, 2, max_len=None, bucket=None)
+    assert out2.shape == (3, 2, 100, hp.FEATURE_SIZE, 2)
