@@ -79,8 +79,12 @@ class DaNet:
 
     # ------------------------------------------------------------------
     def _embed(self, params, logmag, train: bool, rng):
+        """Encoder forward in COMPUTE_DTYPE (bfloat16 engages the MXU's
+        native path with f32 accumulation — see ops.nn.mm/ee; features and
+        losses stay f32)."""
+        cdt = getattr(self.hp, "COMPUTE_DTYPE", "float32")
         embed = self.encoder.apply(
-            params["encoder"], logmag, train=train, rng=rng)
+            params["encoder"], logmag.astype(cdt), train=train, rng=rng)
         b = embed.shape[0]
         embed_flat = embed.reshape(b, -1, embed.shape[-1])
         return embed, embed_flat
@@ -160,6 +164,25 @@ class DaNet:
         sep_pwr = self.separator.apply(
             params["separator"], mix_pwr, attractors, embed_flat)
         return sep_pwr[..., None] * phase_unit[:, None]
+
+    # ------------------------------------------------------------------
+    def separate_wav(self, params, wav: jnp.ndarray) -> jnp.ndarray:
+        """Fused streaming inference: waveform batch [B, L] -> separated
+        waveforms [B, N, L'].
+
+        The whole pipeline — GEMM-native STFT, encoder, attractor
+        estimation, masking, phase reconstruction, GEMM-native iSTFT —
+        compiles to ONE XLA program on device; no host DSP round-trip
+        (the reference does STFT/iSTFT on the host with scipy,
+        utils.py:95-135).  L' = num_frames * FFT_STRIDE, the reference
+        overlap-add length convention.
+        """
+        from danet_tpu.ops import dsp
+        hp = self.hp
+        window = hp.FFT_WND_ARRAY
+        mix_ri = dsp.stft_ri(wav, hp.FFT_SIZE, hp.FFT_STRIDE, window)
+        sep_ri = self.separate(params, mix_ri)                # [B,N,T,F,2]
+        return dsp.istft_ri(sep_ri, hp.FFT_STRIDE, window)
 
     # ------------------------------------------------------------------
     def parameter_count(self, params) -> int:

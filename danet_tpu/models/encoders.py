@@ -27,6 +27,12 @@ def _candidate_activation(hp) -> str:
     return "linear" if getattr(hp, "LSTM_LEGACY_CELL", False) else "tanh"
 
 
+def _backend(hp) -> str:
+    """LSTM scan backend: 'auto' picks the Pallas kernel on TPU and the
+    XLA scan elsewhere (ops/rnn.py)."""
+    return getattr(hp, "LSTM_BACKEND", "auto") or "auto"
+
+
 @hparams.register_encoder("toy")
 class ToyEncoder(Encoder):
     """3-layer MLP for debugging (reference modules.py:96-116)."""
@@ -93,7 +99,8 @@ class LstmEncoder(Encoder):
         act = _candidate_activation(hp)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         for i in range(self.N_LAYERS):
-            x = rnn.lstm_apply(params[f"lstm{i}"], x, act)
+            x = rnn.lstm_apply(params[f"lstm{i}"], x, act,
+                               backend=_backend(hp))
         return _LstmHead.apply(params["output"], hp, x)
 
 
@@ -131,7 +138,8 @@ class BiLstmEncoder(Encoder):
         for i in range(self.N_LAYERS):
             x = rnn.bilstm_apply(
                 params[f"lstm{i}"], x, act,
-                dropout_rng=drop_keys[i], keep_prob=keep)
+                dropout_rng=drop_keys[i], keep_prob=keep,
+                backend=_backend(hp))
         return _LstmHead.apply(params["output"], hp, x)
 
 
@@ -191,9 +199,11 @@ class ConvBiLstmEncoder(Encoder):
         # [B, T/4, 16*nfft/8 = nfft*2]
         seq = jnp.transpose(x, (0, 2, 1, 3)).reshape(b, x.shape[2], nfft * 2)
         seq = rnn.bilstm_apply(params["lstm0"], seq, act,
-                               dropout_rng=drop_keys[0], keep_prob=keep)
+                               dropout_rng=drop_keys[0], keep_prob=keep,
+                               backend=_backend(hp))
         seq = rnn.bilstm_apply(params["lstm1"], seq, act,
-                               dropout_rng=drop_keys[1], keep_prob=keep)
+                               dropout_rng=drop_keys[1], keep_prob=keep,
+                               backend=_backend(hp))
         x = jnp.transpose(
             seq.reshape(b, -1, 16, nfft // 8), (0, 2, 1, 3))
         x = x + skip

@@ -17,6 +17,7 @@ import numpy as np
 
 from danet_tpu.hparams import hparams
 from danet_tpu.models.base import Estimator
+from danet_tpu.ops.nn import ee
 
 
 def _flatten_embed(embed):
@@ -50,8 +51,8 @@ class AverageEstimator(Estimator):
     def apply(self, params, embed, src_pwr=None, mix_pwr=None):
         embed_flat = _flatten_embed(embed)
         onehot = _hard_assignment(src_pwr)
-        sums = jnp.einsum("bkn,bke->bne", onehot, embed_flat,
-                          preferred_element_type=embed_flat.dtype)
+        onehot = onehot.astype(embed_flat.dtype)
+        sums = ee("bkn,bke->bne", onehot, embed_flat)
         counts = jnp.sum(onehot, axis=1)          # [B, N]
         return sums / (counts[..., None] + 1.0)
 
@@ -68,11 +69,10 @@ class ThresholdedAverageEstimator(Estimator):
         embed_flat = _flatten_embed(embed)
         onehot = _hard_assignment(src_pwr)
         b = embed.shape[0]
+        onehot = onehot.astype(embed_flat.dtype)
         w = (mix_pwr.reshape(b, -1, 1) > 5.0).astype(embed_flat.dtype)
-        sums = jnp.einsum("bkn,bke->bne", onehot, embed_flat * w,
-                          preferred_element_type=embed_flat.dtype)
-        wsum = jnp.einsum("bkn,bko->bno", onehot, w,
-                          preferred_element_type=embed_flat.dtype)
+        sums = ee("bkn,bke->bne", onehot, embed_flat * w)
+        wsum = ee("bkn,bko->bno", onehot, w)
         return sums / (wsum + hp.EPS)
 
 
@@ -88,11 +88,10 @@ class WeightedAverageEstimator(Estimator):
         embed_flat = _flatten_embed(embed)
         onehot = _hard_assignment(src_pwr)
         b = embed.shape[0]
+        onehot = onehot.astype(embed_flat.dtype)
         w = mix_pwr.reshape(b, -1, 1).astype(embed_flat.dtype)
-        sums = jnp.einsum("bkn,bke->bne", onehot, embed_flat * w,
-                          preferred_element_type=embed_flat.dtype)
-        wsum = jnp.einsum("bkn,bko->bno", onehot, w,
-                          preferred_element_type=embed_flat.dtype)
+        sums = ee("bkn,bke->bne", onehot, embed_flat * w)
+        wsum = ee("bkn,bko->bno", onehot, w)
         return sums / (wsum + hp.EPS)
 
 
@@ -118,23 +117,21 @@ class AnchoredEstimator(Estimator):
         combs = np.asarray(
             list(itertools.combinations(range(hp.NUM_ANCHOR), n)),
             dtype=np.int32)
-        anchor_sets = params["anchors"][jnp.asarray(combs)]   # [P, N, E]
+        anchors = params["anchors"].astype(embed.dtype)
+        anchor_sets = anchors[jnp.asarray(combs)]              # [P, N, E]
 
         # eq (6): soft assignment of each TF bin to the anchors in a subset
-        logits = jnp.einsum("btfe,pce->bptfc", embed, anchor_sets,
-                            preferred_element_type=embed.dtype)
+        logits = ee("btfe,pce->bptfc", embed, anchor_sets)
         assignment = jax.nn.softmax(logits, axis=-1)
 
         # eq (7): assignment-weighted mean embedding per anchor
-        attractor_sets = jnp.einsum(
-            "bptfc,btfe->bpce", assignment, embed,
-            preferred_element_type=embed.dtype)
+        attractor_sets = ee("bptfc,btfe->bpce", assignment, embed)
         attractor_sets = attractor_sets / jnp.sum(
-            assignment, axis=(2, 3))[..., None]
+            assignment.astype(jnp.float32), axis=(2, 3)
+        )[..., None].astype(embed.dtype)
 
         # eq (8): in-set max pairwise similarity
-        sim = jnp.einsum("bpce,bpde->bpcd", attractor_sets, attractor_sets,
-                         preferred_element_type=embed.dtype)
+        sim = ee("bpce,bpde->bpcd", attractor_sets, attractor_sets)
         in_set_sim = jnp.max(sim, axis=(-1, -2))
 
         # eq (9): pick the least-similar subset

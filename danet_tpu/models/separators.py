@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from danet_tpu.hparams import hparams
 from danet_tpu.models.base import Separator
+from danet_tpu.ops.nn import ee
 
 
 class _DotSeparator(Separator):
@@ -23,10 +24,10 @@ class _DotSeparator(Separator):
         hp = self.hp
         b, t, f = mix_pwr.shape
         # [B, TF, E] @ [B, E, N] -> [B, TF, N]
-        logits = jnp.einsum("bke,bne->bkn", embed_flat, attractors,
-                            preferred_element_type=embed_flat.dtype)
+        logits = ee("bke,bne->bkn", embed_flat,
+                    attractors.astype(embed_flat.dtype))
         logits = logits.reshape(b, t, f, -1)
-        masks = self._masks(logits)
+        masks = self._masks(logits).astype(mix_pwr.dtype)
         sep = mix_pwr[..., None] * masks          # [B, T, F, N]
         return jnp.transpose(sep, (0, 3, 1, 2))   # [B, N, T, F]
 

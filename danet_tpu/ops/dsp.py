@@ -99,6 +99,57 @@ def stft(x: jnp.ndarray, fft_size: int, stride: int,
     return jax.lax.complex(re, im)
 
 
+def stft_ri(x: jnp.ndarray, fft_size: int, stride: int,
+            window: np.ndarray) -> jnp.ndarray:
+    """STFT -> ri layout [..., T, F, 2]; no complex dtype anywhere (the
+    device-side representation — complex cannot cross the TPU boundary)."""
+    dtype = str(window.dtype)
+    frames = frame_signal(x.astype(dtype), fft_size, stride)
+    cos_b, sin_b = _dft_basis(fft_size, dtype)
+    scale = 1.0 / float(np.sum(window))
+    wcos = jnp.asarray(window[:, None] * cos_b * scale)
+    wsin = jnp.asarray(window[:, None] * sin_b * scale)
+    re = jnp.matmul(frames, wcos, preferred_element_type=frames.dtype)
+    im = jnp.matmul(frames, wsin, preferred_element_type=frames.dtype)
+    return jnp.stack([re, im], axis=-1)
+
+
+def istft_ri(spectra_ri: jnp.ndarray, stride: int, window: np.ndarray,
+             length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT from ri layout [..., T, F, 2] (see istft for
+    semantics); no complex dtype anywhere."""
+    fft_size = (spectra_ri.shape[-2] - 1) * 2
+    n_frames_total = spectra_ri.shape[-3]
+    dtype = str(window.dtype)
+    out_len = n_frames_total * stride
+    n_used = max(0, -(-(out_len - fft_size) // stride))
+
+    cos_b, sin_b = _idft_basis(fft_size, dtype)
+    re = spectra_ri[..., :n_used, :, 0].astype(dtype)
+    im = spectra_ri[..., :n_used, :, 1].astype(dtype)
+    frames = (jnp.matmul(re, jnp.asarray(cos_b),
+                         preferred_element_type=re.dtype)
+              + jnp.matmul(im, jnp.asarray(sin_b),
+                           preferred_element_type=im.dtype))
+    frames = frames * jnp.asarray(window)
+
+    idx = (np.arange(n_used)[:, None] * stride
+           + np.arange(fft_size)[None, :])
+    out = jnp.zeros(spectra_ri.shape[:-3] + (out_len,), dtype=frames.dtype)
+    out = out.at[..., idx.reshape(-1)].add(
+        frames.reshape(frames.shape[:-2] + (-1,)))
+
+    wsum = np.zeros(out_len, dtype=np.float64)
+    w2 = np.asarray(window, dtype=np.float64) ** 2
+    for i in range(n_used):
+        wsum[i * stride:i * stride + fft_size] += w2
+    denom = np.where(wsum != 0, wsum, 1.0).astype(dtype)
+    out = out / jnp.asarray(denom)
+    if length is not None:
+        out = out[..., :length]
+    return out
+
+
 def stft_mag_logmag(x: jnp.ndarray, fft_size: int, stride: int,
                     window: np.ndarray):
     """Fused STFT -> (|Z|, log1p|Z|) front-end; all-real math, fully fusable.

@@ -149,3 +149,27 @@ def combinations_gather(data: jnp.ndarray, subset_size: int) -> jnp.ndarray:
         list(itertools.combinations(range(total), subset_size)),
         dtype=np.int32)
     return data[jnp.asarray(combs)]
+
+
+def batch_cross_snr(clear_signal: jnp.ndarray, noisy_signal: jnp.ndarray,
+                    eps: float = 1e-7,
+                    complex_ri: bool = False) -> jnp.ndarray:
+    """Pairwise SNR matrix [B, m, n] between per-source stacks
+    (reference ops.py:225-258)."""
+    xs = jnp.expand_dims(clear_signal, 2)   # [B, m, 1, ...]
+    ys = jnp.expand_dims(noisy_signal, 1)   # [B, 1, n, ...]
+    noise = xs - ys
+    if complex_ri:
+        reduce_axes = tuple(range(3, xs.ndim - 1))
+        sig_pwr = jnp.mean(jnp.sum(jnp.square(xs), axis=-1),
+                           axis=reduce_axes)
+        noise_pwr = jnp.mean(jnp.sum(jnp.square(noise), axis=-1),
+                             axis=reduce_axes)
+    else:
+        if jnp.iscomplexobj(xs):
+            xs, noise = jnp.abs(xs), jnp.abs(noise)
+        reduce_axes = tuple(range(3, xs.ndim))
+        sig_pwr = jnp.mean(jnp.square(xs), axis=reduce_axes)
+        noise_pwr = jnp.mean(jnp.square(noise), axis=reduce_axes)
+    coeff = 4.342944819
+    return coeff * (jnp.log(sig_pwr + eps) - jnp.log(noise_pwr + eps))

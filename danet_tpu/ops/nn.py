@@ -19,6 +19,22 @@ def uniform_init(rng, shape, scale, dtype=jnp.float32):
         rng, shape, dtype=dtype, minval=-scale, maxval=scale)
 
 
+def mm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Matmul with f32 accumulation, output in the operands' dtype.
+
+    With bf16 operands this engages the MXU's native bf16 path while
+    accumulating in f32 (mixed-precision training standard); with f32 it is
+    a plain f32 matmul."""
+    return jnp.matmul(
+        a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def ee(subscripts: str, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Einsum with f32 accumulation, output in the operands' dtype."""
+    return jnp.einsum(
+        subscripts, a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+
 def linear_init(rng, idim: int, odim: int, w_scale: Optional[float] = None,
                 bias: bool = True, b_value=0.0, dtype=jnp.float32):
     """Params for y = x @ W + b (reference ops.py:37-90 lyr_linear).
@@ -38,9 +54,9 @@ def linear_init(rng, idim: int, odim: int, w_scale: Optional[float] = None,
 
 def linear_apply(params, x: jnp.ndarray) -> jnp.ndarray:
     """y = x @ W (+ b) on the last axis, any leading rank."""
-    y = jnp.matmul(x, params["w"], preferred_element_type=x.dtype)
+    y = mm(x, params["w"].astype(x.dtype))
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(x.dtype)
     return y
 
 

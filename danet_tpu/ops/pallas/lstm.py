@@ -1,0 +1,231 @@
+"""Pallas TPU kernel: full LSTM time loop with VMEM-resident weights.
+
+The XLA `lax.scan` path (ops/rnn.py) re-streams the recurrent weight matrix
+Wh (H x 4H) from HBM on every timestep and pays while-loop overhead per
+step; for DaNet's BiLSTM stack that is 8 scans x T steps of tiny
+[B,H]x[H,4H] matmuls — latency-bound, not FLOP-bound (measured: bf16 only
+buys 18% on the XLA path).  This kernel runs the *entire* T loop inside one
+`pallas_call` with a sequential grid over T: Wh is loaded into VMEM once
+(constant index_map -> no per-step DMA), the cell/hidden state lives in
+VMEM scratch across grid steps, and each step is one MXU dot plus fused
+VPU gate math.
+
+Training support via `jax.custom_vjp`: the forward kernel stores
+post-activation gates and cell states; the backward kernel replays the
+loop in reverse (reversed index maps) accumulating dWh in a VMEM f32
+scratch and emitting per-step dXp, with the same weight-residency
+property.
+
+Cell semantics match ops/rnn.py exactly ([cand|i|f|o] gate layout,
+optional no-tanh candidate for reference parity — ops.py:110-148).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(xp_ref, wh_ref, c0_ref, h0_ref,
+                hs_ref, cs_ref, acts_ref,
+                c_scr, h_scr, *, tanh_cand: bool):
+    t = pl.program_id(0)
+    hdim = c_scr.shape[-1]
+    dt = xp_ref.dtype
+
+    @pl.when(t == 0)
+    def _():
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+        h_scr[:] = h0_ref[:]
+
+    # gate math in f32 regardless of the storage dtype (bf16-safe; the MXU
+    # dot accumulates f32 natively)
+    act = (xp_ref[0].astype(jnp.float32)
+           + jnp.dot(h_scr[:], wh_ref[:],
+                     preferred_element_type=jnp.float32))
+    cand = act[:, :hdim]
+    if tanh_cand:
+        cand = jnp.tanh(cand)
+    i = jax.nn.sigmoid(act[:, hdim:2 * hdim])
+    f = jax.nn.sigmoid(act[:, 2 * hdim:3 * hdim])
+    o = jax.nn.sigmoid(act[:, 3 * hdim:])
+    c_new = i * cand + f * c_scr[:]
+    h_new = o * jnp.tanh(c_new)
+
+    acts_ref[0] = jnp.concatenate([cand, i, f, o], axis=-1).astype(dt)
+    cs_ref[0] = c_new.astype(dt)
+    hs_ref[0] = h_new.astype(dt)
+    c_scr[:] = c_new
+    h_scr[:] = h_new.astype(dt)
+
+
+def _bwd_kernel(d_hs_ref, acts_ref, cs_ref, cprev_ref, hprev_ref, wh_ref,
+                dxp_ref, dwh_ref, dc0_ref, dh0_ref,
+                dc_scr, dh_scr, dwh_scr, *, tanh_cand: bool):
+    t = pl.program_id(0)          # t counts 0..T-1; index maps reverse it
+    n_t = pl.num_programs(0)
+    hdim = dc_scr.shape[-1]
+    dt = d_hs_ref.dtype
+
+    @pl.when(t == 0)
+    def _():
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+
+    # all gate math in f32 (bf16-safe; see _fwd_kernel)
+    acts = acts_ref[0].astype(jnp.float32)
+    cand, i = acts[:, :hdim], acts[:, hdim:2 * hdim]
+    f, o = acts[:, 2 * hdim:3 * hdim], acts[:, 3 * hdim:]
+    c_t = cs_ref[0].astype(jnp.float32)
+    c_prev = cprev_ref[0].astype(jnp.float32)
+
+    dh_total = d_hs_ref[0].astype(jnp.float32) + dh_scr[:]
+    tanh_c = jnp.tanh(c_t)
+    do_pre = dh_total * tanh_c * o * (1.0 - o)
+    dc = dc_scr[:] + dh_total * o * (1.0 - tanh_c * tanh_c)
+    dcand = dc * i
+    if tanh_cand:
+        dcand_pre = dcand * (1.0 - cand * cand)
+    else:
+        dcand_pre = dcand
+    di_pre = dc * cand * i * (1.0 - i)
+    df_pre = dc * c_prev * f * (1.0 - f)
+    dact = jnp.concatenate([dcand_pre, di_pre, df_pre, do_pre], axis=-1)
+    dact_dt = dact.astype(dt)
+
+    dxp_ref[0] = dact_dt
+    dc_scr[:] = dc * f
+    # dh_{t-1} = dact @ Wh^T
+    dh_scr[:] = jax.lax.dot_general(
+        dact_dt, wh_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dWh += h_{t-1}^T @ dact  (f32 accumulator in VMEM)
+    dwh_scr[:] += jax.lax.dot_general(
+        hprev_ref[0], dact_dt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(t == n_t - 1)
+    def _():
+        dwh_ref[:] = dwh_scr[:].astype(dwh_ref.dtype)
+        dc0_ref[:] = dc_scr[:].astype(dt)
+        dh0_ref[:] = dh_scr[:].astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("tanh_cand", "interpret"))
+def _lstm_fwd_call(xp, wh, c0, h0, tanh_cand: bool, interpret: bool):
+    t, b, g4 = xp.shape
+    h = g4 // 4
+    dt = xp.dtype
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, tanh_cand=tanh_cand),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, g4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, g4), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, h), dt),    # hs
+            jax.ShapeDtypeStruct((t, b, h), dt),    # cs
+            jax.ShapeDtypeStruct((t, b, g4), dt),   # post-activation gates
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),  # cell state carried in f32
+            pltpu.VMEM((b, h), dt),
+        ],
+        interpret=interpret,
+    )(xp, wh, c0, h0)
+
+
+@functools.partial(jax.jit, static_argnames=("tanh_cand", "interpret"))
+def _lstm_bwd_call(d_hs, acts, cs, c_prev, h_prev, wh,
+                   tanh_cand: bool, interpret: bool):
+    t, b, g4 = acts.shape
+    h = g4 // 4
+    dt = d_hs.dtype
+    rev = lambda i: (t - 1 - i, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, tanh_cand=tanh_cand),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, g4), dt),          # dxp
+            jax.ShapeDtypeStruct((h, g4), jnp.float32),    # dwh
+            jax.ShapeDtypeStruct((b, h), dt),              # dc0
+            jax.ShapeDtypeStruct((b, h), dt),              # dh0
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((h, g4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(d_hs, acts, cs, c_prev, h_prev, wh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lstm_scan_pallas(xp, wh, c0, h0, tanh_cand: bool = True,
+                     interpret: bool = False):
+    """LSTM over precomputed input projections.
+
+    Args:
+        xp: [T, B, 4H] input projections + bias (cand|i|f|o layout)
+        wh: [H, 4H] recurrent weights
+        c0, h0: [B, H] initial state
+    Returns:
+        hs: [T, B, H] hidden sequence
+    """
+    hs, _, _ = _lstm_fwd_call(xp, wh, c0, h0, tanh_cand, interpret)
+    return hs
+
+
+def _vjp_fwd(xp, wh, c0, h0, tanh_cand, interpret):
+    hs, cs, acts = _lstm_fwd_call(xp, wh, c0, h0, tanh_cand, interpret)
+    return hs, (xp, wh, c0, h0, hs, cs, acts)
+
+
+def _vjp_bwd(tanh_cand, interpret, res, d_hs):
+    xp, wh, c0, h0, hs, cs, acts = res
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
+    h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
+    dxp, dwh, dc0, dh0 = _lstm_bwd_call(
+        d_hs, acts, cs, c_prev, h_prev, wh, tanh_cand, interpret)
+    return dxp, dwh.astype(wh.dtype), dc0, dh0
+
+
+lstm_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from danet_tpu.ops.nn import uniform_init, dropout
+from danet_tpu.ops.nn import dropout, ee, uniform_init
 
 
 def lstm_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
@@ -54,22 +54,47 @@ def lstm_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
     }
 
 
+def lstm_backend_default() -> str:
+    """'pallas' on TPU backends, 'xla' on CPU/GPU.
+
+    The Pallas kernel (ops/pallas/lstm.py) keeps Wh VMEM-resident across
+    the whole time loop; the XLA scan is the portable fallback (and what
+    CPU tests exercise).
+    """
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
+
+
 def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
-               candidate_activation: str):
+               candidate_activation: str, backend: str = "auto"):
     """Core scan. x_tm: [T, B, idim] time-major. Returns hidden seq [T,B,h]."""
     hdim = params["wh"].shape[0]
     t, b = x_tm.shape[0], x_tm.shape[1]
+    dt = x_tm.dtype
     # Hoisted input projection: one large MXU GEMM over all timesteps.
-    xp = jnp.einsum("tbi,igh->tbgh", x_tm, params["wx"],
-                    preferred_element_type=x_tm.dtype) + params["b"]
+    xp = ee("tbi,igh->tbgh", x_tm, params["wx"].astype(dt)) \
+        + params["b"].astype(dt)
 
-    wh = params["wh"]
+    if c0 is None:
+        c0 = jnp.zeros((b, hdim), dtype=dt)
+    if h0 is None:
+        h0 = jnp.zeros((b, hdim), dtype=dt)
+
+    if backend == "auto":
+        backend = lstm_backend_default()
+    if backend in ("pallas", "pallas-interpret"):
+        from danet_tpu.ops.pallas.lstm import lstm_scan_pallas
+        return lstm_scan_pallas(
+            xp.reshape(t, b, 4 * hdim),
+            params["wh"].astype(dt).reshape(hdim, 4 * hdim),
+            c0, h0, candidate_activation == "tanh",
+            backend == "pallas-interpret")
+
+    wh = params["wh"].astype(dt)
     g_fn = jnp.tanh if candidate_activation == "tanh" else (lambda z: z)
 
     def step(carry, xp_t):
         c, h = carry
-        act = xp_t + jnp.einsum("bh,hgk->bgk", h, wh,
-                                preferred_element_type=h.dtype)
+        act = xp_t + ee("bh,hgk->bgk", h, wh)
         cand = g_fn(act[:, 0])
         i = jax.nn.sigmoid(act[:, 1])
         f = jax.nn.sigmoid(act[:, 2])
@@ -78,27 +103,25 @@ def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
         h_new = o * jnp.tanh(c_new)
         return (c_new, h_new), h_new
 
-    if c0 is None:
-        c0 = jnp.zeros((b, hdim), dtype=x_tm.dtype)
-    if h0 is None:
-        h0 = jnp.zeros((b, hdim), dtype=x_tm.dtype)
     (_, _), hs = jax.lax.scan(step, (c0, h0), xp)
     return hs
 
 
 def lstm_apply(params, x: jnp.ndarray, candidate_activation: str = "tanh",
-               reverse: bool = False, c0=None, h0=None) -> jnp.ndarray:
+               reverse: bool = False, c0=None, h0=None,
+               backend: str = "auto") -> jnp.ndarray:
     """Run an LSTM over x [B, T, idim] -> [B, T, hdim].
 
     reverse=True runs over time-reversed input and re-reverses the output
     (the reference builds its backward BiLSTM direction the same way,
     modules.py:128-136). Initial state is zero, matching the reference's
     per-batch state reset (main.py:432,538-540).
+    backend: 'auto' | 'xla' | 'pallas' | 'pallas-interpret'.
     """
     x_tm = jnp.swapaxes(x, 0, 1)
     if reverse:
         x_tm = x_tm[::-1]
-    hs = _lstm_scan(params, x_tm, c0, h0, candidate_activation)
+    hs = _lstm_scan(params, x_tm, c0, h0, candidate_activation, backend)
     if reverse:
         hs = hs[::-1]
     return jnp.swapaxes(hs, 0, 1)
@@ -116,14 +139,17 @@ def bilstm_init(rng, idim: int, hdim: int, w_scale=None,
 
 def bilstm_apply(params, x: jnp.ndarray,
                  candidate_activation: str = "tanh",
-                 dropout_rng=None, keep_prob: float = 1.0) -> jnp.ndarray:
+                 dropout_rng=None, keep_prob: float = 1.0,
+                 backend: str = "auto") -> jnp.ndarray:
     """BiLSTM: concat(fwd, bwd-reversed) [B,T,2h], optional dropout.
 
     The two directions' hoisted input GEMMs and scans are independent; XLA
     schedules them concurrently on device.
     """
-    h_f = lstm_apply(params["fwd"], x, candidate_activation)
-    h_b = lstm_apply(params["bwd"], x, candidate_activation, reverse=True)
+    h_f = lstm_apply(params["fwd"], x, candidate_activation,
+                     backend=backend)
+    h_b = lstm_apply(params["bwd"], x, candidate_activation, reverse=True,
+                     backend=backend)
     y = jnp.concatenate([h_f, h_b], axis=-1)
     if dropout_rng is not None and keep_prob < 1.0:
         y = dropout(dropout_rng, y, keep_prob)
@@ -156,21 +182,20 @@ def gru_apply(params, x: jnp.ndarray, c0=None) -> jnp.ndarray:
     candidate tanh from concat(x, c*r); c' = c*u + cand*(1-u).
     """
     hdim = params["wch"].shape[0]
+    dt = x.dtype
     x_tm = jnp.swapaxes(x, 0, 1)
-    gx = jnp.einsum("tbi,igh->tbgh", x_tm, params["wgx"],
-                    preferred_element_type=x_tm.dtype) + params["bg"]
-    cx = jnp.matmul(x_tm, params["wcx"],
-                    preferred_element_type=x_tm.dtype) + params["bc"]
+    gx = ee("tbi,igh->tbgh", x_tm, params["wgx"].astype(dt)) \
+        + params["bg"].astype(dt)
+    cx = ee("tbi,ih->tbh", x_tm, params["wcx"].astype(dt)) \
+        + params["bc"].astype(dt)
+    wgh = params["wgh"].astype(dt)
+    wch = params["wch"].astype(dt)
 
     def step(c, inp):
         gx_t, cx_t = inp
-        gates = jax.nn.sigmoid(
-            gx_t + jnp.einsum("bh,hgk->bgk", c, params["wgh"],
-                              preferred_element_type=c.dtype))
+        gates = jax.nn.sigmoid(gx_t + ee("bh,hgk->bgk", c, wgh))
         r, u = gates[:, 0], gates[:, 1]
-        cand = jnp.tanh(
-            cx_t + jnp.matmul(c * r, params["wch"],
-                              preferred_element_type=c.dtype))
+        cand = jnp.tanh(cx_t + ee("bh,hk->bk", c * r, wch))
         c_new = c * u + cand * (1.0 - u)
         return c_new, c_new
 

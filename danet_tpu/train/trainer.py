@@ -114,9 +114,28 @@ class Trainer:
             m = model.valid_metrics(params, src_ri)
             return {"loss": m["loss"], "SNR": m["SNR"]}
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        if getattr(self.hp, "NAN_CHECKS", False):
+            # checkify-instrumented step: the first NaN/inf inside the
+            # fwd+bwd graph raises with its source location — the in-graph
+            # upgrade of the reference's post-epoch NaN sentinel
+            # (main.py:461-476); costs a few % per step, off by default.
+            from jax.experimental import checkify
+
+            checked = jax.jit(
+                checkify.checkify(train_step, errors=checkify.float_checks),
+                donate_argnums=(0, 1))
+
+            def train_step_checked(params, opt_state, src_ri, rng):
+                err, out = checked(params, opt_state, src_ri, rng)
+                err.throw()  # host-side raise with the NaN's source location
+                return out
+
+            self._train_step = train_step_checked
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._valid_step = jax.jit(valid_step)
         self._separate = jax.jit(model.separate)
+        self._separate_wav = jax.jit(model.separate_wav)
 
     # ------------------------------------------------------------------
     def init_state(self, rng) -> dict:
@@ -167,6 +186,13 @@ class Trainer:
         timer = StepTimer()
         bucket = getattr(hp, "TIME_BUCKET", None)
 
+        # device profiling (absent in the reference — SURVEY.md §5): trace
+        # PROFILE_STEPS steps after warmup into the run dir; view with
+        # TensorBoard/Perfetto.
+        profile_steps = int(getattr(hp, "PROFILE_STEPS", 0) or 0)
+        profile_at = state["step"] + 3 if profile_steps else -1
+        profiling = False
+
         epoch = 0
         while epoch < n_epoch:
             cli_report = OrderedDict()
@@ -178,6 +204,10 @@ class Trainer:
                     max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
                 src_ri = self._put_batch(batch)
                 step_rng = jax.random.fold_in(rng, state["step"])
+                if state["step"] == profile_at and not profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(writer.run_dir, "profile"))
+                    profiling = True
                 timer.start()
                 state["params"], state["opt_state"], metrics = \
                     self._train_step(
@@ -188,6 +218,9 @@ class Trainer:
                 writer.scalars("train", dict(
                     metrics, step_time=step_time), state["step"])
                 state["step"] += 1
+                if profiling and state["step"] >= profile_at + profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
                 sys.stdout.write(":")
                 sys.stdout.flush()
                 _dict_add(cli_report, metrics)

@@ -120,6 +120,29 @@ def run_demo(args):
         audio.save_wavfile(out, s)
         print("Separated source written to %s" % out)
 
+    # color-composite spectrogram plot (reference main.py:697-716)
+    if "DISPLAY" not in os.environ:
+        print("Warning: no display found, not generating plot")
+        return
+    from colorsys import hsv_to_rgb
+    import matplotlib.pyplot as plt
+    colors = np.asarray([
+        hsv_to_rgb(h, 0.95, 0.98)
+        for h in np.arange(hparams.MAX_N_SIGNAL, dtype=np.float32)
+        / hparams.MAX_N_SIGNAL])
+    logmags = np.log1p(np.abs(signals))
+    composite = -np.einsum("nwh,nc->nwhc", logmags, colors)
+    composite /= np.min(composite)
+    n = len(signals)
+    for i in range(n):
+        plt.subplot(1, n + 2, i + 1)
+        plt.imshow(composite[i])
+    plt.subplot(1, n + 2, n + 1)
+    plt.imshow(0.9 * composite.sum(axis=0))
+    plt.subplot(1, n + 2, n + 2)
+    plt.imshow(np.log1p(np.abs(raw_mixture)))
+    plt.show()
+
 
 def run_debug(args):
     """Dump inputs/embeddings/attractors/masks for one test batch to
@@ -189,6 +212,10 @@ def main():
     sys.stdout.write("Building model ... ")
     sys.stdout.flush()
     import jax
+    from danet_tpu.parallel import multihost
+    if multihost.initialize():
+        print("multi-host: process %d/%d"
+              % (jax.process_index(), jax.process_count()))
     g_model = DaNet()
     g_trainer = Trainer(g_model, name=g_args.name)
     g_state = g_trainer.init_state(jax.random.PRNGKey(g_args.seed))

@@ -128,3 +128,24 @@ def test_ri_roundtrip():
     z = (np.random.randn(4, 5) + 1j * np.random.randn(4, 5)).astype(
         np.complex64)
     np.testing.assert_allclose(audio.from_ri(audio.to_ri(z)), z)
+
+
+def test_stft_ri_matches_complex():
+    rng = np.random.RandomState(6)
+    x = rng.randn(2, 3000).astype(np.float32)
+    w = _window()
+    z = np.asarray(dsp.stft(jnp.asarray(x), 256, 64, w))
+    ri = np.asarray(dsp.stft_ri(jnp.asarray(x), 256, 64, w))
+    np.testing.assert_allclose(ri[..., 0], z.real, atol=1e-6)
+    np.testing.assert_allclose(ri[..., 1], z.imag, atol=1e-6)
+
+
+def test_istft_ri_matches_complex():
+    rng = np.random.RandomState(7)
+    x = rng.randn(3500).astype(np.float32)
+    w = _window()
+    z = scipy.signal.stft(x, window=w, nperseg=256, noverlap=192)[2].T
+    y_c = np.asarray(dsp.istft(jnp.asarray(z), 64, w))
+    ri = np.stack([z.real, z.imag], -1).astype(np.float32)
+    y_ri = np.asarray(dsp.istft_ri(jnp.asarray(ri), 64, w))
+    np.testing.assert_allclose(y_ri, y_c, atol=1e-5)

@@ -114,3 +114,17 @@ def test_combinations_gather():
     for i, (a, b) in enumerate(combs):
         np.testing.assert_array_equal(out[i, 0], np.asarray(data[a]))
         np.testing.assert_array_equal(out[i, 1], np.asarray(data[b]))
+
+
+def test_batch_cross_snr_diagonal_matches_batch_snr():
+    rng = np.random.RandomState(6)
+    clear = rng.randn(3, 2, 8, 4).astype(np.float32)
+    noisy = clear + 0.2 * rng.randn(3, 2, 8, 4).astype(np.float32)
+    cross = np.asarray(L.batch_cross_snr(
+        jnp.asarray(clear), jnp.asarray(noisy)))
+    assert cross.shape == (3, 2, 2)
+    # diagonal = per-source SNR computed directly
+    for i in range(2):
+        direct = np.asarray(L.batch_snr(
+            jnp.asarray(clear[:, i]), jnp.asarray(noisy[:, i])))
+        np.testing.assert_allclose(cross[:, i, i], direct, rtol=1e-4)

@@ -162,3 +162,18 @@ def test_danet_three_speakers(fresh_hparams):
     assert np.isfinite(float(loss))
     sep = model.separate(params, jnp.asarray(src.sum(axis=1)))
     assert sep.shape == (B, 3, T, hp.FEATURE_SIZE, 2)
+
+
+def test_separate_wav_end_to_end(fresh_hparams):
+    """Fused wav->separated-wavs inference path compiles and produces
+    sane output shapes/finite values in one jitted program."""
+    hp = fresh_hparams
+    hp.BATCH_SIZE = 2
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    wav = np.random.RandomState(0).randn(2, 4000).astype(np.float32) * 0.1
+    out = np.asarray(jax.jit(model.separate_wav)(params, jnp.asarray(wav)))
+    from danet_tpu.ops.dsp import stft_frame_count
+    t = stft_frame_count(4000, hp.FFT_SIZE, hp.FFT_STRIDE)
+    assert out.shape == (2, hp.MAX_N_SIGNAL, t * hp.FFT_STRIDE)
+    assert np.isfinite(out).all()

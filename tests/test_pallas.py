@@ -1,0 +1,93 @@
+"""Pallas kernel tests (interpret mode on CPU; real-hardware parity is
+exercised by bench/TPU runs — see .claude/skills/verify/SKILL.md)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from danet_tpu.ops import rnn
+from danet_tpu.ops.nn import ee
+from danet_tpu.ops.pallas.lstm import lstm_scan_pallas
+
+
+def _pallas_lstm(p, x, t, b, h, tanh_cand=True):
+    x_tm = jnp.swapaxes(x, 0, 1)
+    xp = (ee("tbi,igh->tbgh", x_tm, p["wx"]) + p["b"]).reshape(t, b, 4 * h)
+    wh = p["wh"].reshape(h, 4 * h)
+    z = jnp.zeros((b, h), x.dtype)
+    hs = lstm_scan_pallas(xp, wh, z, z, tanh_cand, True)  # interpret
+    return jnp.swapaxes(hs, 0, 1)
+
+
+@pytest.mark.parametrize("tanh_cand", [True, False])
+def test_pallas_lstm_forward_matches_xla(fresh_hparams, tanh_cand):
+    T, B, I, H = 10, 4, 6, 8
+    params = rnn.lstm_init(jax.random.PRNGKey(0), I, H,
+                           gate_bias=(0.0, 1.5, -1.0, 1.0))
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, I).astype(
+        np.float32))
+    act = "tanh" if tanh_cand else "linear"
+    ref = rnn.lstm_apply(params, x, act, backend="xla")
+    out = _pallas_lstm(params, x, T, B, H, tanh_cand)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_lstm_gradients_match_xla(fresh_hparams):
+    T, B, I, H = 8, 3, 5, 7
+    params = rnn.lstm_init(jax.random.PRNGKey(1), I, H)
+    x = jnp.asarray(np.random.RandomState(1).randn(B, T, I).astype(
+        np.float32))
+
+    def loss_ref(p):
+        return jnp.sum(rnn.lstm_apply(p, x, "tanh", backend="xla") ** 2)
+
+    def loss_pal(p):
+        return jnp.sum(_pallas_lstm(p, x, T, B, H) ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_pal = jax.grad(loss_pal)(params)
+    for k in ["wx", "wh", "b"]:
+        np.testing.assert_allclose(
+            np.asarray(g_pal[k]), np.asarray(g_ref[k]),
+            atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_backend_via_rnn_api(fresh_hparams):
+    """backend='pallas-interpret' through the public lstm_apply surface."""
+    T, B, I, H = 6, 2, 4, 5
+    params = rnn.lstm_init(jax.random.PRNGKey(2), I, H)
+    x = jnp.asarray(np.random.RandomState(2).randn(B, T, I).astype(
+        np.float32))
+    ref = rnn.lstm_apply(params, x, "tanh", backend="xla")
+    out = rnn.lstm_apply(params, x, "tanh", backend="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # reverse (bwd BiLSTM direction) goes through the same kernel
+    ref_r = rnn.lstm_apply(params, x, "tanh", reverse=True, backend="xla")
+    out_r = rnn.lstm_apply(params, x, "tanh", reverse=True,
+                           backend="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                               atol=1e-6)
+
+
+def test_pallas_stft_interpret_matches_dsp(fresh_hparams, monkeypatch):
+    """Pallas STFT kernel in interpret mode vs the XLA dsp reference."""
+    import danet_tpu.ops.pallas.stft as pstft
+    from danet_tpu.ops import dsp
+
+    orig = pstft.pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pstft.pl, "pallas_call", interp_call)
+    pstft._stft_pallas_padded._clear_cache()
+    hp = fresh_hparams
+    w = hp.FFT_WND_ARRAY
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 12000).astype(np.float32))
+    ref = np.asarray(dsp.stft_ri(x, 256, 64, w))
+    out = np.asarray(pstft.stft_ri_pallas(x, 256, 64, w))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    pstft._stft_pallas_padded._clear_cache()

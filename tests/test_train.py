@@ -104,3 +104,56 @@ def test_prepare_batch_crop_and_bucket(fresh_hparams):
     assert (out[..., 1] == 0).all()  # real input -> zero imag
     out2 = prepare_batch(flat, 3, 2, max_len=None, bucket=None)
     assert out2.shape == (3, 2, 100, hp.FEATURE_SIZE, 2)
+
+
+def test_determinism_same_seed_same_loss(fresh_hparams, tmp_path):
+    """Same seed => identical loss sequence (functional-purity analogue of
+    race detection, SURVEY.md §5)."""
+    hp = _tiny_hp(fresh_hparams)
+    model = DaNet()
+    trainer = Trainer(model, name="det",
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    flat = np.random.RandomState(7).rand(
+        hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 32, hp.FEATURE_SIZE).astype(
+            np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    def run():
+        state = trainer.init_state(jax.random.PRNGKey(5))
+        src = trainer._put_batch(batch)
+        out = []
+        for i in range(3):
+            state["params"], state["opt_state"], m = trainer._train_step(
+                state["params"], state["opt_state"], src,
+                jax.random.PRNGKey(i))
+            out.append(float(m["loss"]))
+        return out
+
+    assert run() == run()
+
+
+def test_nan_checks_mode(fresh_hparams, tmp_path):
+    """NAN_CHECKS=true surfaces a NaN inside the step with checkify."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.NAN_CHECKS = True
+    model = DaNet()
+    trainer = Trainer(model, name="nan",
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    flat = np.random.RandomState(0).rand(
+        hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 32, hp.FEATURE_SIZE).astype(
+            np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+    # clean batch passes
+    state["params"], state["opt_state"], m = trainer._train_step(
+        state["params"], state["opt_state"], trainer._put_batch(batch),
+        jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    # poisoned batch raises
+    bad = batch.copy()
+    bad[0, 0, 0, 0, 0] = np.nan
+    with pytest.raises(Exception):
+        out = trainer._train_step(
+            state["params"], state["opt_state"], trainer._put_batch(bad),
+            jax.random.PRNGKey(2))
+        float(out[2]["loss"])
