@@ -2,3 +2,4 @@ import danet_tpu.data.dataset  # noqa: F401
 import danet_tpu.data.timit  # noqa: F401
 import danet_tpu.data.wsj0  # noqa: F401
 from danet_tpu.data.dataset import Dataset, WhiteNoiseData  # noqa: F401
+import danet_tpu.data.synth  # noqa: F401

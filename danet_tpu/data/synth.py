@@ -1,0 +1,67 @@
+"""Synthetic separable dataset: narrowband multi-tone "speakers".
+
+Not present in the reference (whose only built-in data is unlearnable white
+noise, dataset.py:43-63).  Each utterance is a sum of a few amplitude-
+modulated sinusoids drawn from a random narrow frequency band, so mixtures
+of two utterances are separable by time-frequency masking — an ideal mask
+exists and training demonstrably converges.  Used for convergence smoke
+tests and benchmarks without TIMIT/WSJ0 corpora.
+
+Follows the standard Dataset contract (epoch -> complex spectra batches).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from danet_tpu.data.dataset import Dataset
+from danet_tpu.hparams import hparams
+
+
+@hparams.register_dataset("synth")
+class SyntheticTonesData(Dataset):
+    """Deterministic-seed synthetic tone corpus, STFT'd on the fly."""
+
+    N_BATCHES = 20
+    DURATION_S = 1.5
+    N_TONES = 3
+
+    def __init__(self, seed: int = 0):
+        super().__init__()
+        self.seed = seed
+
+    def install_and_load(self):
+        self.is_loaded = True
+
+    def _utterance(self, rng: np.random.RandomState) -> np.ndarray:
+        sr = hparams.SMPRATE
+        n = int(self.DURATION_S * sr)
+        t = np.arange(n) / sr
+        # random narrow band per "speaker": tones cluster within ~600 Hz
+        lo = rng.uniform(200.0, sr / 2 - 900.0)
+        wav = np.zeros(n, dtype=np.float64)
+        for _ in range(self.N_TONES):
+            freq = rng.uniform(lo, lo + 600.0)
+            phase = rng.uniform(0, 2 * np.pi)
+            # slow random AM envelope
+            env_f = rng.uniform(0.5, 3.0)
+            env = 0.55 + 0.45 * np.sin(
+                2 * np.pi * env_f * t + rng.uniform(0, 2 * np.pi))
+            wav += env * np.sin(2 * np.pi * freq * t + phase)
+        return (wav / self.N_TONES).astype(np.float32)
+
+    def epoch(self, subset, batch_size, shuffle=False):
+        if not self.is_loaded:
+            raise RuntimeError("Dataset is not loaded.")
+        import scipy.signal
+        base = {"train": 0, "valid": 10 ** 6, "test": 2 * 10 ** 6}[subset]
+        for b in range(self.N_BATCHES):
+            rng = np.random.RandomState(self.seed + base + b)
+            spectra = []
+            for _ in range(batch_size):
+                wav = self._utterance(rng)
+                z = scipy.signal.stft(
+                    wav, window=hparams.FFT_WND_ARRAY,
+                    nperseg=hparams.FFT_SIZE,
+                    noverlap=hparams.FFT_SIZE - hparams.FFT_STRIDE)[2]
+                spectra.append(z.astype(hparams.COMPLEXX).T)
+            yield (np.stack(spectra),)

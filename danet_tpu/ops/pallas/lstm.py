@@ -5,16 +5,20 @@ Wh (H x 4H) from HBM on every timestep and pays while-loop overhead per
 step; for DaNet's BiLSTM stack that is 8 scans x T steps of tiny
 [B,H]x[H,4H] matmuls — latency-bound, not FLOP-bound (measured: bf16 only
 buys 18% on the XLA path).  This kernel runs the *entire* T loop inside one
-`pallas_call` with a sequential grid over T: Wh is loaded into VMEM once
-(constant index_map -> no per-step DMA), the cell/hidden state lives in
-VMEM scratch across grid steps, and each step is one MXU dot plus fused
-VPU gate math.
+`pallas_call`: Wh is loaded into VMEM once (constant index_map -> no
+per-step DMA), the cell/hidden state lives in VMEM scratch across grid
+steps, and each grid step processes a *block of UNROLL timesteps* (one
+xp-block DMA in, one hs-block write out, UNROLL MXU dots + fused VPU gate
+math inside) so the per-grid-step pipeline overhead is amortized.
 
 Training support via `jax.custom_vjp`: the forward kernel stores
 post-activation gates and cell states; the backward kernel replays the
-loop in reverse (reversed index maps) accumulating dWh in a VMEM f32
-scratch and emitting per-step dXp, with the same weight-residency
-property.
+loop in reverse (reversed block index maps, reversed inner loop),
+accumulating dWh in a VMEM f32 scratch and emitting per-step dXp, with the
+same weight-residency property.
+
+All gate math runs in f32 regardless of the storage dtype (bf16-safe; the
+MXU accumulates f32 natively); the cell state is carried in f32.
 
 Cell semantics match ops/rnn.py exactly ([cand|i|f|o] gate layout,
 optional no-tanh candidate for reference parity — ops.py:110-148).
@@ -25,95 +29,120 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _fwd_kernel(xp_ref, wh_ref, c0_ref, h0_ref,
-                hs_ref, cs_ref, acts_ref,
-                c_scr, h_scr, *, tanh_cand: bool):
-    t = pl.program_id(0)
-    hdim = c_scr.shape[-1]
-    dt = xp_ref.dtype
+def _pick_unroll(t: int) -> int:
+    """Timesteps per grid step.  Measured on v5e (flagship train step):
+    U=1 5267, U=4 5463, U=8 4597 mixtures/sec — 4 balances grid-overhead
+    amortization against DMA/compute overlap.  DANET_LSTM_UNROLL overrides
+    for experiments."""
+    import os
+    pref = int(os.environ.get("DANET_LSTM_UNROLL", "0") or 0)
+    order = (pref,) if pref else (4, 2)
+    for u in order:
+        if u > 0 and t % u == 0:
+            return u
+    return 1
 
-    @pl.when(t == 0)
-    def _():
-        c_scr[:] = c0_ref[:].astype(jnp.float32)
-        h_scr[:] = h0_ref[:]
 
-    # gate math in f32 regardless of the storage dtype (bf16-safe; the MXU
-    # dot accumulates f32 natively)
-    act = (xp_ref[0].astype(jnp.float32)
-           + jnp.dot(h_scr[:], wh_ref[:],
-                     preferred_element_type=jnp.float32))
+def _gates(act, hdim: int, tanh_cand: bool):
     cand = act[:, :hdim]
     if tanh_cand:
         cand = jnp.tanh(cand)
     i = jax.nn.sigmoid(act[:, hdim:2 * hdim])
     f = jax.nn.sigmoid(act[:, 2 * hdim:3 * hdim])
     o = jax.nn.sigmoid(act[:, 3 * hdim:])
-    c_new = i * cand + f * c_scr[:]
-    h_new = o * jnp.tanh(c_new)
+    return cand, i, f, o
 
-    acts_ref[0] = jnp.concatenate([cand, i, f, o], axis=-1).astype(dt)
-    cs_ref[0] = c_new.astype(dt)
-    hs_ref[0] = h_new.astype(dt)
-    c_scr[:] = c_new
-    h_scr[:] = h_new.astype(dt)
+
+def _fwd_kernel(xp_ref, wh_ref, c0_ref, h0_ref,
+                hs_ref, cs_ref, acts_ref,
+                c_scr, h_scr, *, tanh_cand: bool, unroll: int):
+    blk = pl.program_id(0)
+    hdim = c_scr.shape[-1]
+    dt = xp_ref.dtype
+
+    @pl.when(blk == 0)
+    def _():
+        c_scr[:] = c0_ref[:].astype(jnp.float32)
+        h_scr[:] = h0_ref[:]
+
+    c = c_scr[:]
+    h = h_scr[:]
+    for u in range(unroll):
+        act = (xp_ref[u].astype(jnp.float32)
+               + jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32))
+        cand, i, f, o = _gates(act, hdim, tanh_cand)
+        c = i * cand + f * c
+        h_f32 = o * jnp.tanh(c)
+        h = h_f32.astype(dt)
+        acts_ref[u] = jnp.concatenate([cand, i, f, o], axis=-1).astype(dt)
+        cs_ref[u] = c.astype(dt)
+        hs_ref[u] = h
+    c_scr[:] = c
+    h_scr[:] = h
 
 
 def _bwd_kernel(d_hs_ref, acts_ref, cs_ref, cprev_ref, hprev_ref, wh_ref,
                 dxp_ref, dwh_ref, dc0_ref, dh0_ref,
-                dc_scr, dh_scr, dwh_scr, *, tanh_cand: bool):
-    t = pl.program_id(0)          # t counts 0..T-1; index maps reverse it
-    n_t = pl.num_programs(0)
+                dc_scr, dh_scr, dwh_scr, *, tanh_cand: bool, unroll: int):
+    blk = pl.program_id(0)        # block index; index maps reverse it
+    n_blk = pl.num_programs(0)
     hdim = dc_scr.shape[-1]
     dt = d_hs_ref.dtype
 
-    @pl.when(t == 0)
+    @pl.when(blk == 0)
     def _():
         dc_scr[:] = jnp.zeros_like(dc_scr)
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
-    # all gate math in f32 (bf16-safe; see _fwd_kernel)
-    acts = acts_ref[0].astype(jnp.float32)
-    cand, i = acts[:, :hdim], acts[:, hdim:2 * hdim]
-    f, o = acts[:, 2 * hdim:3 * hdim], acts[:, 3 * hdim:]
-    c_t = cs_ref[0].astype(jnp.float32)
-    c_prev = cprev_ref[0].astype(jnp.float32)
+    dc = dc_scr[:]
+    dh_carry = dh_scr[:]
+    dwh = dwh_scr[:]
+    for u in range(unroll - 1, -1, -1):
+        acts = acts_ref[u].astype(jnp.float32)
+        cand, i = acts[:, :hdim], acts[:, hdim:2 * hdim]
+        f, o = acts[:, 2 * hdim:3 * hdim], acts[:, 3 * hdim:]
+        c_t = cs_ref[u].astype(jnp.float32)
+        c_prev = cprev_ref[u].astype(jnp.float32)
 
-    dh_total = d_hs_ref[0].astype(jnp.float32) + dh_scr[:]
-    tanh_c = jnp.tanh(c_t)
-    do_pre = dh_total * tanh_c * o * (1.0 - o)
-    dc = dc_scr[:] + dh_total * o * (1.0 - tanh_c * tanh_c)
-    dcand = dc * i
-    if tanh_cand:
-        dcand_pre = dcand * (1.0 - cand * cand)
-    else:
-        dcand_pre = dcand
-    di_pre = dc * cand * i * (1.0 - i)
-    df_pre = dc * c_prev * f * (1.0 - f)
-    dact = jnp.concatenate([dcand_pre, di_pre, df_pre, do_pre], axis=-1)
-    dact_dt = dact.astype(dt)
+        dh_total = d_hs_ref[u].astype(jnp.float32) + dh_carry
+        tanh_c = jnp.tanh(c_t)
+        do_pre = dh_total * tanh_c * o * (1.0 - o)
+        dc = dc + dh_total * o * (1.0 - tanh_c * tanh_c)
+        dcand = dc * i
+        if tanh_cand:
+            dcand_pre = dcand * (1.0 - cand * cand)
+        else:
+            dcand_pre = dcand
+        di_pre = dc * cand * i * (1.0 - i)
+        df_pre = dc * c_prev * f * (1.0 - f)
+        dact = jnp.concatenate(
+            [dcand_pre, di_pre, df_pre, do_pre], axis=-1)
+        dact_dt = dact.astype(dt)
 
-    dxp_ref[0] = dact_dt
-    dc_scr[:] = dc * f
-    # dh_{t-1} = dact @ Wh^T
-    dh_scr[:] = jax.lax.dot_general(
-        dact_dt, wh_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    # dWh += h_{t-1}^T @ dact  (f32 accumulator in VMEM)
-    dwh_scr[:] += jax.lax.dot_general(
-        hprev_ref[0], dact_dt, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        dxp_ref[u] = dact_dt
+        dc = dc * f
+        # dh_{t-1} = dact @ Wh^T
+        dh_carry = jax.lax.dot_general(
+            dact_dt, wh_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dWh += h_{t-1}^T @ dact  (f32 accumulator in VMEM)
+        dwh = dwh + jax.lax.dot_general(
+            hprev_ref[u], dact_dt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dc_scr[:] = dc
+    dh_scr[:] = dh_carry
+    dwh_scr[:] = dwh
 
-    @pl.when(t == n_t - 1)
+    @pl.when(blk == n_blk - 1)
     def _():
-        dwh_ref[:] = dwh_scr[:].astype(dwh_ref.dtype)
-        dc0_ref[:] = dc_scr[:].astype(dt)
-        dh0_ref[:] = dh_scr[:].astype(dt)
+        dwh_ref[:] = dwh
+        dc0_ref[:] = dc.astype(dt)
+        dh0_ref[:] = dh_carry.astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("tanh_cand", "interpret"))
@@ -121,11 +150,12 @@ def _lstm_fwd_call(xp, wh, c0, h0, tanh_cand: bool, interpret: bool):
     t, b, g4 = xp.shape
     h = g4 // 4
     dt = xp.dtype
+    u = _pick_unroll(t)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tanh_cand=tanh_cand),
-        grid=(t,),
+        functools.partial(_fwd_kernel, tanh_cand=tanh_cand, unroll=u),
+        grid=(t // u,),
         in_specs=[
-            pl.BlockSpec((1, b, g4), lambda i: (i, 0, 0),
+            pl.BlockSpec((u, b, g4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -135,11 +165,11 @@ def _lstm_fwd_call(xp, wh, c0, h0, tanh_cand: bool, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+            pl.BlockSpec((u, b, h), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+            pl.BlockSpec((u, b, h), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, g4), lambda i: (i, 0, 0),
+            pl.BlockSpec((u, b, g4), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -161,21 +191,23 @@ def _lstm_bwd_call(d_hs, acts, cs, c_prev, h_prev, wh,
     t, b, g4 = acts.shape
     h = g4 // 4
     dt = d_hs.dtype
-    rev = lambda i: (t - 1 - i, 0, 0)
+    u = _pick_unroll(t)
+    n_blk = t // u
+    rev = lambda i: (n_blk - 1 - i, 0, 0)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, tanh_cand=tanh_cand),
-        grid=(t,),
+        functools.partial(_bwd_kernel, tanh_cand=tanh_cand, unroll=u),
+        grid=(n_blk,),
         in_specs=[
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, g4), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, g4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, b, g4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, h), lambda i: (0, 0),

@@ -56,6 +56,37 @@ def _dict_format(di):
     return " ".join("%s=%s" % (k, v) for k, v in di.items())
 
 
+def prefetch_to_device(batch_iter, put_fn, depth: int = 2):
+    """Background-thread prefetch: host batch prep + device transfer overlap
+    with device compute (the reference's feed_dict copy is fully
+    synchronous, main.py:430-431).  Yields device arrays."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in batch_iter:
+                q.put(put_fn(item))
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def prepare_batch(flat_spectra: np.ndarray, batch_size: int, n_signal: int,
                   max_len: Optional[int] = None,
                   bucket: Optional[int] = None,
@@ -183,7 +214,6 @@ class Trainer:
         best_loss_time = 0
         self.set_learn_rate(state, hp.LR)
         print("Set learning rate to %f" % hp.LR)
-        timer = StepTimer()
         bucket = getattr(hp, "TIME_BUCKET", None)
 
         # device profiling (absent in the reference — SURVEY.md §5): trace
@@ -193,16 +223,36 @@ class Trainer:
         profile_at = state["step"] + 3 if profile_steps else -1
         profiling = False
 
+        # metrics fetched from device every METRICS_EVERY steps: a per-step
+        # scalar transfer would serialize the pipeline (the reference's
+        # sess.run is synchronous anyway; >1 trades logging granularity for
+        # full async dispatch + prefetch overlap)
+        metrics_every = int(getattr(hp, "METRICS_EVERY", 1) or 1)
+
+        def device_batches():
+            for data_pt in dataset.epoch(
+                    "train", hp.BATCH_SIZE * hp.MAX_N_SIGNAL, shuffle=True):
+                yield prepare_batch(
+                    data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
+                    max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
+
         epoch = 0
         while epoch < n_epoch:
             cli_report = OrderedDict()
             i_batch = -1
-            for i_batch, data_pt in enumerate(dataset.epoch(
-                    "train", hp.BATCH_SIZE * hp.MAX_N_SIGNAL, shuffle=True)):
-                batch = prepare_batch(
-                    data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
-                    max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
-                src_ri = self._put_batch(batch)
+            pending = []
+
+            def flush_pending():
+                for step_idx, m, st in pending:
+                    m = {k: float(v) for k, v in m.items()}
+                    m["LR"] = self.get_learn_rate(state)
+                    writer.scalars("train", dict(m, step_time=st), step_idx)
+                    _dict_add(cli_report, m)
+                pending.clear()
+
+            timer = StepTimer()
+            for i_batch, src_ri in enumerate(prefetch_to_device(
+                    device_batches(), self._put_batch)):
                 step_rng = jax.random.fold_in(rng, state["step"])
                 if state["step"] == profile_at and not profiling:
                     jax.profiler.start_trace(
@@ -212,18 +262,16 @@ class Trainer:
                 state["params"], state["opt_state"], metrics = \
                     self._train_step(
                         state["params"], state["opt_state"], src_ri, step_rng)
-                metrics = {k: float(v) for k, v in metrics.items()}
-                step_time = timer.stop()
-                metrics["LR"] = self.get_learn_rate(state)
-                writer.scalars("train", dict(
-                    metrics, step_time=step_time), state["step"])
+                pending.append((state["step"], metrics, timer.stop()))
+                if len(pending) >= metrics_every:
+                    flush_pending()
                 state["step"] += 1
                 if profiling and state["step"] >= profile_at + profile_steps:
                     jax.profiler.stop_trace()
                     profiling = False
                 sys.stdout.write(":")
                 sys.stdout.flush()
-                _dict_add(cli_report, metrics)
+            flush_pending()
             _dict_mul(cli_report, 1.0 / (i_batch + 1))
 
             # LR decay policy (reference main.py:439-459)

@@ -108,3 +108,26 @@ def test_wsj0_epoch(fresh_hparams, tmp_path):
     # every batch is full even for non-divisible subsets
     vbatches = list(ds.epoch("valid", 4))
     assert all(b[0].shape[0] == 4 for b in vbatches)
+
+
+def test_synth_dataset_learnable_structure(fresh_hparams):
+    """Synthetic tone utterances are narrowband (separable by masking)."""
+    from danet_tpu.data.synth import SyntheticTonesData
+    hp = fresh_hparams
+    ds = SyntheticTonesData()
+    ds.install_and_load()
+    (batch,) = next(iter(ds.epoch("train", 4)))
+    assert batch.dtype == np.complex64
+    assert batch.shape[0] == 4 and batch.shape[2] == hp.FEATURE_SIZE
+    # each utterance concentrates energy in a narrow band: top bins hold
+    # most of the power
+    for u in range(4):
+        pwr = np.abs(batch[u]).sum(axis=0)
+        top = np.sort(pwr)[::-1]
+        assert top[:20].sum() > 0.8 * pwr.sum()
+    # deterministic by seed
+    (batch2,) = next(iter(ds.epoch("train", 4)))
+    np.testing.assert_array_equal(batch, batch2)
+    # subsets draw from disjoint seed ranges
+    (vbatch,) = next(iter(ds.epoch("valid", 4)))
+    assert not np.array_equal(batch, vbatch)
