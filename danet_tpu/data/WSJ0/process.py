@@ -49,6 +49,20 @@ MAX_ERRORS = 100
 assert FFT_SIZE % 4 == 0
 
 
+def _resample(rate: int, data: np.ndarray, smprate: int) -> np.ndarray:
+    """Integer-factor downsample via reshape+mean, else scipy resample
+    (reference WSJ0/process.py:50-64)."""
+    if rate == smprate:
+        return data.astype(FLOATX)
+    if (rate % smprate) == 0:
+        factor = rate // smprate
+        data = np.pad(data, [(0, (-len(data)) % factor)], mode="constant")
+        return data.reshape(len(data) // factor, factor).astype(
+            FLOATX).mean(axis=1)
+    newlen = int(ceil(len(data) * (smprate / rate)))
+    return scipy.signal.resample(data, newlen).astype(FLOATX)
+
+
 def load_sphere(fname: str, smprate: int = 16000) -> np.ndarray:
     """Decode a NIST SPHERE file to float samples at `smprate`.
 
@@ -62,15 +76,30 @@ def load_sphere(fname: str, smprate: int = 16000) -> np.ndarray:
         if os.system("./sph2pipe -f rif %s speech.wav" % fname):
             raise RuntimeError("File is corrupt")
         rate, data = scipy.io.wavfile.read("speech.wav")
-    if rate == smprate:
-        return data.astype(FLOATX)
-    if (rate % smprate) == 0:
-        factor = rate // smprate
-        data = np.pad(data, [(0, (-len(data)) % factor)], mode="constant")
-        return data.reshape(len(data) // factor, factor).astype(
-            FLOATX).mean(axis=1)
-    newlen = int(ceil(len(data) * (smprate / rate)))
-    return scipy.signal.resample(data, newlen).astype(FLOATX)
+    return _resample(rate, data, smprate)
+
+
+def load_sphere_chunk(fnames, smprate: int = 16000, n_threads: int = 8):
+    """Decode a list of SPHERE files with the native C++ thread pool;
+    falls back to sequential load_sphere.  Yields ndarray-or-Exception
+    per file."""
+    try:
+        from danet_tpu.native.sphere import read_sphere_batch
+        results = read_sphere_batch(list(fnames), n_threads=n_threads)
+    except Exception:
+        results = None
+    if results is None:
+        for f in fnames:
+            try:
+                yield load_sphere(f, smprate)
+            except Exception as e:
+                yield e
+        return
+    for res in results:
+        if isinstance(res, Exception):
+            yield res
+        else:
+            yield _resample(res[0], res[1], smprate)
 
 
 def main():
@@ -104,25 +133,27 @@ def main():
             sys.stdout.flush()
             start = row
             err_cnt = 0
-            for fname in files:
-                try:
-                    wav = load_sphere(fname, SMPRATE)
-                except Exception:
-                    err_cnt += 1
-                    if err_cnt > MAX_ERRORS:
-                        sys.stderr.write(
-                            "Too many file reading failures, abort."
-                            " Raising latest exception:\n")
-                        raise
-                    continue
-                spectra = scipy.signal.stft(
-                    wav.astype(FLOATX), window=FFT_WND, nperseg=FFT_SIZE,
-                    noverlap=(FFT_SIZE * 3) // 4)[2].T.astype(COMPLEXX)
-                feats[row] = spectra.flatten()
-                shapes[row] = (len(spectra), 1 + FFT_SIZE // 2)
-                row += 1
-                sys.stdout.write(".")
-                sys.stdout.flush()
+            CHUNK = 64  # native thread-pool batch decode granularity
+            for c0 in range(0, len(files), CHUNK):
+                chunk = files[c0:c0 + CHUNK]
+                for wav in load_sphere_chunk(chunk, SMPRATE):
+                    if isinstance(wav, Exception):
+                        err_cnt += 1
+                        if err_cnt > MAX_ERRORS:
+                            sys.stderr.write(
+                                "Too many file reading failures, abort."
+                                " Raising latest exception:\n")
+                            raise wav
+                        continue
+                    spectra = scipy.signal.stft(
+                        wav.astype(FLOATX), window=FFT_WND,
+                        nperseg=FFT_SIZE,
+                        noverlap=(FFT_SIZE * 3) // 4)[2].T.astype(COMPLEXX)
+                    feats[row] = spectra.flatten()
+                    shapes[row] = (len(spectra), 1 + FFT_SIZE // 2)
+                    row += 1
+                    sys.stdout.write(".")
+                    sys.stdout.flush()
             split_rows.append((name.encode(), b"features", start, row))
             sys.stdout.write(" done (%d ok, %d failed)\n"
                              % (row - start, err_cnt))

@@ -34,7 +34,10 @@ class Wsj0Dataset(Dataset):
 
     def __del__(self):
         if getattr(self, "is_loaded", False):
-            self.h5file.close()
+            try:
+                self.h5file.close()
+            except Exception:
+                pass  # interpreter teardown: h5py internals may be gone
 
     def install_and_load(self):
         if h5py is None:

@@ -147,7 +147,15 @@ class DaNet:
         sep_ri = sep_pwr_pit[..., None] * phase_unit[:, None]
         snr = jnp.mean(loss_ops.batch_snr(
             src_ri, sep_ri, eps=hp.EPS, complex_ri=True))
-        return {"loss": loss, "SNR": snr, "separated_ri": sep_ri}
+        out = {"loss": loss, "SNR": snr, "separated_ri": sep_ri}
+        if getattr(hp, "EVAL_SI_SNR", False):
+            # waveform-domain SI-SNR via on-device iSTFT (modern WSJ0-2mix
+            # eval metric; the reference reports only spectral SNR)
+            from danet_tpu.ops import dsp
+            wav_src = dsp.istft_ri(src_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
+            wav_sep = dsp.istft_ri(sep_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
+            out["SI_SNR"] = jnp.mean(loss_ops.si_snr(wav_src, wav_sep))
+        return out
 
     # ------------------------------------------------------------------
     def separate(self, params, mix_ri: jnp.ndarray) -> jnp.ndarray:

@@ -41,6 +41,15 @@ def _lib():
             ]
             lib.sphere_read.restype = ctypes.c_int
             lib.sphere_free.argtypes = [ctypes.POINTER(ctypes.c_int16)]
+            lib.sphere_read_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+                ctypes.c_char_p, ctypes.c_int,
+            ]
+            lib.sphere_read_batch.restype = ctypes.c_int
             _LIB = lib
     return _LIB
 
@@ -70,3 +79,43 @@ def read_sphere(path: str):
     if chans.value > 1:
         arr = arr.reshape(n.value, chans.value)
     return rate.value, arr
+
+
+def read_sphere_batch(paths, n_threads: int = 8):
+    """Thread-pooled batch decode (C++ worker pool, no GIL contention).
+
+    Returns a list parallel to `paths`: (rate, int16 ndarray) per success,
+    or an IOError instance per failed file.
+    """
+    lib = _lib()
+    n = len(paths)
+    if n == 0:
+        return []
+    errlen = 256
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rates = (ctypes.c_int32 * n)()
+    chans = (ctypes.c_int32 * n)()
+    counts = (ctypes.c_int64 * n)()
+    bufs = (ctypes.POINTER(ctypes.c_int16) * n)()
+    errs = ctypes.create_string_buffer(n * errlen)
+    lib.sphere_read_batch(
+        c_paths, n, n_threads,
+        ctypes.cast(rates, ctypes.POINTER(ctypes.c_int32)),
+        ctypes.cast(chans, ctypes.POINTER(ctypes.c_int32)),
+        ctypes.cast(counts, ctypes.POINTER(ctypes.c_int64)),
+        ctypes.cast(bufs, ctypes.POINTER(ctypes.POINTER(ctypes.c_int16))),
+        errs, errlen)
+    out = []
+    for i in range(n):
+        if not bufs[i]:
+            msg = errs.raw[i * errlen:(i + 1) * errlen].split(b"\0")[0]
+            out.append(IOError("sphere_read(%s): %s"
+                               % (paths[i], msg.decode())))
+            continue
+        total = counts[i] * chans[i]
+        arr = np.ctypeslib.as_array(bufs[i], shape=(total,)).copy()
+        lib.sphere_free(bufs[i])
+        if chans[i] > 1:
+            arr = arr.reshape(counts[i], chans[i])
+        out.append((rates[i], arr))
+    return out

@@ -16,11 +16,13 @@
 //
 // Build: `make` in this directory -> libsphere.so
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -469,5 +471,40 @@ int sphere_read(const char* path, int32_t* sample_rate, int32_t* channels,
 }
 
 void sphere_free(int16_t* p) { free(p); }
+
+// Thread-pooled batch decode: decodes n files concurrently (atomic work
+// index over a fixed thread count).  Per-file outputs/err strings; returns
+// the number of failures.  Used by the WSJ0 offline preprocessing pipeline
+// (danet_tpu/data/WSJ0/process.py) where thousands of shorten-compressed
+// .wv1 files dominate wall-clock.
+int sphere_read_batch(const char** paths, int n, int n_threads,
+                      int32_t* rates, int32_t* chans, int64_t* counts,
+                      int16_t** buffers, char* errs, int errlen_each) {
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+
+  auto run = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      char* err = errs + (size_t)i * errlen_each;
+      err[0] = '\0';
+      int rc = sphere_read(paths[i], &rates[i], &chans[i], &counts[i],
+                           &buffers[i], err, errlen_each);
+      if (rc != 0) {
+        buffers[i] = nullptr;
+        failures.fetch_add(1);
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (int t = 0; t < n_threads; t++) pool.emplace_back(run);
+  for (auto& t : pool) t.join();
+  return failures.load();
+}
 
 }  // extern "C"

@@ -57,9 +57,11 @@ def _dict_format(di):
 
 
 def prefetch_to_device(batch_iter, put_fn, depth: int = 2):
-    """Background-thread prefetch: host batch prep + device transfer overlap
-    with device compute (the reference's feed_dict copy is fully
-    synchronous, main.py:430-431).  Yields device arrays."""
+    """Pipelined input: host batch prep runs in a background thread while
+    the device computes; the (async) device transfer happens on the main
+    thread (some tunneled backends cannot service transfers from other
+    threads).  The reference's feed_dict copy is fully synchronous
+    (main.py:430-431).  Yields device arrays."""
     import queue
     import threading
 
@@ -70,7 +72,7 @@ def prefetch_to_device(batch_iter, put_fn, depth: int = 2):
     def worker():
         try:
             for item in batch_iter:
-                q.put(put_fn(item))
+                q.put(item)
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
@@ -84,7 +86,7 @@ def prefetch_to_device(batch_iter, put_fn, depth: int = 2):
             if err:
                 raise err[0]
             return
-        yield item
+        yield put_fn(item)  # async dispatch; returns before DMA completes
 
 
 def prepare_batch(flat_spectra: np.ndarray, batch_size: int, n_signal: int,
@@ -143,7 +145,7 @@ class Trainer:
 
         def valid_step(params, src_ri):
             m = model.valid_metrics(params, src_ri)
-            return {"loss": m["loss"], "SNR": m["SNR"]}
+            return {k: v for k, v in m.items() if k != "separated_ri"}
 
         if getattr(self.hp, "NAN_CHECKS", False):
             # checkify-instrumented step: the first NaN/inf inside the

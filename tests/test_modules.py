@@ -177,3 +177,13 @@ def test_separate_wav_end_to_end(fresh_hparams):
     t = stft_frame_count(4000, hp.FFT_SIZE, hp.FFT_STRIDE)
     assert out.shape == (2, hp.MAX_N_SIGNAL, t * hp.FFT_STRIDE)
     assert np.isfinite(out).all()
+
+
+def test_valid_metrics_si_snr(fresh_hparams):
+    hp = fresh_hparams
+    hp.BATCH_SIZE = B
+    hp.EVAL_SI_SNR = True
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    m = jax.jit(model.valid_metrics)(params, _src(hp))
+    assert "SI_SNR" in m and np.isfinite(float(m["SI_SNR"]))

@@ -106,3 +106,30 @@ def test_truncated_shorten_raises(tmp_path):
     p.write_bytes(make_sphere(payload))
     with pytest.raises(IOError):
         sphere.read_sphere(str(p))
+
+
+def test_batch_decode_parallel(tmp_path):
+    """Thread-pooled batch decode: successes and failures interleaved."""
+    from danet_tpu.native.sphere import read_sphere_batch
+    paths = []
+    refs = []
+    for i in range(6):
+        x = _smooth_int16(1000 + 100 * i, seed=10 + i)
+        p = tmp_path / ("f%d.sph" % i)
+        p.write_bytes(make_sphere(
+            encode_shorten_v2(x, blocksize=128), sample_count=len(x)))
+        paths.append(str(p))
+        refs.append(x)
+    bad = tmp_path / "bad.sph"
+    bad.write_bytes(b"NOT A SPHERE FILE" * 10)
+    paths.insert(3, str(bad))
+    refs.insert(3, None)
+    out = read_sphere_batch(paths, n_threads=4)
+    assert len(out) == 7
+    for res, ref in zip(out, refs):
+        if ref is None:
+            assert isinstance(res, IOError)
+        else:
+            rate, arr = res
+            assert rate == 16000
+            np.testing.assert_array_equal(arr, ref)
