@@ -32,6 +32,7 @@ def main(n_epoch: int = 5):
     hparams.COMPUTE_DTYPE = ("bfloat16"
                              if jax.default_backend() != "cpu" else "float32")
     hparams.LR = 1e-3
+    hparams.ANCHOR_AUX_LOSS = 0.5  # train the inference (anchor) path too
     hparams.SUMMARY_DIR = "/tmp/danet-convergence"
     hparams.digest()
 

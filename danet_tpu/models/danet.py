@@ -120,6 +120,23 @@ class DaNet:
         sep_ri_pit = loss_ops.unpermute(sep_ri, perms, perm_idx)
         snr = jnp.mean(loss_ops.batch_snr(
             src_ri, sep_ri_pit, eps=hp.EPS, complex_ri=True))
+
+        # Optional auxiliary loss through the inference-estimator path.
+        # In the reference, anchors receive NO gradient unless
+        # TRAIN_ESTIMATOR_METHOD='anchor' (main.py:289-290 optimizes only
+        # the train path), so inference-time attractors stay at random
+        # init — a structural weakness behind its "won't learn well"
+        # disclaimer.  ANCHOR_AUX_LOSS > 0 trains the anchor path jointly
+        # (magnitude-domain PIT, as the reference's valid loss).
+        aux_w = float(getattr(hp, "ANCHOR_AUX_LOSS", 0.0) or 0.0)
+        if aux_w > 0.0 and not self.same_method:
+            attr_inf = self.infer_estimator.apply(
+                self._infer_est_params(params), embed)
+            sep_pwr_inf = self.separator.apply(
+                params["separator"], mix_pwr, attr_inf, embed_flat)
+            aux, _, _ = loss_ops.pit_mse_loss(src_pwr, sep_pwr_inf)
+            loss = loss + aux_w * aux
+
         if getattr(hp, "REG_APPLY", False) and hp.REG_TYPE is not None:
             loss = loss + reg_loss(params, hp.REG_TYPE, hp.REG_SCALE)
         return loss, {"snr": snr, "separated_ri": sep_ri_pit,

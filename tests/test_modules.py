@@ -187,3 +187,70 @@ def test_valid_metrics_si_snr(fresh_hparams):
     params = model.init(jax.random.PRNGKey(0))
     m = jax.jit(model.valid_metrics)(params, _src(hp))
     assert "SI_SNR" in m and np.isfinite(float(m["SI_SNR"]))
+
+
+def test_reg_apply_changes_loss(fresh_hparams):
+    from danet_tpu.models.danet import reg_loss
+    hp = fresh_hparams
+    hp.BATCH_SIZE = B
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = _src(hp)
+    base, _ = model.train_loss(params, src, None)
+    hp.REG_APPLY = True
+    with_reg, _ = model.train_loss(params, src, None)
+    expected = reg_loss(params, hp.REG_TYPE, hp.REG_SCALE)
+    np.testing.assert_allclose(float(with_reg), float(base) + float(expected),
+                               rtol=1e-5)
+    # L1 also works; unknown type raises
+    assert np.isfinite(float(reg_loss(params, "L1", 0.01)))
+    with pytest.raises(ValueError):
+        reg_loss(params, "L3", 0.01)
+
+
+def test_dropout_through_model(fresh_hparams):
+    """DROPOUT_KEEP_PROB < 1 changes the train-path output with an rng and
+    is inert at validation (fixes the reference's disconnected dropout)."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "bilstm-orig"
+    hp.BATCH_SIZE = B
+    hp.DROPOUT_KEEP_PROB = 0.5
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = _src(hp)
+    l1, _ = model.train_loss(params, src, jax.random.PRNGKey(1))
+    l2, _ = model.train_loss(params, src, jax.random.PRNGKey(2))
+    assert float(l1) != float(l2)  # different dropout masks
+    # valid path has no dropout: deterministic
+    v1 = model.valid_metrics(params, src)["loss"]
+    v2 = model.valid_metrics(params, src)["loss"]
+    assert float(v1) == float(v2)
+
+
+def test_legacy_cell_changes_encoder_output(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "lstm-orig"
+    hp.BATCH_SIZE = B
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = _src(hp)
+    l_std, _ = model.train_loss(params, src, None)
+    hp.LSTM_LEGACY_CELL = True
+    model2 = DaNet()
+    l_leg, _ = model2.train_loss(params, src, None)
+    assert float(l_std) != float(l_leg)
+
+
+def test_anchor_aux_loss_trains_anchors(fresh_hparams):
+    hp = fresh_hparams
+    hp.BATCH_SIZE = B
+    src = _src(hp)
+    # without aux loss: zero anchor gradient (reference behavior)
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    g0 = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    assert float(jnp.abs(g0["infer_estimator"]["anchors"]).sum()) == 0.0
+    # with aux loss: anchors receive gradient
+    hp.ANCHOR_AUX_LOSS = 0.5
+    g1 = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    assert float(jnp.abs(g1["infer_estimator"]["anchors"]).sum()) > 0.0
