@@ -26,8 +26,8 @@ convert_dir() {
             sndfile-convert "$file" "$lower"
         else
             # fall back to the bundled native SPHERE decoder
-            python ../../../danet_tpu/native/sphere_convert.py "$file" "$lower" 2>/dev/null \
-                || python ../../native/sphere_convert.py "$file" "$lower"
+            # (cwd is danet_tpu/data/TIMIT/{train,test} here)
+            python ../../../native/sphere_convert.py "$file" "$lower" || exit 1
         fi
     done
     rm -f ./*.WAV

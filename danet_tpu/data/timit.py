@@ -84,9 +84,11 @@ class TimitDataset(Dataset):
             t_shape = (len(sel), max((len(t) for t in txts), default=0))
             return batch, (t_idx, t_val, t_shape)
 
-        for i in range(0, tot - batch_size, batch_size):
+        # note: the reference's loop (timit.py:46) drops the final FULL
+        # batch when tot is an exact multiple of batch_size — fixed here
+        for i in range(0, tot - batch_size + 1, batch_size):
             yield make_batch(idx[i:i + batch_size])
-        if tot % batch_size:
+        if tot >= batch_size and tot % batch_size:
             yield make_batch(idx[-batch_size:])
 
     @classmethod

@@ -98,13 +98,14 @@ int16_t ulaw2linear(uint8_t code) {
 }
 
 int16_t alaw2linear(uint8_t code) {
+  // G.711 convention: after the 0x55 XOR, a SET sign bit means POSITIVE
   code ^= 0x55;
   int sign = code & 0x80;
   int exponent = (code >> 4) & 0x07;
   int mantissa = code & 0x0F;
   int sample = exponent ? ((mantissa << 4) + 0x108) << (exponent - 1)
                         : (mantissa << 4) + 8;
-  return (int16_t)(sign ? -sample : sample);
+  return (int16_t)(sign ? sample : -sample);
 }
 
 // ---------------------------------------------------------------------------
@@ -216,7 +217,8 @@ std::vector<int16_t> decode_shorten(const uint8_t* data, size_t size,
   if (nmean > 65536) throw DecodeError("shorten: bad nmean");
 
   const int nwrap = std::max<int>(kNWrap, (int)maxnlpc);
-  const int32_t lpcqoffset = (version >= 2) ? (1 << (kLpcQuant - 1)) : 0;
+  // shorten v2: V2LPCQOFFSET = 1 << LPCQUANT (quantized-LPC rounding bias)
+  const int32_t lpcqoffset = (version >= 2) ? (1 << kLpcQuant) : 0;
 
   int64_t init_mean = 0;
   if (ftype == TYPE_U8) init_mean = 0x80;

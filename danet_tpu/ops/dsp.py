@@ -17,6 +17,10 @@ device-side spectra are interchangeable with the host preprocessing output
 
 The inverse transform reproduces the reference's overlap-add with window**2
 normalization (utils.py:53-75), including its frame-count convention.
+
+Complex dtypes cannot cross the host<->TPU boundary here, so the *_ri
+variants (trailing (real, imag) axis) are the device-side API; the complex
+variants serve host-side/CPU tests.
 """
 from __future__ import annotations
 
@@ -81,6 +85,20 @@ def frame_signal(x: jnp.ndarray, fft_size: int, stride: int) -> jnp.ndarray:
     return xp[..., idx]
 
 
+def _stft_core(x: jnp.ndarray, fft_size: int, stride: int,
+               window: np.ndarray):
+    """Shared framing + windowed-DFT GEMM: returns (re, im) [..., T, F]."""
+    dtype = str(window.dtype)
+    frames = frame_signal(x.astype(dtype), fft_size, stride)
+    cos_b, sin_b = _dft_basis(fft_size, dtype)
+    scale = 1.0 / float(np.sum(window))
+    wcos = jnp.asarray(window[:, None] * cos_b * scale)
+    wsin = jnp.asarray(window[:, None] * sin_b * scale)
+    re = jnp.matmul(frames, wcos, preferred_element_type=frames.dtype)
+    im = jnp.matmul(frames, wsin, preferred_element_type=frames.dtype)
+    return re, im
+
+
 def stft(x: jnp.ndarray, fft_size: int, stride: int,
          window: np.ndarray) -> jnp.ndarray:
     """STFT of real signal(s) [..., L] -> complex [..., T, F].
@@ -88,66 +106,15 @@ def stft(x: jnp.ndarray, fft_size: int, stride: int,
     scipy.signal.stft-compatible (boundary zeros, padded, onesided,
     1/window.sum() scaling). Reference usage: app/utils.py:117-122.
     """
-    dtype = str(window.dtype)
-    frames = frame_signal(x.astype(dtype), fft_size, stride)
-    cos_b, sin_b = _dft_basis(fft_size, dtype)
-    scale = 1.0 / float(np.sum(window))
-    wcos = jnp.asarray(window[:, None] * cos_b * scale)
-    wsin = jnp.asarray(window[:, None] * sin_b * scale)
-    re = jnp.matmul(frames, wcos, preferred_element_type=frames.dtype)
-    im = jnp.matmul(frames, wsin, preferred_element_type=frames.dtype)
+    re, im = _stft_core(x, fft_size, stride, window)
     return jax.lax.complex(re, im)
 
 
 def stft_ri(x: jnp.ndarray, fft_size: int, stride: int,
             window: np.ndarray) -> jnp.ndarray:
-    """STFT -> ri layout [..., T, F, 2]; no complex dtype anywhere (the
-    device-side representation — complex cannot cross the TPU boundary)."""
-    dtype = str(window.dtype)
-    frames = frame_signal(x.astype(dtype), fft_size, stride)
-    cos_b, sin_b = _dft_basis(fft_size, dtype)
-    scale = 1.0 / float(np.sum(window))
-    wcos = jnp.asarray(window[:, None] * cos_b * scale)
-    wsin = jnp.asarray(window[:, None] * sin_b * scale)
-    re = jnp.matmul(frames, wcos, preferred_element_type=frames.dtype)
-    im = jnp.matmul(frames, wsin, preferred_element_type=frames.dtype)
+    """STFT -> ri layout [..., T, F, 2]; no complex dtype anywhere."""
+    re, im = _stft_core(x, fft_size, stride, window)
     return jnp.stack([re, im], axis=-1)
-
-
-def istft_ri(spectra_ri: jnp.ndarray, stride: int, window: np.ndarray,
-             length: int | None = None) -> jnp.ndarray:
-    """Inverse STFT from ri layout [..., T, F, 2] (see istft for
-    semantics); no complex dtype anywhere."""
-    fft_size = (spectra_ri.shape[-2] - 1) * 2
-    n_frames_total = spectra_ri.shape[-3]
-    dtype = str(window.dtype)
-    out_len = n_frames_total * stride
-    n_used = max(0, -(-(out_len - fft_size) // stride))
-
-    cos_b, sin_b = _idft_basis(fft_size, dtype)
-    re = spectra_ri[..., :n_used, :, 0].astype(dtype)
-    im = spectra_ri[..., :n_used, :, 1].astype(dtype)
-    frames = (jnp.matmul(re, jnp.asarray(cos_b),
-                         preferred_element_type=re.dtype)
-              + jnp.matmul(im, jnp.asarray(sin_b),
-                           preferred_element_type=im.dtype))
-    frames = frames * jnp.asarray(window)
-
-    idx = (np.arange(n_used)[:, None] * stride
-           + np.arange(fft_size)[None, :])
-    out = jnp.zeros(spectra_ri.shape[:-3] + (out_len,), dtype=frames.dtype)
-    out = out.at[..., idx.reshape(-1)].add(
-        frames.reshape(frames.shape[:-2] + (-1,)))
-
-    wsum = np.zeros(out_len, dtype=np.float64)
-    w2 = np.asarray(window, dtype=np.float64) ** 2
-    for i in range(n_used):
-        wsum[i * stride:i * stride + fft_size] += w2
-    denom = np.where(wsum != 0, wsum, 1.0).astype(dtype)
-    out = out / jnp.asarray(denom)
-    if length is not None:
-        out = out[..., :length]
-    return out
 
 
 def stft_mag_logmag(x: jnp.ndarray, fft_size: int, stride: int,
@@ -157,47 +124,31 @@ def stft_mag_logmag(x: jnp.ndarray, fft_size: int, stride: int,
     Avoids materializing complex spectra when only the DaNet feature path
     (magnitude + log-magnitude, reference main.py:239-240) is needed.
     """
-    dtype = str(window.dtype)
-    frames = frame_signal(x.astype(dtype), fft_size, stride)
-    cos_b, sin_b = _dft_basis(fft_size, dtype)
-    scale = 1.0 / float(np.sum(window))
-    wcos = jnp.asarray(window[:, None] * cos_b * scale)
-    wsin = jnp.asarray(window[:, None] * sin_b * scale)
-    re = jnp.matmul(frames, wcos, preferred_element_type=frames.dtype)
-    im = jnp.matmul(frames, wsin, preferred_element_type=frames.dtype)
+    re, im = _stft_core(x, fft_size, stride, window)
     mag = jnp.sqrt(re * re + im * im)
     return mag, jnp.log1p(mag)
 
 
-def istft(spectra: jnp.ndarray, stride: int, window: np.ndarray,
-          length: int | None = None) -> jnp.ndarray:
-    """Inverse STFT via iDFT matmul + scatter overlap-add.
+def _istft_core(re: jnp.ndarray, im: jnp.ndarray, stride: int,
+                window: np.ndarray, n_frames_total: int,
+                length: int | None):
+    """Shared iDFT GEMM + scatter overlap-add with window**2 normalization.
 
     Matches the reference's overlap-add semantics (app/utils.py:53-75):
     output length ``T*stride``; frames placed at ``i*stride`` for
-    ``i*stride < T*stride - fft_size``; window**2-sum normalization with
-    zero-division guard.
-
-    Args:
-        spectra: complex [..., T, F]
-        stride: hop size
-        window: synthesis window of length (F-1)*2
-        length: optional output trim length
-    Returns:
-        real [..., T*stride]
+    ``i*stride < T*stride - fft_size``; zero-division-guarded
+    normalization.
     """
-    fft_size = (spectra.shape[-1] - 1) * 2
-    n_frames_total = spectra.shape[-2]
+    fft_size = (re.shape[-1] - 1) * 2
     dtype = str(window.dtype)
     out_len = n_frames_total * stride
-    # reference loop: for n, i in enumerate(range(0, out_len - fft_size, stride))
+    # reference loop: for n, i in enumerate(range(0, out_len - fft_size,
+    # stride)) — trailing frames past that bound are dropped
     n_used = max(0, -(-(out_len - fft_size) // stride))
-    if out_len - fft_size <= 0:
-        n_used = 0
 
     cos_b, sin_b = _idft_basis(fft_size, dtype)
-    re = jnp.real(spectra)[..., :n_used, :].astype(dtype)
-    im = jnp.imag(spectra)[..., :n_used, :].astype(dtype)
+    re = re[..., :n_used, :].astype(dtype)
+    im = im[..., :n_used, :].astype(dtype)
     frames = (jnp.matmul(re, jnp.asarray(cos_b),
                          preferred_element_type=re.dtype)
               + jnp.matmul(im, jnp.asarray(sin_b),
@@ -206,7 +157,7 @@ def istft(spectra: jnp.ndarray, stride: int, window: np.ndarray,
 
     idx = (np.arange(n_used)[:, None] * stride
            + np.arange(fft_size)[None, :])  # [n_used, fft_size]
-    out = jnp.zeros(spectra.shape[:-2] + (out_len,), dtype=frames.dtype)
+    out = jnp.zeros(frames.shape[:-2] + (out_len,), dtype=frames.dtype)
     out = out.at[..., idx.reshape(-1)].add(
         frames.reshape(frames.shape[:-2] + (-1,)))
 
@@ -220,3 +171,26 @@ def istft(spectra: jnp.ndarray, stride: int, window: np.ndarray,
     if length is not None:
         out = out[..., :length]
     return out
+
+
+def istft(spectra: jnp.ndarray, stride: int, window: np.ndarray,
+          length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT via iDFT matmul + scatter overlap-add.
+
+    Args:
+        spectra: complex [..., T, F]
+        stride: hop size
+        window: synthesis window of length (F-1)*2
+        length: optional output trim length
+    Returns:
+        real [..., T*stride]
+    """
+    return _istft_core(jnp.real(spectra), jnp.imag(spectra), stride,
+                       window, spectra.shape[-2], length)
+
+
+def istft_ri(spectra_ri: jnp.ndarray, stride: int, window: np.ndarray,
+             length: int | None = None) -> jnp.ndarray:
+    """Inverse STFT from ri layout [..., T, F, 2]; no complex dtype."""
+    return _istft_core(spectra_ri[..., 0], spectra_ri[..., 1], stride,
+                       window, spectra_ri.shape[-3], length)

@@ -95,12 +95,16 @@ def conv2d_init(rng, in_ch: int, out_ch: int, ksize: int,
 
 
 def conv2d_apply(params, x: jnp.ndarray) -> jnp.ndarray:
-    """NCHW 'SAME' convolution; feeds the MXU via lax.conv_general_dilated."""
+    """NCHW 'SAME' convolution; feeds the MXU via lax.conv_general_dilated.
+
+    Kernel follows the activation dtype with f32 accumulation (same
+    mixed-precision policy as mm/ee above).
+    """
     y = jax.lax.conv_general_dilated(
-        x, params["w"], window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=x.dtype)
-    return y + params["b"][None, :, None, None]
+        x, params["w"].astype(x.dtype), window_strides=(1, 1),
+        padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + params["b"].astype(x.dtype)[None, :, None, None]
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:

@@ -57,11 +57,13 @@ def lstm_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
 def lstm_backend_default() -> str:
     """'pallas' on TPU backends, 'xla' on CPU/GPU.
 
-    The Pallas kernel (ops/pallas/lstm.py) keeps Wh VMEM-resident across
-    the whole time loop; the XLA scan is the portable fallback (and what
-    CPU tests exercise).
+    The Pallas kernel (ops/pallas/lstm.py) uses TPU Mosaic primitives
+    (pltpu VMEM specs), so it is only selected for TPU-family backends
+    ('tpu', or 'axon' — the tunneled TPU platform); everything else gets
+    the portable XLA scan.
     """
-    return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return ("pallas" if jax.default_backend() in ("tpu", "axon")
+            else "xla")
 
 
 def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,

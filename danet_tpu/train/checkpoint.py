@@ -37,10 +37,3 @@ def load_checkpoint(path: str, template: dict) -> dict:
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree_util.tree_map(np.asarray, template)
     return ckptr.restore(path, template)
-
-
-def load_params_only(path: str, template: dict) -> dict:
-    """Restore only model params from a full checkpoint (for transfer into
-    a fresh optimizer, mirroring the reference's params-only Saver)."""
-    state = load_checkpoint(path, template)
-    return state

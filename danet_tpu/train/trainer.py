@@ -179,6 +179,15 @@ class Trainer:
                 "step": 0, "epoch": 0}
 
     def _put_batch(self, batch_np: np.ndarray):
+        """Single-host: device_put with the batch sharding.  Multi-host:
+        every host prepares the identical global batch (seeded shuffles —
+        see train()), keeps only its row slice, and assembles the global
+        array (parallel/multihost.py)."""
+        if jax.process_count() > 1:
+            from danet_tpu.parallel import multihost
+            rows = multihost.host_batch_slice(batch_np.shape[0])
+            return multihost.global_batch_from_local(
+                self.mesh, batch_np[rows])
         return jax.device_put(batch_np, batch_sharding(self.mesh))
 
     # ------------------------------------------------------------------
@@ -240,6 +249,10 @@ class Trainer:
 
         epoch = 0
         while epoch < n_epoch:
+            if jax.process_count() > 1:
+                # all hosts must draw the same shuffled epoch stream so the
+                # per-host batch slices partition one global batch
+                np.random.seed(hash(("danet-epoch", epoch)) % (2 ** 31))
             cli_report = OrderedDict()
             i_batch = -1
             pending = []
@@ -274,6 +287,10 @@ class Trainer:
                 sys.stdout.write(":")
                 sys.stdout.flush()
             flush_pending()
+            if i_batch < 0:
+                raise RuntimeError(
+                    "dataset yielded no training batches for batch size %d"
+                    % (hp.BATCH_SIZE * hp.MAX_N_SIGNAL))
             _dict_mul(cli_report, 1.0 / (i_batch + 1))
 
             # LR decay policy (reference main.py:439-459)
@@ -338,7 +355,7 @@ class Trainer:
                 sys.stdout.write(".")
                 sys.stdout.flush()
                 _dict_add(cli_report, metrics)
-            _dict_mul(cli_report, 1.0 / (i_batch + 1))
+            _dict_mul(cli_report, 1.0 / max(i_batch + 1, 1))
             sys.stdout.write("\nValid  %d/%d %s\n" % (
                 epoch, n_epoch, _dict_format(cli_report)))
             sys.stdout.flush()

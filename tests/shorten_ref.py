@@ -69,21 +69,39 @@ def _resn_for(res):
     return min(max(int(np.log2(mean)) + 1, 0), 7)
 
 
+def _cdiv(a: int, b: int) -> int:
+    """C-style integer division (truncation toward zero, as the shorten
+    C implementation does); Python's // floors."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+LPCQUANT = 5
+V2LPCQOFFSET = 1 << LPCQUANT
+LPCQSIZE = 2
+
+
 def encode_shorten_v2(samples: np.ndarray, blocksize: int = 256,
                       nmean: int = 0, bitshift: int = 0,
                       verbatim_prefix: bytes = b"",
-                      ftype: int = 3) -> bytes:
-    """Mono shorten-v2 stream for int16 samples, DIFF1/DIFF2 predictors."""
+                      ftype: int = 3, qlpc: list | None = None) -> bytes:
+    """Mono shorten-v2 stream for int16 samples.
+
+    Predictors: DIFF1/DIFF2 alternating, or quantized LPC with the given
+    coefficient list (FN_QLPC blocks, V2LPCQOFFSET rounding) when qlpc is
+    set.
+    """
     samples = np.asarray(samples, dtype=np.int64)
     if bitshift:
         assert ((samples >> bitshift) << bitshift == samples).all(), \
             "samples must be divisible for the bitshift test"
+    maxnlpc = len(qlpc) if qlpc else 0
     bw = BitWriter()
     # header
     bw.ulong(ftype)
     bw.ulong(1)            # nchan
     bw.ulong(blocksize)
-    bw.ulong(0)            # maxnlpc
+    bw.ulong(maxnlpc)
     bw.ulong(nmean)
     bw.ulong(0)            # nskip
 
@@ -116,29 +134,52 @@ def encode_shorten_v2(samples: np.ndarray, blocksize: int = 256,
             coffset = offsets[0]
         else:
             s = nmean // 2 + sum(offsets)
-            coffset = s // nmean
+            coffset = _cdiv(s, nmean)
             if cur_bitshift:
                 coffset = ((coffset >> (cur_bitshift - 1)) + 1) >> 1
 
-        # alternate DIFF1 / DIFF2 across blocks
-        cmd = FN_DIFF1 if (pos // blocksize) % 2 == 0 else FN_DIFF2
-        res = np.empty(bs, dtype=np.int64)
-        prev = list(hist)
-        for i in range(bs):
-            p1 = prev[-1]
-            p2 = prev[-2]
-            pred = p1 if cmd == FN_DIFF1 else 2 * p1 - p2
-            res[i] = block[i] - pred
-            prev.append(block[i])
-        resn = _resn_for(res)
-        bw.uvar(cmd, FNSIZE)
-        bw.uvar(resn, ENERGYSIZE)
-        for r in res:
-            bw.var(int(r), resn)
+        if qlpc:
+            # quantized-LPC block (decoder: v2 subtracts coffset from the
+            # history, predicts with V2LPCQOFFSET rounding, re-adds coffset)
+            nlpc = len(qlpc)
+            res = np.empty(bs, dtype=np.int64)
+            prev = [h - coffset for h in hist]
+            for i in range(bs):
+                s = V2LPCQOFFSET
+                for j in range(nlpc):
+                    s += qlpc[j] * prev[-1 - j]
+                pred = s >> LPCQUANT
+                d = block[i] - coffset
+                res[i] = d - pred
+                prev.append(d)
+            resn = _resn_for(res)
+            bw.uvar(FN_QLPC, FNSIZE)
+            bw.uvar(resn, ENERGYSIZE)
+            bw.uvar(nlpc, LPCQSIZE)
+            for qc in qlpc:
+                bw.var(int(qc), LPCQUANT)
+            for r in res:
+                bw.var(int(r), resn)
+        else:
+            # alternate DIFF1 / DIFF2 across blocks
+            cmd = FN_DIFF1 if (pos // blocksize) % 2 == 0 else FN_DIFF2
+            res = np.empty(bs, dtype=np.int64)
+            prev = list(hist)
+            for i in range(bs):
+                p1 = prev[-1]
+                p2 = prev[-2]
+                pred = p1 if cmd == FN_DIFF1 else 2 * p1 - p2
+                res[i] = block[i] - pred
+                prev.append(block[i])
+            resn = _resn_for(res)
+            bw.uvar(cmd, FNSIZE)
+            bw.uvar(resn, ENERGYSIZE)
+            for r in res:
+                bw.var(int(r), resn)
 
         if nmean > 0:
             s = bs // 2 + int(block.sum())
-            offsets = offsets[1:] + [(s // bs) << cur_bitshift]
+            offsets = offsets[1:] + [_cdiv(s, bs) << cur_bitshift]
         hist = list(block[-NWRAP:]) if bs >= NWRAP else \
             (hist + list(block))[-NWRAP:]
         pos += bs

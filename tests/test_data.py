@@ -131,3 +131,14 @@ def test_synth_dataset_learnable_structure(fresh_hparams):
     # subsets draw from disjoint seed ranges
     (vbatch,) = next(iter(ds.epoch("valid", 4)))
     assert not np.array_equal(batch, vbatch)
+
+
+def test_timit_exact_multiple_keeps_all_batches(fresh_hparams, tmp_path):
+    """Regression: tot % batch_size == 0 must yield tot/batch_size batches
+    (the reference drops the last full batch, timit.py:46)."""
+    _write_timit_pickles(str(tmp_path), n=12)
+    ds = TimitDataset(data_dir=str(tmp_path))
+    ds.install_and_load()
+    assert len(list(ds.epoch("train", 4))) == 3
+    assert len(list(ds.epoch("train", 12))) == 1
+    assert len(list(ds.epoch("train", 5))) == 3  # 2 full + 1 tail

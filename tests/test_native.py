@@ -133,3 +133,29 @@ def test_batch_decode_parallel(tmp_path):
             rate, arr = res
             assert rate == 16000
             np.testing.assert_array_equal(arr, ref)
+
+
+def test_shorten_qlpc_roundtrip(tmp_path):
+    """Quantized-LPC blocks with the V2LPCQOFFSET rounding bias."""
+    x = _smooth_int16(4000, seed=7)
+    payload = encode_shorten_v2(x, blocksize=256, qlpc=[20, -6])
+    rate, out = _roundtrip(tmp_path / "lpc.sph", payload,
+                           sample_count=len(x))
+    np.testing.assert_array_equal(out, x)
+
+
+def test_shorten_qlpc_with_means(tmp_path):
+    x = (_smooth_int16(3000, seed=8) + 500).astype(np.int16)
+    payload = encode_shorten_v2(x, blocksize=128, nmean=4, qlpc=[25, -8, 3])
+    rate, out = _roundtrip(tmp_path / "lpcm.sph", payload,
+                           sample_count=len(x))
+    np.testing.assert_array_equal(out, x)
+
+
+def test_alaw_g711_sign_convention(tmp_path):
+    """A-law: after the 0x55 XOR a set sign bit means positive (G.711)."""
+    codes = np.array([0xD5, 0x55], dtype=np.uint8)  # +8 and -8 per G.711
+    rate, out = _roundtrip(
+        tmp_path / "alaw.sph", codes.tobytes(),
+        coding="alaw", sample_n_bytes=1, sample_count=2)
+    assert out[0] == 8 and out[1] == -8, out

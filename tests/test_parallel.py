@@ -128,3 +128,9 @@ def test_graft_entry_single():
     fn, args = ge.entry()
     loss, snr = jax.jit(fn)(*args)
     assert np.isfinite(float(loss)) and np.isfinite(float(snr))
+
+
+def test_host_batch_slice_single_process():
+    from danet_tpu.parallel import multihost
+    assert multihost.host_batch_slice(32) == slice(0, 32)
+    assert multihost.initialize() is False  # no coordinator configured
