@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from danet_tpu.hparams import hparams
 from danet_tpu.ops import loss as loss_ops
@@ -189,6 +190,83 @@ class DaNet:
         sep_pwr = self.separator.apply(
             params["separator"], mix_pwr, attractors, embed_flat)
         return sep_pwr[..., None] * phase_unit[:, None]
+
+    # ------------------------------------------------------------------
+    def separate_long(self, params, mix_ri: jnp.ndarray,
+                      chunk_frames: int = 256,
+                      overlap_frames: int = 32) -> jnp.ndarray:
+        """Streaming long-form separation: [T, F, 2] -> [N, T, F, 2].
+
+        Long recordings are processed as overlapping chunks batched into
+        ONE separate() call (the chunk axis becomes the batch axis — full
+        MXU utilization regardless of input length), then stitched:
+
+          * source alignment: separation is permutation-ambiguous per
+            chunk, so each chunk's sources are re-ordered to best match the
+            previous chunk's tail over the overlap region (magnitude MSE,
+            the PIT machinery reused with a lax.scan chain);
+          * crossfade: linear ramp over the overlapped frames.
+
+        Memory is O(T) on device but encoder state never spans chunks —
+        arbitrarily long inputs separate at fixed per-chunk cost.  Not in
+        the reference (which feeds whole utterances, demo mode only).
+        """
+        hp = self.hp
+        t, f = mix_ri.shape[0], mix_ri.shape[1]
+        n = hp.MAX_N_SIGNAL
+        hop = chunk_frames - overlap_frames
+        assert hop > 0
+        n_chunks = max(1, -(-(t - overlap_frames) // hop))
+        t_pad = overlap_frames + n_chunks * hop
+        mix_p = jnp.pad(mix_ri, [(0, t_pad - t), (0, 0), (0, 0)])
+
+        starts = np.arange(n_chunks) * hop
+        idx = starts[:, None] + np.arange(chunk_frames)[None, :]
+        chunks = mix_p[jnp.asarray(idx)]              # [C, W, F, 2]
+
+        sep = self.separate(params, chunks)           # [C, N, W, F, 2]
+
+        # --- chain alignment over chunks ---
+        perms = jnp.asarray(loss_ops.permutations_array(n))  # [P, N]
+
+        def align(prev_tail, chunk_sep):
+            # prev_tail: [N, V, F] magnitudes of the previous aligned tail
+            head = jnp.sqrt(jnp.sum(jnp.square(
+                chunk_sep[:, :overlap_frames]), axis=-1))     # [N, V, F]
+            cost = jnp.mean(jnp.square(
+                prev_tail[:, None] - head[None, :]), axis=(2, 3))  # [N, N]
+            perm_cost = jnp.sum(
+                cost[jnp.arange(n)[None, :], perms], axis=1)  # [P]
+            best = perms[jnp.argmin(perm_cost)]               # [N]
+            aligned = chunk_sep[best]
+            new_tail = jnp.sqrt(jnp.sum(jnp.square(
+                aligned[:, -overlap_frames:]), axis=-1))
+            return new_tail, aligned
+
+        init_tail = jnp.sqrt(jnp.sum(jnp.square(
+            sep[0][:, -overlap_frames:]), axis=-1))
+        _, rest = jax.lax.scan(align, init_tail, sep[1:])
+        aligned = jnp.concatenate([sep[:1], rest], axis=0)    # [C, N, W, F, 2]
+
+        # --- crossfaded overlap-add over the frame axis ---
+        ramp = jnp.linspace(0.0, 1.0, overlap_frames + 2)[1:-1]
+        w = jnp.ones((chunk_frames,))
+        w = w.at[:overlap_frames].set(ramp)
+        w = w.at[-overlap_frames:].set(ramp[::-1])
+        # first chunk keeps its head, last keeps its tail
+        weights = jnp.broadcast_to(w, (n_chunks, chunk_frames))
+        weights = weights.at[0, :overlap_frames].set(1.0)
+        weights = weights.at[-1, -overlap_frames:].set(1.0)
+
+        out = jnp.zeros((n, t_pad, f, 2), dtype=sep.dtype)
+        den = jnp.zeros((t_pad,), dtype=sep.dtype)
+        flat_idx = jnp.asarray(idx.reshape(-1))
+        contrib = aligned * weights[:, None, :, None, None]
+        out = out.at[:, flat_idx].add(
+            jnp.moveaxis(contrib, 1, 0).reshape(n, -1, f, 2))
+        den = den.at[flat_idx].add(weights.reshape(-1))
+        out = out / den[None, :, None, None]
+        return out[:, :t]
 
     # ------------------------------------------------------------------
     def separate_wav(self, params, wav: jnp.ndarray) -> jnp.ndarray:

@@ -33,6 +33,13 @@ def _backend(hp) -> str:
     return getattr(hp, "LSTM_BACKEND", "auto") or "auto"
 
 
+def _maybe_remat(hp, fn):
+    """REMAT=true wraps a layer apply in jax.checkpoint: activations are
+    recomputed in the backward pass instead of stored — trades FLOPs for
+    HBM so the tl=512 curriculum stages fit (SURVEY.md long-context)."""
+    return jax.checkpoint(fn) if getattr(hp, "REMAT", False) else fn
+
+
 @hparams.register_encoder("toy")
 class ToyEncoder(Encoder):
     """3-layer MLP for debugging (reference modules.py:96-116)."""
@@ -99,8 +106,9 @@ class LstmEncoder(Encoder):
         act = _candidate_activation(hp)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         for i in range(self.N_LAYERS):
-            x = rnn.lstm_apply(params[f"lstm{i}"], x, act,
-                               backend=_backend(hp))
+            layer = _maybe_remat(hp, lambda p, v: rnn.lstm_apply(
+                p, v, act, backend=_backend(hp)))
+            x = layer(params[f"lstm{i}"], x)
         return _LstmHead.apply(params["output"], hp, x)
 
 
@@ -136,10 +144,10 @@ class BiLstmEncoder(Encoder):
                      [None] * self.N_LAYERS)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         for i in range(self.N_LAYERS):
-            x = rnn.bilstm_apply(
-                params[f"lstm{i}"], x, act,
-                dropout_rng=drop_keys[i], keep_prob=keep,
-                backend=_backend(hp))
+            layer = _maybe_remat(hp, lambda p, v, k: rnn.bilstm_apply(
+                p, v, act, dropout_rng=k, keep_prob=keep,
+                backend=_backend(hp)))
+            x = layer(params[f"lstm{i}"], x, drop_keys[i])
         return _LstmHead.apply(params["output"], hp, x)
 
 

@@ -112,7 +112,17 @@ def run_demo(args):
             raw_mixture = np.pad(raw_mixture, [(0, pad), (0, 0)])
 
     mix_ri = audio.to_ri(raw_mixture[None])           # [1, T, F, 2]
-    sep_ri = g_trainer.separate(g_state, mix_ri)
+    chunk = int(getattr(hparams, "DEMO_CHUNK_FRAMES", 0) or 0)
+    if chunk and mix_ri.shape[1] > chunk:
+        # streaming long-form path: chunked separation with cross-chunk
+        # source alignment and crossfade (DaNet.separate_long)
+        import jax as _jax
+        sep_ri = np.asarray(_jax.jit(
+            lambda p, x: g_model.separate_long(
+                p, x, chunk, int(hparams.DEMO_OVERLAP_FRAMES)))(
+            g_state["params"], mix_ri[0]))[None]
+    else:
+        sep_ri = g_trainer.separate(g_state, mix_ri)
     signals = audio.from_ri(sep_ri[0])                # [N, T, F] complex
     base, ext = os.path.splitext(filename)
     for i, s in enumerate(signals):
