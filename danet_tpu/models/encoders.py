@@ -151,6 +151,39 @@ class BiLstmEncoder(Encoder):
         return _LstmHead.apply(params["output"], hp, x)
 
 
+@hparams.register_encoder("gru-v1")
+class GruEncoder(Encoder):
+    """4x unidirectional GRU encoder.
+
+    The reference ships GRU cell machinery (ops.py:151-188, main.py:134-183)
+    but never registers a GRU encoder (dead code, SURVEY.md appendix); this
+    makes the family usable.  Same head/centering as the LSTM encoders.
+    """
+
+    HDIM = 600
+    N_LAYERS = 4
+
+    def init(self, rng):
+        hp = self.hp
+        keys = jax.random.split(rng, self.N_LAYERS + 1)
+        w_scale = 0.1 / sqrt(self.HDIM)  # reference main.py:175
+        params = {}
+        in_dim = hp.FEATURE_SIZE
+        for i in range(self.N_LAYERS):
+            params[f"gru{i}"] = rnn.gru_init(
+                keys[i], in_dim, self.HDIM, w_scale)
+            in_dim = self.HDIM
+        params["output"] = _LstmHead.init(keys[-1], hp, in_dim)
+        return params
+
+    def apply(self, params, log_spectra, train=False, rng=None):
+        hp = self.hp
+        x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        for i in range(self.N_LAYERS):
+            x = rnn.gru_apply(params[f"gru{i}"], x)
+        return _LstmHead.apply(params["output"], hp, x)
+
+
 @hparams.register_encoder("conv-bilstm-v1")
 class ConvBiLstmEncoder(Encoder):
     """U-Net-ish CNN + BiLSTM hybrid (reference modules.py:263-379).

@@ -95,6 +95,52 @@ class WeightedAverageEstimator(Estimator):
         return sums / (wsum + hp.EPS)
 
 
+@hparams.register_estimator("kmeans")
+class KMeansEstimator(Estimator):
+    """Truth-free k-means attractor estimation (DaNet paper's test-time
+    alternative; listed in BASELINE.json configs, absent in the reference).
+
+    Centroids are initialized from the anchor mechanism (trainable anchors,
+    min-similarity subset — eq. 6-9) and refined with KMEANS_ITER rounds of
+    mixture-power-weighted soft assignment / mean updates.  Everything is
+    dense einsums inside a fori_loop — no data-dependent shapes.
+    """
+
+    USE_TRUTH = False
+
+    def init(self, rng):
+        hp = self.hp
+        return {
+            "anchors": jax.random.normal(
+                rng, (hp.NUM_ANCHOR, hp.EMBED_SIZE), dtype=jnp.float32),
+        }
+
+    def apply(self, params, embed, src_pwr=None, mix_pwr=None):
+        hp = self.hp
+        n_iter = int(getattr(hp, "KMEANS_ITER", 5) or 5)
+        embed_flat = _flatten_embed(embed)             # [B, K, E]
+        # bin weights: mixture power if available, else uniform
+        if mix_pwr is not None:
+            w = mix_pwr.reshape(embed.shape[0], -1, 1).astype(
+                embed_flat.dtype)
+        else:
+            w = jnp.ones(embed_flat.shape[:2] + (1,), embed_flat.dtype)
+
+        # anchor-based initialization (same as AnchoredEstimator)
+        init = AnchoredEstimator.apply(self, params, embed)
+
+        def step(_, centroids):
+            # soft assignment by dot-product similarity (softmax over N)
+            logits = ee("bke,bne->bkn", embed_flat,
+                        centroids.astype(embed_flat.dtype))
+            assign = jax.nn.softmax(logits, axis=-1) * w   # [B, K, N]
+            sums = ee("bkn,bke->bne", assign, embed_flat)
+            wsum = jnp.sum(assign, axis=1)[..., None]
+            return (sums / (wsum + hp.EPS)).astype(centroids.dtype)
+
+        return jax.lax.fori_loop(0, n_iter, step, init)
+
+
 @hparams.register_estimator("anchor")
 class AnchoredEstimator(Estimator):
     """Trainable anchors + softmax assignment + min-similarity subset pick —

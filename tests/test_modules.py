@@ -296,3 +296,33 @@ def test_remat_matches_no_remat(fresh_hparams):
                     jax.tree_util.tree_leaves(g_remat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_kmeans_estimator(fresh_hparams):
+    """k-means estimator: convergent weighted centroids, usable as the
+    inference method end to end."""
+    hp = fresh_hparams
+    hp.BATCH_SIZE = B
+    est = hp.get_estimator("kmeans")(hp, "e")
+    params = est.init(jax.random.PRNGKey(0))
+    embed, src_pwr, mix_pwr = _estimator_inputs(hp, seed=9)
+    out = np.asarray(est.apply(params, jnp.asarray(embed),
+                               mix_pwr=jnp.asarray(mix_pwr)))
+    assert out.shape == (B, hp.MAX_N_SIGNAL, hp.EMBED_SIZE)
+    assert np.isfinite(out).all()
+    # full model with kmeans inference path
+    hp.INFER_ESTIMATOR_METHOD = "kmeans"
+    model = DaNet()
+    p = model.init(jax.random.PRNGKey(1))
+    m = jax.jit(model.valid_metrics)(p, _src(hp))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_gru_encoder_end_to_end(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "gru-v1"
+    hp.BATCH_SIZE = B
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    loss, aux = jax.jit(model.train_loss)(params, _src(hp), None)
+    assert np.isfinite(float(loss))
