@@ -192,6 +192,46 @@ class DaNet:
         return sep_pwr[..., None] * phase_unit[:, None]
 
     # ------------------------------------------------------------------
+    def separate_sp(self, params, mix_ri: jnp.ndarray, mesh,
+                    halo: int = 32, seq_axis: str = "seq") -> jnp.ndarray:
+        """Sequence-parallel inference over a 'seq' mesh axis:
+        [B, T, F, 2] -> [B, N, T, F, 2].
+
+        The pointwise front-end, embedding head, estimator einsums and
+        masking are exactly T-sharded (GSPMD inserts the psums for the
+        global attractor reductions); the BiLSTM stack runs as chunked
+        scans with halo state warmup over the ICI
+        (parallel/seq_parallel.bilstm_stack_sp) — the SURVEY §2.4 SP
+        recipe.  Requires ENCODER_TYPE=bilstm-orig.
+        """
+        from danet_tpu.models.encoders import BiLstmEncoder, _LstmHead
+        from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
+        hp = self.hp
+        assert isinstance(self.encoder, BiLstmEncoder), \
+            "separate_sp supports the bilstm-orig encoder"
+        mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
+        logmag = jnp.log1p(mix_pwr)
+        phase_unit = mix_ri / (mix_pwr[..., None] + hp.EPS)
+
+        cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
+        x = logmag.astype(cdt)
+        x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+        enc = params["encoder"]
+        layers = [enc[f"lstm{i}"] for i in range(self.encoder.N_LAYERS)]
+        act = ("linear" if getattr(hp, "LSTM_LEGACY_CELL", False)
+               else "tanh")
+        h = bilstm_stack_sp(layers, x, mesh, halo=halo, seq_axis=seq_axis,
+                            candidate_activation=act)
+        embed = _LstmHead.apply(enc["output"], hp, h)
+        b = embed.shape[0]
+        embed_flat = embed.reshape(b, -1, embed.shape[-1])
+        attractors = self.infer_estimator.apply(
+            self._infer_est_params(params), embed)
+        sep_pwr = self.separator.apply(
+            params["separator"], mix_pwr, attractors, embed_flat)
+        return sep_pwr[..., None] * phase_unit[:, None]
+
+    # ------------------------------------------------------------------
     def separate_long(self, params, mix_ri: jnp.ndarray,
                       chunk_frames: int = 256,
                       overlap_frames: int = 32) -> jnp.ndarray:
