@@ -151,6 +151,95 @@ class BiLstmEncoder(Encoder):
         return _LstmHead.apply(params["output"], hp, x)
 
 
+@hparams.register_encoder("attn-v1")
+class AttentionEncoder(Encoder):
+    """Pre-LN transformer encoder over frames (not in the reference).
+
+    Unlike the recurrent encoders, every stage here is a large batched
+    GEMM — the architecture the MXU is built for — and the T axis carries
+    no sequential dependency, so sequence parallelism is exact (ring/
+    blockwise attention is the natural multi-chip extension, SURVEY §2.4).
+    Config: ATTN_DIM, ATTN_HEADS, ATTN_LAYERS, ATTN_MLP_MULT.
+    """
+
+    def _dims(self):
+        hp = self.hp
+        return (int(getattr(hp, "ATTN_DIM", 256) or 256),
+                int(getattr(hp, "ATTN_HEADS", 4) or 4),
+                int(getattr(hp, "ATTN_LAYERS", 4) or 4),
+                int(getattr(hp, "ATTN_MLP_MULT", 4) or 4))
+
+    def init(self, rng):
+        hp = self.hp
+        d, heads, n_layers, mlp = self._dims()
+        keys = jax.random.split(rng, 2 + n_layers)
+        params = {
+            "embed": nn.linear_init(keys[0], hp.FEATURE_SIZE, d),
+            "output": nn.linear_init(
+                keys[1], d, hp.FEATURE_SIZE * hp.EMBED_SIZE, bias=False),
+        }
+        for i in range(n_layers):
+            ks = jax.random.split(keys[2 + i], 4)
+            params[f"block{i}"] = {
+                "qkv": nn.linear_init(ks[0], d, 3 * d),
+                "proj": nn.linear_init(ks[1], d, d),
+                "mlp_in": nn.linear_init(ks[2], d, mlp * d),
+                "mlp_out": nn.linear_init(ks[3], mlp * d, d),
+                "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+                "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            }
+        return params
+
+    @staticmethod
+    def _ln(p, x):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        return xn * p["g"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+    @staticmethod
+    def _posenc(t, d, dtype):
+        import numpy as _np
+        pos = _np.arange(t)[:, None]
+        dim = _np.arange(d // 2)[None, :]
+        ang = pos / (10000.0 ** (2 * dim / d))
+        pe = _np.concatenate([_np.sin(ang), _np.cos(ang)], axis=-1)
+        return jnp.asarray(pe.astype("float32")).astype(dtype)
+
+    def apply(self, params, log_spectra, train=False, rng=None):
+        hp = self.hp
+        d, heads, n_layers, _ = self._dims()
+        hd = d // heads
+        b, t = log_spectra.shape[0], log_spectra.shape[1]
+        keep = hp.DROPOUT_KEEP_PROB if train else 1.0
+        drop_keys = (jax.random.split(rng, n_layers)
+                     if (rng is not None and keep < 1.0) else
+                     [None] * n_layers)
+
+        x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        h = nn.linear_apply(params["embed"], x)
+        h = h + self._posenc(t, d, h.dtype)
+        for i in range(n_layers):
+            p = params[f"block{i}"]
+            y = self._ln(p["ln1"], h)
+            qkv = nn.linear_apply(p["qkv"], y).reshape(b, t, 3, heads, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            logits = nn.ee("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(hd, h.dtype))
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
+                                  ).astype(h.dtype)
+            o = nn.ee("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+            h = h + nn.linear_apply(p["proj"], o)
+            y = self._ln(p["ln2"], h)
+            y = nn.linear_apply(
+                p["mlp_out"], jax.nn.gelu(nn.linear_apply(p["mlp_in"], y)))
+            if drop_keys[i] is not None:
+                y = nn.dropout(drop_keys[i], y, keep)
+            h = h + y
+        out = nn.linear_apply(params["output"], h)
+        return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+
+
 @hparams.register_encoder("gru-v1")
 class GruEncoder(Encoder):
     """4x unidirectional GRU encoder.

@@ -326,3 +326,26 @@ def test_gru_encoder_end_to_end(fresh_hparams):
     params = model.init(jax.random.PRNGKey(0))
     loss, aux = jax.jit(model.train_loss)(params, _src(hp), None)
     assert np.isfinite(float(loss))
+
+
+def test_attention_encoder_end_to_end(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    hp.ATTN_DIM = 64
+    hp.ATTN_LAYERS = 2
+    hp.ATTN_HEADS = 4
+    hp.BATCH_SIZE = B
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = _src(hp)
+    loss, aux = jax.jit(model.train_loss)(params, src, None)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    gsum = sum(float(jnp.abs(x).sum())
+               for x in jax.tree_util.tree_leaves(g["encoder"]))
+    assert np.isfinite(gsum) and gsum > 0
+    # dropout path
+    hp.DROPOUT_KEEP_PROB = 0.8
+    l1, _ = model.train_loss(params, src, jax.random.PRNGKey(1))
+    l2, _ = model.train_loss(params, src, jax.random.PRNGKey(2))
+    assert float(l1) != float(l2)
