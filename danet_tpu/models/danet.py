@@ -186,7 +186,7 @@ class DaNet:
         phase_unit = mix_ri / (mix_pwr[..., None] + hp.EPS)
         embed, embed_flat = self._embed(params, logmag, train=False, rng=None)
         attractors = self.infer_estimator.apply(
-            self._infer_est_params(params), embed)
+            self._infer_est_params(params), embed, mix_pwr=mix_pwr)
         sep_pwr = self.separator.apply(
             params["separator"], mix_pwr, attractors, embed_flat)
         return sep_pwr[..., None] * phase_unit[:, None]
@@ -204,7 +204,9 @@ class DaNet:
         (parallel/seq_parallel.bilstm_stack_sp) — the SURVEY §2.4 SP
         recipe.  Requires ENCODER_TYPE=bilstm-orig.
         """
-        from danet_tpu.models.encoders import BiLstmEncoder, _LstmHead
+        from danet_tpu.models.encoders import (BiLstmEncoder, _LstmHead,
+                                                _backend,
+                                                _candidate_activation)
         from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
         hp = self.hp
         assert isinstance(self.encoder, BiLstmEncoder), \
@@ -218,15 +220,14 @@ class DaNet:
         x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
         enc = params["encoder"]
         layers = [enc[f"lstm{i}"] for i in range(self.encoder.N_LAYERS)]
-        act = ("linear" if getattr(hp, "LSTM_LEGACY_CELL", False)
-               else "tanh")
         h = bilstm_stack_sp(layers, x, mesh, halo=halo, seq_axis=seq_axis,
-                            candidate_activation=act)
+                            candidate_activation=_candidate_activation(hp),
+                            backend=_backend(hp))
         embed = _LstmHead.apply(enc["output"], hp, h)
         b = embed.shape[0]
         embed_flat = embed.reshape(b, -1, embed.shape[-1])
         attractors = self.infer_estimator.apply(
-            self._infer_est_params(params), embed)
+            self._infer_est_params(params), embed, mix_pwr=mix_pwr)
         sep_pwr = self.separator.apply(
             params["separator"], mix_pwr, attractors, embed_flat)
         return sep_pwr[..., None] * phase_unit[:, None]
@@ -256,6 +257,9 @@ class DaNet:
         n = hp.MAX_N_SIGNAL
         hop = chunk_frames - overlap_frames
         assert hop > 0
+        assert overlap_frames > 0, \
+            "separate_long needs overlap_frames >= 1 (alignment + crossfade)"
+
         n_chunks = max(1, -(-(t - overlap_frames) // hop))
         t_pad = overlap_frames + n_chunks * hop
         mix_p = jnp.pad(mix_ri, [(0, t_pad - t), (0, 0), (0, 0)])

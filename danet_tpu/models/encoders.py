@@ -164,10 +164,19 @@ class AttentionEncoder(Encoder):
 
     def _dims(self):
         hp = self.hp
-        return (int(getattr(hp, "ATTN_DIM", 256) or 256),
-                int(getattr(hp, "ATTN_HEADS", 4) or 4),
-                int(getattr(hp, "ATTN_LAYERS", 4) or 4),
-                int(getattr(hp, "ATTN_MLP_MULT", 4) or 4))
+
+        def get(key, default):
+            v = getattr(hp, key, None)
+            return default if v is None else int(v)
+
+        d = get("ATTN_DIM", 256)
+        heads = get("ATTN_HEADS", 4)
+        if d % 2 != 0:
+            raise ValueError("ATTN_DIM must be even (got %d)" % d)
+        if d % heads != 0:
+            raise ValueError(
+                "ATTN_DIM (%d) must divide by ATTN_HEADS (%d)" % (d, heads))
+        return d, heads, get("ATTN_LAYERS", 4), get("ATTN_MLP_MULT", 4)
 
     def init(self, rng):
         hp = self.hp
@@ -216,7 +225,19 @@ class AttentionEncoder(Encoder):
                      if (rng is not None and keep < 1.0) else
                      [None] * n_layers)
 
-        x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        # key mask: zero-padded frames (TIME_BUCKET / batch padding) have
+        # exactly zero spectra; exclude them as attention keys so padding
+        # cannot leak into real frames' embeddings
+        key_mask = jnp.any(log_spectra != 0.0, axis=-1)   # [B, T]
+        neg = jnp.asarray(-1e9, jnp.float32)
+
+        # masked mean-centering (padding must not shift real frames)
+        mcount = jnp.sum(key_mask, axis=1)[:, None, None]  # [B,1,1]
+        mu = (jnp.sum(log_spectra * key_mask[..., None], axis=(1, 2),
+                      keepdims=True)
+              / (mcount * log_spectra.shape[-1] + 1e-6))
+        x = (log_spectra - mu) * key_mask[..., None].astype(
+            log_spectra.dtype)
         h = nn.linear_apply(params["embed"], x)
         h = h + self._posenc(t, d, h.dtype)
         for i in range(n_layers):
@@ -226,8 +247,9 @@ class AttentionEncoder(Encoder):
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             logits = nn.ee("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
                 jnp.asarray(hd, h.dtype))
-            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1
-                                  ).astype(h.dtype)
+            logits = jnp.where(
+                key_mask[:, None, None, :], logits.astype(jnp.float32), neg)
+            attn = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
             o = nn.ee("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
             h = h + nn.linear_apply(p["proj"], o)
             y = self._ln(p["ln2"], h)

@@ -117,7 +117,8 @@ class KMeansEstimator(Estimator):
 
     def apply(self, params, embed, src_pwr=None, mix_pwr=None):
         hp = self.hp
-        n_iter = int(getattr(hp, "KMEANS_ITER", 5) or 5)
+        n_iter = getattr(hp, "KMEANS_ITER", None)
+        n_iter = 5 if n_iter is None else int(n_iter)
         embed_flat = _flatten_embed(embed)             # [B, K, E]
         # bin weights: mixture power if available, else uniform
         if mix_pwr is not None:

@@ -130,8 +130,7 @@ def stft_mag_logmag(x: jnp.ndarray, fft_size: int, stride: int,
 
 
 def _istft_core(re: jnp.ndarray, im: jnp.ndarray, stride: int,
-                window: np.ndarray, n_frames_total: int,
-                length: int | None):
+                window: np.ndarray, length: int | None):
     """Shared iDFT GEMM + scatter overlap-add with window**2 normalization.
 
     Matches the reference's overlap-add semantics (app/utils.py:53-75):
@@ -141,7 +140,7 @@ def _istft_core(re: jnp.ndarray, im: jnp.ndarray, stride: int,
     """
     fft_size = (re.shape[-1] - 1) * 2
     dtype = str(window.dtype)
-    out_len = n_frames_total * stride
+    out_len = re.shape[-2] * stride
     # reference loop: for n, i in enumerate(range(0, out_len - fft_size,
     # stride)) — trailing frames past that bound are dropped
     n_used = max(0, -(-(out_len - fft_size) // stride))
@@ -186,11 +185,11 @@ def istft(spectra: jnp.ndarray, stride: int, window: np.ndarray,
         real [..., T*stride]
     """
     return _istft_core(jnp.real(spectra), jnp.imag(spectra), stride,
-                       window, spectra.shape[-2], length)
+                       window, length)
 
 
 def istft_ri(spectra_ri: jnp.ndarray, stride: int, window: np.ndarray,
              length: int | None = None) -> jnp.ndarray:
     """Inverse STFT from ri layout [..., T, F, 2]; no complex dtype."""
     return _istft_core(spectra_ri[..., 0], spectra_ri[..., 1], stride,
-                       window, spectra_ri.shape[-3], length)
+                       window, length)

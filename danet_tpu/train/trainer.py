@@ -252,7 +252,10 @@ class Trainer:
             if jax.process_count() > 1:
                 # all hosts must draw the same shuffled epoch stream so the
                 # per-host batch slices partition one global batch
-                np.random.seed(hash(("danet-epoch", epoch)) % (2 ** 31))
+                # (zlib.crc32 is process-independent; Python hash() is
+                # salted per process)
+                import zlib
+                np.random.seed(zlib.crc32(b"danet-epoch-%d" % epoch))
             cli_report = OrderedDict()
             i_batch = -1
             pending = []

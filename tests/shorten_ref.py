@@ -118,7 +118,8 @@ def encode_shorten_v2(samples: np.ndarray, blocksize: int = 256,
         cur_bitshift = bitshift
 
     offsets = [0] * max(nmean, 1)
-    hist = [0] * NWRAP     # decoded-domain history (post-shift-down)
+    nhist = max(NWRAP, maxnlpc)  # decoder keeps max(NWRAP, maxnlpc) wraps
+    hist = [0] * nhist     # decoded-domain history (post-shift-down)
     pos = 0
     n = len(samples)
     cur_bs = blocksize
@@ -180,8 +181,8 @@ def encode_shorten_v2(samples: np.ndarray, blocksize: int = 256,
         if nmean > 0:
             s = bs // 2 + int(block.sum())
             offsets = offsets[1:] + [_cdiv(s, bs) << cur_bitshift]
-        hist = list(block[-NWRAP:]) if bs >= NWRAP else \
-            (hist + list(block))[-NWRAP:]
+        hist = list(block[-nhist:]) if bs >= nhist else \
+            (hist + list(block))[-nhist:]
         pos += bs
 
     bw.uvar(FN_QUIT, FNSIZE)

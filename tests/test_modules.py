@@ -349,3 +349,32 @@ def test_attention_encoder_end_to_end(fresh_hparams):
     l1, _ = model.train_loss(params, src, jax.random.PRNGKey(1))
     l2, _ = model.train_loss(params, src, jax.random.PRNGKey(2))
     assert float(l1) != float(l2)
+
+
+def test_attention_padding_invariance(fresh_hparams):
+    """Zero-padded frames must not change real frames' embeddings."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    hp.ATTN_DIM = 64
+    hp.ATTN_LAYERS = 2
+    hp.BATCH_SIZE = B
+    enc = hp.get_encoder()(hp, "e")
+    params = enc.init(jax.random.PRNGKey(0))
+    x = np.abs(np.random.RandomState(0).randn(
+        B, 24, hp.FEATURE_SIZE)).astype(np.float32) + 0.1
+    base = np.asarray(enc.apply(params, jnp.asarray(x)))[:, :24]
+    xp = np.pad(x, [(0, 0), (0, 16), (0, 0)])  # bucket-style zero pad
+    padded = np.asarray(enc.apply(params, jnp.asarray(xp)))[:, :24]
+    np.testing.assert_allclose(padded, base, atol=1e-4)
+
+
+def test_attention_dim_validation(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    hp.ATTN_DIM = 255
+    with pytest.raises(ValueError):
+        hp.get_encoder()(hp, "e").init(jax.random.PRNGKey(0))
+    hp.ATTN_DIM = 256
+    hp.ATTN_HEADS = 6
+    with pytest.raises(ValueError):
+        hp.get_encoder()(hp, "e").init(jax.random.PRNGKey(0))
