@@ -29,6 +29,7 @@ CPU_BASELINE_MIX_PER_SEC = 5.42
 BATCH = 32
 N_SIGNAL = 2
 T = 128
+FORCE_BACKEND = None  # set to 'xla' to bypass the Pallas kernel
 
 
 def build_step():
@@ -49,6 +50,8 @@ def build_step():
     # Measured on v5e: xla+f32 3062 -> pallas+f32 4634 -> pallas+bf16 5233
     # mixtures/sec; loss trajectories match.
     hparams.COMPUTE_DTYPE = "bfloat16"
+    if FORCE_BACKEND:
+        hparams.LSTM_BACKEND = FORCE_BACKEND
     hparams.digest()
 
     model = DaNet()
@@ -94,7 +97,16 @@ def main():
         mps = measure(n_warmup=1, n_iters=3)
         print("CPU baseline: %.2f mixtures/sec" % mps)
         return
-    mps = measure()
+    try:
+        mps = measure()
+    except Exception as e:
+        # Pallas/Mosaic may not support every TPU generation; fall back to
+        # the portable XLA scan rather than failing the benchmark.
+        sys.stderr.write("pallas path failed (%s); retrying with the XLA "
+                         "scan backend\n" % type(e).__name__)
+        global FORCE_BACKEND
+        FORCE_BACKEND = "xla"
+        mps = measure()
     print(json.dumps({
         "metric": "train_mixtures_per_sec",
         "value": round(mps, 2),

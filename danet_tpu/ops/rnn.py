@@ -145,14 +145,47 @@ def bilstm_apply(params, x: jnp.ndarray,
                  backend: str = "auto") -> jnp.ndarray:
     """BiLSTM: concat(fwd, bwd-reversed) [B,T,2h], optional dropout.
 
-    The two directions' hoisted input GEMMs and scans are independent; XLA
-    schedules them concurrently on device.
+    On the Pallas backend both directions run inside ONE fused kernel
+    (halves the sequential kernel-loop count per layer; set
+    DANET_BILSTM_FUSED=0 to fall back to two separate scans).  On the XLA
+    backend the two directions' scans are independent programs that XLA
+    schedules concurrently.
     """
-    h_f = lstm_apply(params["fwd"], x, candidate_activation,
-                     backend=backend)
-    h_b = lstm_apply(params["bwd"], x, candidate_activation, reverse=True,
-                     backend=backend)
-    y = jnp.concatenate([h_f, h_b], axis=-1)
+    import os
+
+    be = lstm_backend_default() if backend == "auto" else backend
+    fused = os.environ.get("DANET_BILSTM_FUSED", "1") != "0"
+    if fused and be in ("pallas", "pallas-interpret"):
+        from danet_tpu.ops.pallas.lstm import bilstm_scan_pallas
+        dt = x.dtype
+        x_tm = jnp.swapaxes(x, 0, 1)  # [T, B, I]
+        t, b = x_tm.shape[0], x_tm.shape[1]
+        hdim = params["fwd"]["wh"].shape[0]
+
+        def proj(p, xs):
+            xp = ee("tbi,igh->tbgh", xs, p["wx"].astype(dt)) \
+                + p["b"].astype(dt)
+            return xp.reshape(t, b, 4 * hdim)
+
+        xp2 = jnp.stack(
+            [proj(params["fwd"], x_tm), proj(params["bwd"], x_tm[::-1])],
+            axis=1)                                       # [T, 2, B, 4H]
+        wh2 = jnp.stack(
+            [params["fwd"]["wh"].astype(dt).reshape(hdim, 4 * hdim),
+             params["bwd"]["wh"].astype(dt).reshape(hdim, 4 * hdim)])
+        z = jnp.zeros((2, b, hdim), dt)
+        hs2 = bilstm_scan_pallas(xp2, wh2, z, z,
+                                 candidate_activation == "tanh",
+                                 be == "pallas-interpret")
+        y = jnp.concatenate(
+            [jnp.swapaxes(hs2[:, 0], 0, 1),
+             jnp.swapaxes(hs2[:, 1][::-1], 0, 1)], axis=-1)
+    else:
+        h_f = lstm_apply(params["fwd"], x, candidate_activation,
+                         backend=be)
+        h_b = lstm_apply(params["bwd"], x, candidate_activation,
+                         reverse=True, backend=be)
+        y = jnp.concatenate([h_f, h_b], axis=-1)
     if dropout_rng is not None and keep_prob < 1.0:
         y = dropout(dropout_rng, y, keep_prob)
     return y

@@ -91,3 +91,26 @@ def test_pallas_stft_interpret_matches_dsp(fresh_hparams, monkeypatch):
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-5)
     pstft._stft_pallas_padded._clear_cache()
+
+
+def test_fused_bilstm_matches_separate(fresh_hparams):
+    """Fused bidirectional kernel == two separate scans (interpret mode),
+    forward and gradients."""
+    T, B, I, H = 8, 3, 5, 6
+    params = rnn.bilstm_init(jax.random.PRNGKey(7), I, H,
+                             gate_bias=(0.0, 1.5, -1.0, 1.0))
+    x = jnp.asarray(np.random.RandomState(7).randn(B, T, I).astype(
+        np.float32))
+    ref = rnn.bilstm_apply(params, x, "tanh", backend="xla")
+    out = rnn.bilstm_apply(params, x, "tanh", backend="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g_ref = jax.grad(lambda p: jnp.sum(
+        rnn.bilstm_apply(p, x, "tanh", backend="xla") ** 2))(params)
+    g_out = jax.grad(lambda p: jnp.sum(
+        rnn.bilstm_apply(p, x, "tanh",
+                         backend="pallas-interpret") ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_out)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)
