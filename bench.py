@@ -89,6 +89,7 @@ def measure(n_warmup: int = 3, n_iters: int = 50) -> float:
 
 
 def main():
+    global FORCE_BACKEND
     if "--cpu-baseline" in sys.argv:
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -99,12 +100,20 @@ def main():
         return
     try:
         mps = measure()
-    except Exception as e:
+    except Exception:
         # Pallas/Mosaic may not support every TPU generation; fall back to
-        # the portable XLA scan rather than failing the benchmark.
-        sys.stderr.write("pallas path failed (%s); retrying with the XLA "
-                         "scan backend\n" % type(e).__name__)
-        global FORCE_BACKEND
+        # the portable XLA scan — but only when the Pallas path was
+        # actually selected, and always surface the original traceback so
+        # real kernel bugs are not silently hidden.
+        import traceback
+        import jax
+        from danet_tpu.ops.rnn import lstm_backend_default
+        traceback.print_exc()
+        if FORCE_BACKEND == "xla" or lstm_backend_default() != "pallas":
+            raise
+        sys.stderr.write(
+            "pallas path failed on backend %r; retrying with the XLA "
+            "scan backend\n" % jax.default_backend())
         FORCE_BACKEND = "xla"
         mps = measure()
     print(json.dumps({

@@ -66,15 +66,21 @@ def lstm_backend_default() -> str:
             else "xla")
 
 
+def lstm_input_proj(params, x_tm: jnp.ndarray) -> jnp.ndarray:
+    """Hoisted input projection: one large MXU GEMM over all timesteps.
+    [T, B, idim] -> [T, B, 4, hdim] in the input's dtype."""
+    dt = x_tm.dtype
+    return ee("tbi,igh->tbgh", x_tm, params["wx"].astype(dt)) \
+        + params["b"].astype(dt)
+
+
 def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
                candidate_activation: str, backend: str = "auto"):
     """Core scan. x_tm: [T, B, idim] time-major. Returns hidden seq [T,B,h]."""
     hdim = params["wh"].shape[0]
     t, b = x_tm.shape[0], x_tm.shape[1]
     dt = x_tm.dtype
-    # Hoisted input projection: one large MXU GEMM over all timesteps.
-    xp = ee("tbi,igh->tbgh", x_tm, params["wx"].astype(dt)) \
-        + params["b"].astype(dt)
+    xp = lstm_input_proj(params, x_tm)
 
     if c0 is None:
         c0 = jnp.zeros((b, hdim), dtype=dt)
@@ -162,13 +168,10 @@ def bilstm_apply(params, x: jnp.ndarray,
         t, b = x_tm.shape[0], x_tm.shape[1]
         hdim = params["fwd"]["wh"].shape[0]
 
-        def proj(p, xs):
-            xp = ee("tbi,igh->tbgh", xs, p["wx"].astype(dt)) \
-                + p["b"].astype(dt)
-            return xp.reshape(t, b, 4 * hdim)
-
         xp2 = jnp.stack(
-            [proj(params["fwd"], x_tm), proj(params["bwd"], x_tm[::-1])],
+            [lstm_input_proj(params["fwd"], x_tm).reshape(t, b, 4 * hdim),
+             lstm_input_proj(params["bwd"], x_tm[::-1]).reshape(
+                 t, b, 4 * hdim)],
             axis=1)                                       # [T, 2, B, 4H]
         wh2 = jnp.stack(
             [params["fwd"]["wh"].astype(dt).reshape(hdim, 4 * hdim),
