@@ -82,10 +82,12 @@ def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
     dt = x_tm.dtype
     xp = lstm_input_proj(params, x_tm)
 
+    # default zero states are derived from xp (not fresh constants) so they
+    # inherit xp's varying axes under shard_map (seq/pipe parallel callers)
     if c0 is None:
-        c0 = jnp.zeros((b, hdim), dtype=dt)
+        c0 = xp[0, :, 0] * 0
     if h0 is None:
-        h0 = jnp.zeros((b, hdim), dtype=dt)
+        h0 = xp[0, :, 0] * 0
 
     if backend == "auto":
         backend = lstm_backend_default()
@@ -176,7 +178,7 @@ def bilstm_apply(params, x: jnp.ndarray,
         wh2 = jnp.stack(
             [params["fwd"]["wh"].astype(dt).reshape(hdim, 4 * hdim),
              params["bwd"]["wh"].astype(dt).reshape(hdim, 4 * hdim)])
-        z = jnp.zeros((2, b, hdim), dt)
+        z = xp2[0, :, :, :hdim] * 0
         hs2 = bilstm_scan_pallas(xp2, wh2, z, z,
                                  candidate_activation == "tanh",
                                  be == "pallas-interpret")

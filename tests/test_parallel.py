@@ -188,3 +188,27 @@ def test_separate_sp_full_model(fresh_hparams):
     assert sp.shape == exact.shape
     rel = np.abs(sp - exact).mean() / (np.abs(exact).mean() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_pipeline_parallel_bilstm_stack(fresh_hparams):
+    """GPipe microbatch pipeline over 4 stages == sequential stack."""
+    from jax.sharding import Mesh
+    from danet_tpu.parallel.pipeline import bilstm_stack_pipelined
+    from danet_tpu.ops import rnn
+    import jax.numpy as jnp
+
+    B, T, F, H = 8, 12, 10, 7
+    layers = [rnn.bilstm_init(jax.random.PRNGKey(i),
+                              F if i == 0 else 2 * H, H)
+              for i in range(4)]
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, F)
+                    .astype(np.float32))
+    y = x
+    for p in layers:
+        y = rnn.bilstm_apply(p, y, "tanh")
+    exact = np.asarray(y)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("pipe",))
+    out = np.asarray(bilstm_stack_pipelined(
+        layers, x, mesh, n_micro=4))
+    np.testing.assert_allclose(out, exact, atol=2e-5, rtol=1e-4)
