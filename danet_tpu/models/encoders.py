@@ -199,6 +199,10 @@ class AttentionEncoder(Encoder):
             }
         return params
 
+    def _mlp(self, blk, y):
+        return nn.linear_apply(
+            blk["mlp_out"], jax.nn.gelu(nn.linear_apply(blk["mlp_in"], y)))
+
     @staticmethod
     def _ln(p, x):
         mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -253,13 +257,52 @@ class AttentionEncoder(Encoder):
             o = nn.ee("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
             h = h + nn.linear_apply(p["proj"], o)
             y = self._ln(p["ln2"], h)
-            y = nn.linear_apply(
-                p["mlp_out"], jax.nn.gelu(nn.linear_apply(p["mlp_in"], y)))
+            y = self._mlp(p, y)
             if drop_keys[i] is not None:
                 y = nn.dropout(drop_keys[i], y, keep)
             h = h + y
         out = nn.linear_apply(params["output"], h)
         return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+
+
+@hparams.register_encoder("moe-v1")
+class MoEAttentionEncoder(AttentionEncoder):
+    """Attention encoder with a mixture-of-experts MLP per block.
+
+    Soft-mixture (dense-dispatch) MoE: out = sum_e gate_e(x) * expert_e(x)
+    — exact, differentiable, and expert-parallel-ready (the expert weights
+    shard one-group-per-device over an 'expert' mesh axis;
+    parallel/expert.py).  Config: MOE_EXPERTS on top of the ATTN_* keys.
+    SURVEY §2.4's EP row: the reference has no MoE; this makes the family
+    available without changing any registry contract.
+    """
+
+    def _n_experts(self):
+        v = getattr(self.hp, "MOE_EXPERTS", None)
+        return 4 if v is None else int(v)
+
+    def init(self, rng):
+        hp = self.hp
+        d, heads, n_layers, mlp = self._dims()
+        n_exp = self._n_experts()
+        params = AttentionEncoder.init(self, rng)
+        for i in range(n_layers):
+            ks = jax.random.split(jax.random.fold_in(rng, 1000 + i), 3)
+            blk = params[f"block{i}"]
+            del blk["mlp_in"], blk["mlp_out"]
+            scale_in = float(jnp.sqrt(6.0 / (d + mlp * d)))
+            blk["moe"] = {
+                "router": nn.uniform_init(ks[0], (d, n_exp), 0.02),
+                "w_in": nn.uniform_init(ks[1], (n_exp, d, mlp * d),
+                                        scale_in),
+                "w_out": nn.uniform_init(ks[2], (n_exp, mlp * d, d),
+                                         scale_in),
+            }
+        return params
+
+    def _mlp(self, blk, y):
+        from danet_tpu.parallel.expert import moe_mlp
+        return moe_mlp(blk["moe"], y)
 
 
 @hparams.register_encoder("gru-v1")

@@ -212,3 +212,43 @@ def test_pipeline_parallel_bilstm_stack(fresh_hparams):
     out = np.asarray(bilstm_stack_pipelined(
         layers, x, mesh, n_micro=4))
     np.testing.assert_allclose(out, exact, atol=2e-5, rtol=1e-4)
+
+
+def test_expert_parallel_moe(fresh_hparams):
+    """Expert-sharded MoE MLP == dense single-device MoE; and the moe-v1
+    encoder trains end to end."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from danet_tpu.parallel.expert import moe_mlp, moe_mlp_ep
+    from danet_tpu.ops import nn as nnops
+
+    d, ff, E = 16, 32, 4
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "router": nnops.uniform_init(k[0], (d, E), 0.1),
+        "w_in": nnops.uniform_init(k[1], (E, d, ff), 0.2),
+        "w_out": nnops.uniform_init(k[2], (E, ff, d), 0.2),
+    }
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 6, d)
+                    .astype(np.float32))
+    dense = np.asarray(moe_mlp(params, x))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("expert",))
+    ep = np.asarray(moe_mlp_ep(params, x, mesh))
+    np.testing.assert_allclose(ep, dense, atol=1e-5, rtol=1e-4)
+
+    # full model with the moe-v1 encoder
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "moe-v1"
+    hp.ATTN_DIM = 32
+    hp.ATTN_LAYERS = 2
+    hp.MOE_EXPERTS = 4
+    hp.BATCH_SIZE = 2
+    model = DaNet()
+    p = model.init(jax.random.PRNGKey(0))
+    src = np.random.RandomState(0).randn(
+        2, hp.MAX_N_SIGNAL, 16, hp.FEATURE_SIZE, 2).astype(np.float32)
+    loss, _ = jax.jit(model.train_loss)(p, src, None)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda q: model.train_loss(q, src, None)[0])(p)
+    gmoe = float(jnp.abs(g["encoder"]["block0"]["moe"]["w_in"]).sum())
+    assert np.isfinite(gmoe) and gmoe > 0
