@@ -178,6 +178,13 @@ class AttentionEncoder(Encoder):
                 "ATTN_DIM (%d) must divide by ATTN_HEADS (%d)" % (d, heads))
         return d, heads, get("ATTN_LAYERS", 4), get("ATTN_MLP_MULT", 4)
 
+    def _mlp_params(self, rng, d, mlp):
+        ks = jax.random.split(rng, 2)
+        return {
+            "mlp_in": nn.linear_init(ks[0], d, mlp * d),
+            "mlp_out": nn.linear_init(ks[1], mlp * d, d),
+        }
+
     def init(self, rng):
         hp = self.hp
         d, heads, n_layers, mlp = self._dims()
@@ -188,14 +195,13 @@ class AttentionEncoder(Encoder):
                 keys[1], d, hp.FEATURE_SIZE * hp.EMBED_SIZE, bias=False),
         }
         for i in range(n_layers):
-            ks = jax.random.split(keys[2 + i], 4)
+            ks = jax.random.split(keys[2 + i], 3)
             params[f"block{i}"] = {
                 "qkv": nn.linear_init(ks[0], d, 3 * d),
                 "proj": nn.linear_init(ks[1], d, d),
-                "mlp_in": nn.linear_init(ks[2], d, mlp * d),
-                "mlp_out": nn.linear_init(ks[3], mlp * d, d),
                 "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
                 "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+                **self._mlp_params(ks[2], d, mlp),
             }
         return params
 
@@ -281,24 +287,15 @@ class MoEAttentionEncoder(AttentionEncoder):
         v = getattr(self.hp, "MOE_EXPERTS", None)
         return 4 if v is None else int(v)
 
-    def init(self, rng):
-        hp = self.hp
-        d, heads, n_layers, mlp = self._dims()
+    def _mlp_params(self, rng, d, mlp):
         n_exp = self._n_experts()
-        params = AttentionEncoder.init(self, rng)
-        for i in range(n_layers):
-            ks = jax.random.split(jax.random.fold_in(rng, 1000 + i), 3)
-            blk = params[f"block{i}"]
-            del blk["mlp_in"], blk["mlp_out"]
-            scale_in = float(jnp.sqrt(6.0 / (d + mlp * d)))
-            blk["moe"] = {
-                "router": nn.uniform_init(ks[0], (d, n_exp), 0.02),
-                "w_in": nn.uniform_init(ks[1], (n_exp, d, mlp * d),
-                                        scale_in),
-                "w_out": nn.uniform_init(ks[2], (n_exp, mlp * d, d),
-                                         scale_in),
-            }
-        return params
+        ks = jax.random.split(rng, 3)
+        scale_in = float(jnp.sqrt(6.0 / (d + mlp * d)))
+        return {"moe": {
+            "router": nn.uniform_init(ks[0], (d, n_exp), 0.02),
+            "w_in": nn.uniform_init(ks[1], (n_exp, d, mlp * d), scale_in),
+            "w_out": nn.uniform_init(ks[2], (n_exp, mlp * d, d), scale_in),
+        }}
 
     def _mlp(self, blk, y):
         from danet_tpu.parallel.expert import moe_mlp

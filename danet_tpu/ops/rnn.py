@@ -83,11 +83,12 @@ def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
     xp = lstm_input_proj(params, x_tm)
 
     # default zero states are derived from xp (not fresh constants) so they
-    # inherit xp's varying axes under shard_map (seq/pipe parallel callers)
+    # inherit xp's varying axes under shard_map (seq/pipe parallel callers);
+    # nan_to_num guards against 0*inf = NaN poisoning from non-finite inputs
     if c0 is None:
-        c0 = xp[0, :, 0] * 0
+        c0 = jnp.nan_to_num(xp[0, :, 0]) * 0
     if h0 is None:
-        h0 = xp[0, :, 0] * 0
+        h0 = jnp.nan_to_num(xp[0, :, 0]) * 0
 
     if backend == "auto":
         backend = lstm_backend_default()
@@ -178,7 +179,7 @@ def bilstm_apply(params, x: jnp.ndarray,
         wh2 = jnp.stack(
             [params["fwd"]["wh"].astype(dt).reshape(hdim, 4 * hdim),
              params["bwd"]["wh"].astype(dt).reshape(hdim, 4 * hdim)])
-        z = xp2[0, :, :, :hdim] * 0
+        z = jnp.nan_to_num(xp2[0, :, :, :hdim]) * 0
         hs2 = bilstm_scan_pallas(xp2, wh2, z, z,
                                  candidate_activation == "tanh",
                                  be == "pallas-interpret")

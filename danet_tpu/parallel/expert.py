@@ -26,8 +26,11 @@ def moe_mlp(params, x):
     params: router [d, E], w_in [E, d, ff], w_out [E, ff, d]
     x: [B, T, d] -> [B, T, d]
     """
+    # gate logits + softmax in f32 (same policy as the attention softmax;
+    # the gate tensor is tiny, precision matters for routing gradients)
     gate = jax.nn.softmax(
-        ee("btd,de->bte", x, params["router"].astype(x.dtype)), axis=-1)
+        jnp.einsum("btd,de->bte", x, params["router"].astype(x.dtype),
+                   preferred_element_type=jnp.float32), axis=-1)
     hid = jax.nn.gelu(
         ee("btd,edh->ebth", x, params["w_in"].astype(x.dtype)))
     y = ee("ebth,ehd->ebtd", hid, params["w_out"].astype(x.dtype))
@@ -54,8 +57,9 @@ def moe_mlp_ep(params, x, mesh, expert_axis: str = "expert"):
     def run(p, x_rep):
         # local gate logits for this device's expert slice; the softmax
         # normalizer needs all experts -> compute from gathered logits
-        logits_local = ee("btd,de->bte", x_rep,
-                          p["router"].astype(x_rep.dtype))
+        logits_local = jnp.einsum(
+            "btd,de->bte", x_rep, p["router"].astype(x_rep.dtype),
+            preferred_element_type=jnp.float32)
         logits = jax.lax.all_gather(
             logits_local, expert_axis, axis=2, tiled=True)
         gate = jax.nn.softmax(logits, axis=-1)

@@ -38,16 +38,33 @@ def _pad_layer_params(p, in_dim: int):
     return {"fwd": pad_dir(p["fwd"]), "bwd": pad_dir(p["bwd"])}
 
 
+def stack_pipeline_params(params_list, mesh, pipe_axis: str = "pipe"):
+    """One-time preparation: pad layer-0's input dim to the inter-stage
+    width, stack the layer pytrees along a leading stage axis, and place
+    the stack sharded over `pipe_axis` (each device then holds ONLY its
+    layer's weights).  Reuse the result across calls."""
+    hdim = params_list[0]["fwd"]["wh"].shape[0]
+    width = 2 * hdim
+    padded = [_pad_layer_params(p, width) for p in params_list]
+    stacked = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *padded)          # [S, ...] per leaf
+    shardings = jax.tree_util.tree_map(
+        lambda v: jax.NamedSharding(mesh, P(pipe_axis)), stacked)
+    return jax.device_put(stacked, shardings)
+
+
 def bilstm_stack_pipelined(params_list, x, mesh, n_micro: int = 4,
                            pipe_axis: str = "pipe",
                            candidate_activation: str = "tanh",
-                           backend: str = "xla"):
+                           backend: str = "xla", stacked=None):
     """Run a BiLSTM stack pipelined over `pipe_axis`.
 
     Args:
         params_list: one bilstm param dict per layer; len == axis size
         x: [B, T, F] with B divisible by n_micro
         mesh: Mesh containing `pipe_axis` with size == len(params_list)
+        stacked: optional pre-stacked/sharded params from
+            stack_pipeline_params (avoids re-staging per call)
     Returns:
         [B, T, 2*hdim]
     """
@@ -60,10 +77,8 @@ def bilstm_stack_pipelined(params_list, x, mesh, n_micro: int = 4,
     width = 2 * hdim  # inter-stage activation width
     assert width >= f, "inter-stage width must cover the input features"
 
-    # homogeneous stage params: pad layer-0 input dim, stack along stage
-    padded = [_pad_layer_params(p, width) for p in params_list]
-    stacked = jax.tree_util.tree_map(
-        lambda *ls: jnp.stack(ls), *padded)          # [S, ...] per leaf
+    if stacked is None:
+        stacked = stack_pipeline_params(params_list, mesh, pipe_axis)
 
     # microbatches, input features zero-padded to the inter-stage width
     x_mb = jnp.pad(x, [(0, 0), (0, 0), (0, width - f)])

@@ -88,6 +88,10 @@ def _leaf_spec(path: str, leaf, n_model: int = 1) -> P:
         return P(None, "model")                   # gate bias [G, h]
     if last in ("w", "wcx", "wch") and ndim == 2 and ok(1):
         return P(None, "model")                   # linear [in, out]
+    if last == "w_in" and ndim == 3 and ok(2):
+        return P(None, None, "model")             # MoE [E, d, ff]: col-par
+    if last == "w_out" and ndim == 3 and ok(1):
+        return P(None, "model", None)             # MoE [E, ff, d]: row-par
     if last in ("b", "bc") and ndim == 1 and ok(0):
         return P("model")                         # linear bias [out]
     return P()  # replicate (convs, anchors, scalars, indivisible dims)
