@@ -199,31 +199,43 @@ class DaNet:
 
         The pointwise front-end, embedding head, estimator einsums and
         masking are exactly T-sharded (GSPMD inserts the psums for the
-        global attractor reductions); the BiLSTM stack runs as chunked
-        scans with halo state warmup over the ICI
-        (parallel/seq_parallel.bilstm_stack_sp) — the SURVEY §2.4 SP
-        recipe.  Requires ENCODER_TYPE=bilstm-orig.
+        global attractor reductions).  The encoder runs sequence-parallel
+        per its family: bilstm-orig as chunked scans with halo state
+        warmup over the ICI (parallel/seq_parallel.bilstm_stack_sp,
+        boundary-approximate with halo-decaying error); attn-v1/moe-v1
+        via EXACT ring attention (parallel/ring_attention).
         """
-        from danet_tpu.models.encoders import (BiLstmEncoder, _LstmHead,
+        from danet_tpu.models.encoders import (AttentionEncoder,
+                                                BiLstmEncoder, _LstmHead,
                                                 _backend,
                                                 _candidate_activation)
-        from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
         hp = self.hp
-        assert isinstance(self.encoder, BiLstmEncoder), \
-            "separate_sp supports the bilstm-orig encoder"
         mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
         logmag = jnp.log1p(mix_pwr)
         phase_unit = mix_ri / (mix_pwr[..., None] + hp.EPS)
-
         cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
-        x = logmag.astype(cdt)
-        x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
         enc = params["encoder"]
-        layers = [enc[f"lstm{i}"] for i in range(self.encoder.N_LAYERS)]
-        h = bilstm_stack_sp(layers, x, mesh, halo=halo, seq_axis=seq_axis,
-                            candidate_activation=_candidate_activation(hp),
-                            backend=_backend(hp))
-        embed = _LstmHead.apply(enc["output"], hp, h)
+
+        if isinstance(self.encoder, AttentionEncoder):
+            from danet_tpu.parallel.ring_attention import ring_attention
+            embed = self.encoder.apply(
+                enc, logmag.astype(cdt),
+                attn_fn=lambda q, k, v, km: ring_attention(
+                    q, k, v, mesh, seq_axis=seq_axis, key_mask=km))
+        elif isinstance(self.encoder, BiLstmEncoder):
+            from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
+            x = logmag.astype(cdt)
+            x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+            layers = [enc[f"lstm{i}"]
+                      for i in range(self.encoder.N_LAYERS)]
+            h = bilstm_stack_sp(
+                layers, x, mesh, halo=halo, seq_axis=seq_axis,
+                candidate_activation=_candidate_activation(hp),
+                backend=_backend(hp))
+            embed = _LstmHead.apply(enc["output"], hp, h)
+        else:
+            raise NotImplementedError(
+                "separate_sp supports bilstm-orig and attention encoders")
         b = embed.shape[0]
         embed_flat = embed.reshape(b, -1, embed.shape[-1])
         attractors = self.infer_estimator.apply(

@@ -225,7 +225,23 @@ class AttentionEncoder(Encoder):
         pe = _np.concatenate([_np.sin(ang), _np.cos(ang)], axis=-1)
         return jnp.asarray(pe.astype("float32")).astype(dtype)
 
-    def apply(self, params, log_spectra, train=False, rng=None):
+    @staticmethod
+    def _dense_attention(q, k, v, key_mask):
+        """Full masked multi-head attention (single-program path)."""
+        hd = q.shape[-1]
+        logits = nn.ee("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(hd, q.dtype))
+        logits = jnp.where(key_mask[:, None, None, :],
+                           logits.astype(jnp.float32),
+                           jnp.asarray(-1e9, jnp.float32))
+        attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        return nn.ee("bhqk,bkhd->bqhd", attn, v)
+
+    def apply(self, params, log_spectra, train=False, rng=None,
+              attn_fn=None):
+        """attn_fn(q, k, v, key_mask) -> [B,T,H,D]; defaults to dense
+        attention. parallel/ring_attention supplies the exact
+        sequence-parallel alternative (see DaNet.separate_sp)."""
         hp = self.hp
         d, heads, n_layers, _ = self._dims()
         hd = d // heads
@@ -234,12 +250,13 @@ class AttentionEncoder(Encoder):
         drop_keys = (jax.random.split(rng, n_layers)
                      if (rng is not None and keep < 1.0) else
                      [None] * n_layers)
+        if attn_fn is None:
+            attn_fn = self._dense_attention
 
         # key mask: zero-padded frames (TIME_BUCKET / batch padding) have
         # exactly zero spectra; exclude them as attention keys so padding
         # cannot leak into real frames' embeddings
         key_mask = jnp.any(log_spectra != 0.0, axis=-1)   # [B, T]
-        neg = jnp.asarray(-1e9, jnp.float32)
 
         # masked mean-centering (padding must not shift real frames)
         mcount = jnp.sum(key_mask, axis=1)[:, None, None]  # [B,1,1]
@@ -255,12 +272,7 @@ class AttentionEncoder(Encoder):
             y = self._ln(p["ln1"], h)
             qkv = nn.linear_apply(p["qkv"], y).reshape(b, t, 3, heads, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-            logits = nn.ee("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-                jnp.asarray(hd, h.dtype))
-            logits = jnp.where(
-                key_mask[:, None, None, :], logits.astype(jnp.float32), neg)
-            attn = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
-            o = nn.ee("bhqk,bkhd->bqhd", attn, v).reshape(b, t, d)
+            o = attn_fn(q, k, v, key_mask).reshape(b, t, d)
             h = h + nn.linear_apply(p["proj"], o)
             y = self._ln(p["ln2"], h)
             y = self._mlp(p, y)

@@ -1,0 +1,92 @@
+"""Ring attention: exact sequence-parallel attention over a 'seq' axis.
+
+SURVEY.md §2.4: ring attention becomes relevant once an attention encoder
+exists — attn-v1 (models/encoders.py) is that variant, and this module is
+its multi-chip long-context path.  Queries stay put (T sharded over the
+ring); key/value blocks rotate around the ring via `ppermute`, and each
+device folds every incoming block into a numerically-stable online-softmax
+accumulator (flash-attention style running max / denominator), so the
+result is EXACT full attention with O(T/S) memory per device and
+communication that rides the ICI ring.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+
+def _fold_block(acc, m, denom, q, k, v, scale, kmask):
+    """Fold one K/V block into the online-softmax state.
+
+    q [B,Tq,H,D]; k/v [B,Tk,H,D]; kmask [B,Tk] (True = valid key).
+    acc [B,Tq,H,D] (unnormalized), m/denom [B,Tq,H].
+    """
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(kmask[:, None, None, :], logits, -1e9)
+    blk_max = jnp.max(logits, axis=-1)                    # [B,H,Tq]
+    m_new = jnp.maximum(m, jnp.moveaxis(blk_max, 1, 2))   # [B,Tq,H]
+    correction = jnp.exp(m - m_new)
+    p = jnp.exp(logits
+                - jnp.moveaxis(m_new, 1, 2)[:, :, :, None])  # [B,H,Tq,Tk]
+    p_sum = jnp.moveaxis(jnp.sum(p, axis=-1), 1, 2)       # [B,Tq,H]
+    pv = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                    preferred_element_type=jnp.float32)
+    acc = acc * correction[..., None] + pv
+    denom = denom * correction + p_sum
+    return acc, m_new, denom
+
+
+def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
+                   key_mask=None):
+    """Exact multi-head attention with T sharded over `seq_axis`.
+
+    Args:
+        q, k, v: GLOBAL [B, T, H, D] (T divisible by the axis size)
+        key_mask: optional GLOBAL [B, T] bool; False keys are excluded
+    Returns:
+        [B, T, H, D] attention output (f32 accumulate, input dtype out)
+    """
+    s = mesh.shape[seq_axis]
+    b, t, heads, hd = q.shape
+    assert t % s == 0
+    scale = 1.0 / float(hd) ** 0.5
+    if key_mask is None:
+        key_mask = jnp.ones((b, t), bool)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, seq_axis), P(None, seq_axis), P(None, seq_axis),
+                  P(None, seq_axis)),
+        out_specs=P(None, seq_axis))
+    def run(q_loc, k_loc, v_loc, mask_loc):
+        perm = [(i, (i + 1) % s) for i in range(s)]
+        qf = q_loc.astype(jnp.float32)
+        # accumulators must carry the seq-varying type under shard_map
+        acc = jax.lax.pcast(
+            jnp.zeros(q_loc.shape, jnp.float32), seq_axis, to="varying")
+        m = jax.lax.pcast(
+            jnp.full(q_loc.shape[:3], -jnp.inf, jnp.float32), seq_axis,
+            to="varying")
+        denom = jax.lax.pcast(
+            jnp.zeros(q_loc.shape[:3], jnp.float32), seq_axis,
+            to="varying")
+
+        def step(i, state):
+            acc, m, denom, k_blk, v_blk, mask_blk = state
+            acc, m, denom = _fold_block(
+                acc, m, denom, qf, k_blk.astype(jnp.float32),
+                v_blk.astype(jnp.float32), scale, mask_blk)
+            k_blk = jax.lax.ppermute(k_blk, seq_axis, perm)
+            v_blk = jax.lax.ppermute(v_blk, seq_axis, perm)
+            mask_blk = jax.lax.ppermute(mask_blk, seq_axis, perm)
+            return acc, m, denom, k_blk, v_blk, mask_blk
+
+        acc, m, denom, _, _, _ = jax.lax.fori_loop(
+            0, s, step, (acc, m, denom, k_loc, v_loc, mask_loc))
+        return (acc / denom[..., None]).astype(q_loc.dtype)
+
+    return run(q, k, v, key_mask)
