@@ -378,3 +378,23 @@ def test_attention_dim_validation(fresh_hparams):
     hp.ATTN_HEADS = 6
     with pytest.raises(ValueError):
         hp.get_encoder()(hp, "e").init(jax.random.PRNGKey(0))
+
+
+def test_separate_wav_matches_host_dsp(fresh_hparams):
+    """Device wav->wav pipeline == host scipy STFT + device separate +
+    host iSTFT (integration of the DSP parity guarantees)."""
+    from danet_tpu.data import audio
+    hp = fresh_hparams
+    hp.BATCH_SIZE = 1
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    wav = (np.random.RandomState(0).randn(4000) * 0.1).astype(np.float32)
+    device = np.asarray(jax.jit(model.separate_wav)(
+        params, jnp.asarray(wav[None])))[0]
+
+    z = audio.stft_np(wav)
+    sep_ri = np.asarray(model.separate(
+        params, jnp.asarray(audio.to_ri(z[None]))))[0]
+    host = np.stack([
+        audio.istft_np(audio.from_ri(s)) for s in sep_ri])
+    np.testing.assert_allclose(device, host, atol=1e-4)
