@@ -176,20 +176,30 @@ class DaNet:
         return out
 
     # ------------------------------------------------------------------
-    def separate(self, params, mix_ri: jnp.ndarray) -> jnp.ndarray:
-        """Inference: mixture ri spectra [B,T,F,2] -> separated ri
-        [B,N,T,F,2] (reference infer_fetches, main.py:333-335,384-385;
-        output source order is arbitrary, as in the reference)."""
+    def _mix_features(self, mix_ri):
+        """(mix_pwr, logmag, phase_unit) from mixture ri spectra."""
         hp = self.hp
         mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
-        logmag = jnp.log1p(mix_pwr)
-        phase_unit = mix_ri / (mix_pwr[..., None] + hp.EPS)
-        embed, embed_flat = self._embed(params, logmag, train=False, rng=None)
+        return (mix_pwr, jnp.log1p(mix_pwr),
+                mix_ri / (mix_pwr[..., None] + hp.EPS))
+
+    def _separate_tail(self, params, embed, mix_pwr, phase_unit):
+        """Shared inference tail: attractors -> masks -> reconstruction."""
+        b = embed.shape[0]
+        embed_flat = embed.reshape(b, -1, embed.shape[-1])
         attractors = self.infer_estimator.apply(
             self._infer_est_params(params), embed, mix_pwr=mix_pwr)
         sep_pwr = self.separator.apply(
             params["separator"], mix_pwr, attractors, embed_flat)
         return sep_pwr[..., None] * phase_unit[:, None]
+
+    def separate(self, params, mix_ri: jnp.ndarray) -> jnp.ndarray:
+        """Inference: mixture ri spectra [B,T,F,2] -> separated ri
+        [B,N,T,F,2] (reference infer_fetches, main.py:333-335,384-385;
+        output source order is arbitrary, as in the reference)."""
+        mix_pwr, logmag, phase_unit = self._mix_features(mix_ri)
+        embed, _ = self._embed(params, logmag, train=False, rng=None)
+        return self._separate_tail(params, embed, mix_pwr, phase_unit)
 
     # ------------------------------------------------------------------
     def separate_sp(self, params, mix_ri: jnp.ndarray, mesh,
@@ -210,9 +220,7 @@ class DaNet:
                                                 _backend,
                                                 _candidate_activation)
         hp = self.hp
-        mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
-        logmag = jnp.log1p(mix_pwr)
-        phase_unit = mix_ri / (mix_pwr[..., None] + hp.EPS)
+        mix_pwr, logmag, phase_unit = self._mix_features(mix_ri)
         cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
         enc = params["encoder"]
 
@@ -236,13 +244,7 @@ class DaNet:
         else:
             raise NotImplementedError(
                 "separate_sp supports bilstm-orig and attention encoders")
-        b = embed.shape[0]
-        embed_flat = embed.reshape(b, -1, embed.shape[-1])
-        attractors = self.infer_estimator.apply(
-            self._infer_est_params(params), embed, mix_pwr=mix_pwr)
-        sep_pwr = self.separator.apply(
-            params["separator"], mix_pwr, attractors, embed_flat)
-        return sep_pwr[..., None] * phase_unit[:, None]
+        return self._separate_tail(params, embed, mix_pwr, phase_unit)
 
     # ------------------------------------------------------------------
     def separate_long(self, params, mix_ri: jnp.ndarray,
@@ -340,10 +342,18 @@ class DaNet:
         hp = self.hp
         window = hp.FFT_WND_ARRAY
         be = getattr(hp, "STFT_BACKEND", "auto") or "auto"
+        if be not in ("auto", "xla", "pallas"):
+            raise ValueError("Unknown STFT_BACKEND %r" % (be,))
+        if be == "pallas" and hp.FFT_SIZE % hp.FFT_STRIDE != 0:
+            raise ValueError(
+                "STFT_BACKEND='pallas' requires FFT_STRIDE | FFT_SIZE "
+                "(got %d/%d)" % (hp.FFT_SIZE, hp.FFT_STRIDE))
         if be == "auto":
-            be = ("pallas" if jax.default_backend() in ("tpu", "axon")
+            be = ("pallas"
+                  if (jax.default_backend() in ("tpu", "axon")
+                      and hp.FFT_SIZE % hp.FFT_STRIDE == 0)
                   else "xla")
-        if be == "pallas" and hp.FFT_SIZE % hp.FFT_STRIDE == 0:
+        if be == "pallas":
             # fused framing+DFT kernel: 4.1x the XLA gather+GEMM path at
             # scale on v5e (15.9 -> 3.9 ms for 16x60s of audio)
             from danet_tpu.ops.pallas.stft import stft_ri_pallas

@@ -75,14 +75,18 @@ def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
             jnp.zeros(q_loc.shape[:3], jnp.float32), seq_axis,
             to="varying")
 
+        def rotate(blks):
+            return tuple(jax.lax.ppermute(b, seq_axis, perm) for b in blks)
+
         def step(i, state):
             acc, m, denom, k_blk, v_blk, mask_blk = state
             acc, m, denom = _fold_block(
                 acc, m, denom, qf, k_blk.astype(jnp.float32),
                 v_blk.astype(jnp.float32), scale, mask_blk)
-            k_blk = jax.lax.ppermute(k_blk, seq_axis, perm)
-            v_blk = jax.lax.ppermute(v_blk, seq_axis, perm)
-            mask_blk = jax.lax.ppermute(mask_blk, seq_axis, perm)
+            # the last iteration's rotation would be dead ICI traffic
+            k_blk, v_blk, mask_blk = jax.lax.cond(
+                i < s - 1, rotate, lambda blks: blks,
+                (k_blk, v_blk, mask_blk))
             return acc, m, denom, k_blk, v_blk, mask_blk
 
         acc, m, denom, _, _, _ = jax.lax.fori_loop(

@@ -114,3 +114,41 @@ def test_fused_bilstm_matches_separate(fresh_hparams):
                     jax.tree_util.tree_leaves(g_out)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_separate_wav_pallas_stft_dispatch(fresh_hparams, monkeypatch):
+    """separate_wav's Pallas-STFT branch (interpret mode) == XLA branch."""
+    import danet_tpu.ops.pallas.stft as pstft
+    from danet_tpu.models import DaNet
+
+    orig = pstft.pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pstft.pl, "pallas_call", interp_call)
+    pstft._stft_pallas_padded._clear_cache()
+    hp = fresh_hparams
+    hp.BATCH_SIZE = 1
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(
+        (np.random.RandomState(0).randn(1, 3000) * 0.1).astype(np.float32))
+    hp.STFT_BACKEND = "xla"
+    ref = np.asarray(model.separate_wav(params, wav))
+    hp.STFT_BACKEND = "pallas"
+    out = np.asarray(model.separate_wav(params, wav))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    pstft._stft_pallas_padded._clear_cache()
+
+    # explicit pallas with an incompatible stride must raise, and unknown
+    # backends are rejected
+    import pytest as _pytest
+    hp.FFT_STRIDE = 60
+    with _pytest.raises(ValueError):
+        model.separate_wav(params, wav)
+    hp.FFT_STRIDE = 64
+    hp.STFT_BACKEND = "palas"
+    with _pytest.raises(ValueError):
+        model.separate_wav(params, wav)
