@@ -21,9 +21,13 @@ from danet_tpu.hparams import hparams
 class SyntheticTonesData(Dataset):
     """Deterministic-seed synthetic tone corpus, STFT'd on the fly."""
 
-    N_BATCHES = 20
     DURATION_S = 1.5
     N_TONES = 3
+
+    @property
+    def N_BATCHES(self):
+        v = getattr(hparams, "SYNTH_BATCHES", None)
+        return 20 if v is None else int(v)
 
     def __init__(self, seed: int = 0):
         super().__init__()
