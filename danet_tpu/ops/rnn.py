@@ -216,11 +216,14 @@ def gru_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
     }
 
 
-def gru_apply(params, x: jnp.ndarray, c0=None) -> jnp.ndarray:
+def gru_apply(params, x: jnp.ndarray, c0=None,
+              backend: str = "auto") -> jnp.ndarray:
     """GRU over [B, T, idim] -> [B, T, hdim].
 
     Semantics per reference ops.py:151-188: gates (r, u) from concat(x, c);
     candidate tanh from concat(x, c*r); c' = c*u + cand*(1-u).
+    backend: 'auto' | 'xla' | 'pallas' | 'pallas-interpret' — as with the
+    LSTM, 'auto' picks the VMEM-resident Pallas kernel on TPU backends.
     """
     hdim = params["wch"].shape[0]
     dt = x.dtype
@@ -232,6 +235,19 @@ def gru_apply(params, x: jnp.ndarray, c0=None) -> jnp.ndarray:
     wgh = params["wgh"].astype(dt)
     wch = params["wch"].astype(dt)
 
+    if c0 is None:
+        c0 = jnp.nan_to_num(cx[0]) * 0  # varying-axis-safe zeros (see LSTM)
+
+    if backend == "auto":
+        backend = lstm_backend_default()
+    if backend in ("pallas", "pallas-interpret"):
+        from danet_tpu.ops.pallas.gru import gru_scan_pallas
+        t, b = x_tm.shape[0], x_tm.shape[1]
+        cs = gru_scan_pallas(
+            gx.reshape(t, b, 2 * hdim), cx, wgh.reshape(hdim, 2 * hdim),
+            wch, c0, backend == "pallas-interpret")
+        return jnp.swapaxes(cs, 0, 1)
+
     def step(c, inp):
         gx_t, cx_t = inp
         gates = jax.nn.sigmoid(gx_t + ee("bh,hgk->bgk", c, wgh))
@@ -240,7 +256,5 @@ def gru_apply(params, x: jnp.ndarray, c0=None) -> jnp.ndarray:
         c_new = c * u + cand * (1.0 - u)
         return c_new, c_new
 
-    if c0 is None:
-        c0 = jnp.zeros((x.shape[0], hdim), dtype=x.dtype)
     _, cs = jax.lax.scan(step, c0, (gx, cx))
     return jnp.swapaxes(cs, 0, 1)

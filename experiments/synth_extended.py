@@ -1,0 +1,71 @@
+"""Extended convergence experiment on the separable synth corpus.
+
+Two-stage checkpointed training of the flagship bilstm-orig DaNet
+(reference experiments/timit_1.sh is the staged-training analogue; this
+script additionally exercises checkpoint/resume across process restarts,
+which the reference supports via -i/-o in main.py:634-649).
+
+Stage A:  python experiments/synth_extended.py --epochs 12
+Stage B:  python experiments/synth_extended.py --epochs 12 --resume
+
+Uses the same recipe that reached 13.2 dB held-out anchor-path SNR in
+PARITY.md: SYNTH_BATCHES=60 (960 mixtures), B=16, bf16 + Pallas LSTM,
+ANCHOR_AUX_LOSS=0.5, adaptive LR decay.
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
+import jax  # noqa: E402
+
+from danet_tpu.hparams import hparams  # noqa: E402
+import danet_tpu  # noqa: F401,E402 (populates registries)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--save-dir", default="saves/synth_extended")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batches", type=int, default=60)
+    args = ap.parse_args()
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
+    hparams.load_json(os.path.join(repo, "default.json"))
+    hparams.ENCODER_TYPE = "bilstm-orig"
+    hparams.DATASET_TYPE = "synth"
+    hparams.BATCH_SIZE = 16
+    hparams.COMPUTE_DTYPE = "bfloat16"
+    hparams.LR = args.lr
+    hparams.LR_DECAY_TYPE = "adaptive"
+    hparams.NUM_EPOCH_PER_LR_DECAY = 4
+    hparams.ANCHOR_AUX_LOSS = 0.5
+    hparams.SYNTH_BATCHES = args.batches
+    hparams.METRICS_EVERY = 10
+    hparams.SUMMARY_TITLE = "synth extended"
+    hparams.digest()
+
+    from danet_tpu.models import DaNet
+    from danet_tpu.train.trainer import Trainer
+
+    dataset = hparams.get_dataset()()
+    dataset.install_and_load()
+    trainer = Trainer(DaNet(), name="synthext", save_dir=args.save_dir)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    latest = os.path.join(args.save_dir, "latest")
+    if args.resume:
+        state = trainer.load_params(state, latest)
+        print("resumed from step %d (epoch %d)"
+              % (state["step"], state["epoch"]), flush=True)
+    state = trainer.train(args.epochs, dataset, save_on_epoch=False,
+                          valid_on_epoch=True, state=state)
+    trainer.save_params(state, latest)
+    print("saved at step %d" % state["step"], flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -152,3 +152,30 @@ def test_separate_wav_pallas_stft_dispatch(fresh_hparams, monkeypatch):
     hp.STFT_BACKEND = "palas"
     with _pytest.raises(ValueError):
         model.separate_wav(params, wav)
+
+
+def test_pallas_gru_forward_matches_xla(fresh_hparams):
+    T, B, I, H = 10, 4, 6, 8
+    params = rnn.gru_init(jax.random.PRNGKey(3), I, H)
+    x = jnp.asarray(np.random.RandomState(3).randn(B, T, I).astype(
+        np.float32))
+    ref = rnn.gru_apply(params, x, backend="xla")
+    out = rnn.gru_apply(params, x, backend="pallas-interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_gru_gradients_match_xla(fresh_hparams):
+    T, B, I, H = 8, 3, 5, 7
+    params = rnn.gru_init(jax.random.PRNGKey(4), I, H)
+    x = jnp.asarray(np.random.RandomState(4).randn(B, T, I).astype(
+        np.float32))
+
+    def loss(p, backend):
+        return jnp.sum(rnn.gru_apply(p, x, backend=backend) ** 2)
+
+    g_ref = jax.grad(loss)(params, "xla")
+    g_pal = jax.grad(loss)(params, "pallas-interpret")
+    for k in ["wgx", "wgh", "bg", "wcx", "wch", "bc"]:
+        np.testing.assert_allclose(
+            np.asarray(g_pal[k]), np.asarray(g_ref[k]),
+            atol=2e-5, rtol=1e-4, err_msg=k)
