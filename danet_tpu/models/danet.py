@@ -116,8 +116,21 @@ class DaNet:
             params["separator"], mix_pwr, attractors, embed_flat)
         sep_ri = sep_pwr[..., None] * phase_unit[:, None]   # [B,N,T,F,2]
 
-        loss, perms, perm_idx = loss_ops.pit_mse_loss(
-            src_ri, sep_ri, complex_ri=True)
+        loss_type = getattr(hp, "TRAIN_LOSS_TYPE", "pit-mse") or "pit-mse"
+        if loss_type == "pit-si-snr":
+            # waveform-domain uPIT: differentiate through the GEMM-native
+            # on-device iSTFT (ops/dsp.py) into negative SI-SNR — the
+            # modern separation objective (not in the reference)
+            from danet_tpu.ops import dsp
+            wav_src = dsp.istft_ri(src_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
+            wav_sep = dsp.istft_ri(sep_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
+            loss, perms, perm_idx = loss_ops.pit_si_snr_loss(
+                wav_src, wav_sep)
+        elif loss_type == "pit-mse":
+            loss, perms, perm_idx = loss_ops.pit_mse_loss(
+                src_ri, sep_ri, complex_ri=True)
+        else:
+            raise ValueError("Unknown TRAIN_LOSS_TYPE %r" % (loss_type,))
         sep_ri_pit = loss_ops.unpermute(sep_ri, perms, perm_idx)
         snr = jnp.mean(loss_ops.batch_snr(
             src_ri, sep_ri_pit, eps=hp.EPS, complex_ri=True))

@@ -139,6 +139,39 @@ def si_snr(target: jnp.ndarray, estimate: jnp.ndarray,
     return 10.0 * jnp.log10(ratio + eps)
 
 
+def pit_si_snr_loss(target_wav: jnp.ndarray, estimate_wav: jnp.ndarray,
+                    eps: float = 1e-8):
+    """Permutation-invariant negative SI-SNR on waveforms (uPIT objective).
+
+    Modern waveform-domain training criterion for WSJ0-2mix-style
+    separation; not in the reference (which trains complex-spectrogram
+    PIT-MSE only, ops.py:374-431).  Select with TRAIN_LOSS_TYPE
+    'pit-si-snr'; targets/estimates are on-device iSTFT reconstructions.
+
+    Args:
+        target_wav: [B, N, L] true source waveforms
+        estimate_wav: [B, N, L] separated waveforms
+    Returns:
+        (loss, perms, perm_idx) with the same un-permute contract as
+        pit_mse_loss; loss = -mean over batch of the permutation-optimal
+        mean SI-SNR (dB), so lower is better.
+    """
+    n = target_wav.shape[1]
+    perms = permutations_array(n)
+    n_perm = factorial(n)
+    onehot = np.zeros((n_perm, n, n), dtype=np.float32)
+    onehot[np.arange(n_perm)[:, None], np.arange(n)[None, :], perms] = 1.0
+
+    cross = si_snr(target_wav[:, :, None], estimate_wav[:, None],
+                   eps)                                   # [B, N, N]
+    score_sets = jnp.einsum(
+        "bij,pij->bp", cross, jnp.asarray(onehot)) / n    # [B, P]
+    perm_idx = jnp.argmax(score_sets, axis=1)
+    loss = -jnp.mean(jnp.take_along_axis(
+        score_sets, perm_idx[:, None], axis=1))
+    return loss, jnp.asarray(perms), perm_idx
+
+
 def combinations_gather(data: jnp.ndarray, subset_size: int) -> jnp.ndarray:
     """Gather all C(total, subset_size) row subsets (reference ops.py:273-292).
 

@@ -128,3 +128,40 @@ def test_batch_cross_snr_diagonal_matches_batch_snr():
         direct = np.asarray(L.batch_snr(
             jnp.asarray(clear[:, i]), jnp.asarray(noisy[:, i])))
         np.testing.assert_allclose(cross[:, i, i], direct, rtol=1e-4)
+
+
+def _np_si_snr(t, e, eps=1e-8):
+    t = t - t.mean(-1, keepdims=True)
+    e = e - e.mean(-1, keepdims=True)
+    proj = (t * e).sum(-1, keepdims=True) / ((t * t).sum(-1, keepdims=True)
+                                             + eps) * t
+    noise = e - proj
+    return 10 * np.log10((proj * proj).sum(-1)
+                         / ((noise * noise).sum(-1) + eps) + eps)
+
+
+def test_pit_si_snr_matches_brute_force():
+    rng = np.random.RandomState(5)
+    b, n, ln = 3, 3, 64
+    t = rng.randn(b, n, ln).astype(np.float32)
+    e = rng.randn(b, n, ln).astype(np.float32)
+    loss, perms, perm_idx = L.pit_si_snr_loss(jnp.asarray(t), jnp.asarray(e))
+    best = np.full(b, -np.inf)
+    for bi in range(b):
+        for perm in itertools.permutations(range(n)):
+            score = np.mean([_np_si_snr(t[bi, i], e[bi, perm[i]])
+                             for i in range(n)])
+            best[bi] = max(best[bi], score)
+    np.testing.assert_allclose(float(loss), -best.mean(), rtol=1e-4)
+
+
+def test_pit_si_snr_recovers_permutation_and_scale():
+    """Scaled + permuted copies of the targets score near-perfect SI-SNR
+    and the chosen permutation un-permutes them back."""
+    rng = np.random.RandomState(6)
+    t = rng.randn(2, 2, 128).astype(np.float32)
+    e = t[:, ::-1] * 0.3  # swapped sources, scaled
+    loss, perms, perm_idx = L.pit_si_snr_loss(jnp.asarray(t), jnp.asarray(e))
+    assert float(loss) < -40.0  # SI-SNR is scale-invariant: near-perfect
+    restored = L.unpermute(jnp.asarray(e), perms, perm_idx)
+    np.testing.assert_allclose(np.asarray(restored), t * 0.3, atol=1e-6)
