@@ -148,7 +148,16 @@ class DaNet:
                 self._infer_est_params(params), embed)
             sep_pwr_inf = self.separator.apply(
                 params["separator"], mix_pwr, attr_inf, embed_flat)
-            aux, _, _ = loss_ops.pit_mse_loss(src_pwr, sep_pwr_inf)
+            if loss_type == "pit-si-snr":
+                # keep the aux path in the same loss family: a dB-scale
+                # main loss would otherwise drown the MSE aux gradient
+                from danet_tpu.ops import dsp
+                sep_ri_inf = sep_pwr_inf[..., None] * phase_unit[:, None]
+                wav_inf = dsp.istft_ri(
+                    sep_ri_inf, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
+                aux, _, _ = loss_ops.pit_si_snr_loss(wav_src, wav_inf)
+            else:
+                aux, _, _ = loss_ops.pit_mse_loss(src_pwr, sep_pwr_inf)
             loss = loss + aux_w * aux
 
         if getattr(hp, "REG_APPLY", False) and hp.REG_TYPE is not None:

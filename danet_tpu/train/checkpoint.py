@@ -36,4 +36,10 @@ def load_checkpoint(path: str, template: dict) -> dict:
     path = _abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree_util.tree_map(np.asarray, template)
-    return ckptr.restore(path, template)
+    state = ckptr.restore(path, template)
+    # counters round-trip as 0-d arrays; hand back python ints so consumers
+    # (JSONL metrics writer, epoch arithmetic) see the template's types
+    for key in ("step", "epoch"):
+        if key in state:
+            state[key] = int(state[key])
+    return state

@@ -32,7 +32,7 @@ class MetricsWriter:
         self._jsonl = open(os.path.join(self.run_dir, "metrics.jsonl"), "a")
 
     def scalars(self, prefix: str, values: dict, step: int) -> None:
-        rec = {"step": step, "t": time.time()}
+        rec = {"step": int(step), "t": time.time()}
         for k, v in values.items():
             v = float(v)
             rec["%s/%s" % (prefix, k)] = v

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--save-dir", default="saves/synth_extended")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batches", type=int, default=60)
+    ap.add_argument("--loss", default="pit-mse",
+                    choices=["pit-mse", "pit-si-snr"],
+                    help="training objective (pit-si-snr = waveform uPIT "
+                         "fine-tune stage)")
+    ap.add_argument("--n-signal", type=int, default=2)
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
@@ -44,6 +49,8 @@ def main():
     hparams.LR_DECAY_TYPE = "adaptive"
     hparams.NUM_EPOCH_PER_LR_DECAY = 4
     hparams.ANCHOR_AUX_LOSS = 0.5
+    hparams.TRAIN_LOSS_TYPE = args.loss
+    hparams.MAX_N_SIGNAL = args.n_signal
     hparams.SYNTH_BATCHES = args.batches
     hparams.METRICS_EVERY = 10
     hparams.SUMMARY_TITLE = "synth extended"

@@ -195,3 +195,19 @@ def test_unknown_train_loss_type_raises(fresh_hparams):
     params = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError):
         model.train_loss(params, batch, None)
+
+
+def test_checkpoint_counters_restore_as_ints(fresh_hparams, tmp_path):
+    """Resume regression: step/epoch must come back as python ints (a 0-d
+    ndarray step breaks the JSONL metrics writer on the resumed run)."""
+    hp = _tiny_hp(fresh_hparams)
+    model = DaNet()
+    trainer = Trainer(model, name="ints", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state["step"], state["epoch"] = 7, 3
+    trainer.save_params(state, str(tmp_path / "ck"))
+    restored = trainer.load_params(
+        trainer.init_state(jax.random.PRNGKey(1)), str(tmp_path / "ck"))
+    assert type(restored["step"]) is int and restored["step"] == 7
+    assert type(restored["epoch"]) is int and restored["epoch"] == 3
