@@ -343,7 +343,7 @@ class GruEncoder(Encoder):
         hp = self.hp
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         for i in range(self.N_LAYERS):
-            x = rnn.gru_apply(params[f"gru{i}"], x)
+            x = rnn.gru_apply(params[f"gru{i}"], x, backend=_backend(hp))
         return _LstmHead.apply(params["output"], hp, x)
 
 

@@ -37,6 +37,8 @@ def main():
                     help="training objective (pit-si-snr = waveform uPIT "
                          "fine-tune stage)")
     ap.add_argument("--n-signal", type=int, default=2)
+    ap.add_argument("--eval-si-snr", action="store_true",
+                    help="also report waveform SI-SNR on valid sweeps")
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
@@ -51,6 +53,7 @@ def main():
     hparams.ANCHOR_AUX_LOSS = 0.5
     hparams.TRAIN_LOSS_TYPE = args.loss
     hparams.MAX_N_SIGNAL = args.n_signal
+    hparams.EVAL_SI_SNR = args.eval_si_snr
     hparams.SYNTH_BATCHES = args.batches
     hparams.METRICS_EVERY = 10
     hparams.SUMMARY_TITLE = "synth extended"
