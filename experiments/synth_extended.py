@@ -39,11 +39,13 @@ def main():
     ap.add_argument("--n-signal", type=int, default=2)
     ap.add_argument("--eval-si-snr", action="store_true",
                     help="also report waveform SI-SNR on valid sweeps")
+    ap.add_argument("--encoder", default="bilstm-orig",
+                    help="encoder registry key (bilstm-orig, attn-v1, ...)")
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
     hparams.load_json(os.path.join(repo, "default.json"))
-    hparams.ENCODER_TYPE = "bilstm-orig"
+    hparams.ENCODER_TYPE = args.encoder
     hparams.DATASET_TYPE = "synth"
     hparams.BATCH_SIZE = 16
     hparams.COMPUTE_DTYPE = "bfloat16"
