@@ -41,6 +41,10 @@ def main():
                     help="also report waveform SI-SNR on valid sweeps")
     ap.add_argument("--encoder", default="bilstm-orig",
                     help="encoder registry key (bilstm-orig, attn-v1, ...)")
+    ap.add_argument("--infer-est", default="anchor",
+                    help="inference estimator (anchor, kmeans); with "
+                         "ANCHOR_AUX_LOSS the aux gradient flows through "
+                         "it (kmeans = unrolled k-means training)")
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
@@ -56,6 +60,7 @@ def main():
     hparams.TRAIN_LOSS_TYPE = args.loss
     hparams.MAX_N_SIGNAL = args.n_signal
     hparams.EVAL_SI_SNR = args.eval_si_snr
+    hparams.INFER_ESTIMATOR_METHOD = args.infer_est
     hparams.SYNTH_BATCHES = args.batches
     hparams.METRICS_EVERY = 10
     hparams.SUMMARY_TITLE = "synth extended"
