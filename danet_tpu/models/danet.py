@@ -144,8 +144,10 @@ class DaNet:
         # (magnitude-domain PIT, as the reference's valid loss).
         aux_w = float(getattr(hp, "ANCHOR_AUX_LOSS", 0.0) or 0.0)
         if aux_w > 0.0 and not self.same_method:
+            # mix_pwr must be passed so weighted estimators (kmeans) train
+            # the same refinement they run at inference
             attr_inf = self.infer_estimator.apply(
-                self._infer_est_params(params), embed)
+                self._infer_est_params(params), embed, mix_pwr=mix_pwr)
             sep_pwr_inf = self.separator.apply(
                 params["separator"], mix_pwr, attr_inf, embed_flat)
             if loss_type == "pit-si-snr":

@@ -54,6 +54,19 @@ def lstm_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
     }
 
 
+_BACKENDS = ("auto", "xla", "pallas", "pallas-interpret")
+
+
+def _check_backend(backend: str) -> str:
+    """Reject typo'd backend strings instead of silently running the XLA
+    scan (same convention as STFT_BACKEND validation in separate_wav)."""
+    if backend not in _BACKENDS:
+        raise ValueError(
+            "Unknown RNN backend %r (expected one of %s)"
+            % (backend, ", ".join(_BACKENDS)))
+    return backend
+
+
 def lstm_backend_default() -> str:
     """'pallas' on TPU backends, 'xla' on CPU/GPU.
 
@@ -90,7 +103,7 @@ def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
     if h0 is None:
         h0 = jnp.nan_to_num(xp[0, :, 0]) * 0
 
-    if backend == "auto":
+    if _check_backend(backend) == "auto":
         backend = lstm_backend_default()
     if backend in ("pallas", "pallas-interpret"):
         from danet_tpu.ops.pallas.lstm import lstm_scan_pallas
@@ -162,7 +175,8 @@ def bilstm_apply(params, x: jnp.ndarray,
     """
     import os
 
-    be = lstm_backend_default() if backend == "auto" else backend
+    be = (lstm_backend_default() if _check_backend(backend) == "auto"
+          else backend)
     fused = os.environ.get("DANET_BILSTM_FUSED", "1") != "0"
     if fused and be in ("pallas", "pallas-interpret"):
         from danet_tpu.ops.pallas.lstm import bilstm_scan_pallas
@@ -238,7 +252,7 @@ def gru_apply(params, x: jnp.ndarray, c0=None,
     if c0 is None:
         c0 = jnp.nan_to_num(cx[0]) * 0  # varying-axis-safe zeros (see LSTM)
 
-    if backend == "auto":
+    if _check_backend(backend) == "auto":
         backend = lstm_backend_default()
     if backend in ("pallas", "pallas-interpret"):
         from danet_tpu.ops.pallas.gru import gru_scan_pallas

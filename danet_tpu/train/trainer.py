@@ -211,7 +211,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def train(self, n_epoch: int, dataset, save_on_epoch: bool = True,
               valid_on_epoch: bool = True, state: Optional[dict] = None,
-              rng=None, writer: Optional[MetricsWriter] = None) -> dict:
+              rng=None, writer: Optional[MetricsWriter] = None,
+              save_best: bool = False) -> dict:
         hp = self.hp
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if state is None:
@@ -223,6 +224,7 @@ class Trainer:
 
         best_loss = float("+inf")
         best_loss_time = 0
+        best_valid_loss = float("+inf")
         self.set_learn_rate(state, hp.LR)
         print("Set learning rate to %f" % hp.LR)
         bucket = getattr(hp, "TIME_BUCKET", None)
@@ -247,8 +249,13 @@ class Trainer:
                     data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
                     max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
 
-        epoch = 0
-        while epoch < n_epoch:
+        # cumulative epoch numbering: a resumed run continues from the
+        # checkpointed counter (epoch-save names, logs and the checkpoint's
+        # own epoch field all report cumulative progress across stages)
+        epoch0 = int(state.get("epoch", 0))
+        epoch = epoch0
+        n_total = epoch0 + n_epoch
+        while epoch < n_total:
             if jax.process_count() > 1:
                 # all hosts must draw the same shuffled epoch stream so the
                 # per-host batch slices partition one global batch
@@ -318,27 +325,30 @@ class Trainer:
                 sys.stdout.write("[LR %f -> %f]" % (old_lr, new_lr))
                 sys.stdout.flush()
 
-            # NaN sentinel + rollback (reference main.py:461-476)
+            # NaN sentinel + rollback (reference main.py:461-476).  The
+            # check runs regardless of save_on_epoch so a NaN epoch can
+            # never be silently written into a stage's final checkpoint;
+            # rollback needs a prior epoch save, otherwise abort.
+            if any(isnan(v) for v in cli_report.values()):
+                if save_on_epoch and epoch > epoch0:
+                    sys.stdout.write(
+                        "\nEpoch %d/%d got NaN values, restoring last "
+                        "checkpoint ... " % (epoch + 1, n_total))
+                    state = self.load_params(
+                        state, self.save_path(epoch))
+                    sys.stdout.write("done\n")
+                    continue  # redo this epoch from the restored state
+                sys.stdout.write(
+                    "\nRun into NaN during epoch %d with no checkpoint to "
+                    "roll back to, exiting ...\n" % (epoch + 1))
+                sys.exit(-1)
             if save_on_epoch:
-                if any(isnan(v) for v in cli_report.values()):
-                    if epoch:
-                        sys.stdout.write(
-                            "\nEpoch %d/%d got NaN values, restoring last "
-                            "checkpoint ... " % (epoch + 1, n_epoch))
-                        state = self.load_params(
-                            state, self.save_path(epoch))
-                        sys.stdout.write("done\n")
-                        continue  # redo this epoch from the restored state
-                    else:
-                        sys.stdout.write(
-                            "\nRun into NaN during 1st epoch, exiting ...\n")
-                        sys.exit(-1)
                 self.save_params(state, self.save_path(epoch + 1))
                 sys.stdout.write("S")
             epoch += 1
             state["epoch"] = epoch
             sys.stdout.write("\nEpoch %d/%d %s (%.3fs/step)\n" % (
-                epoch, n_epoch, _dict_format(cli_report), timer.mean))
+                epoch, n_total, _dict_format(cli_report), timer.mean))
             sys.stdout.flush()
 
             if not valid_on_epoch:
@@ -360,8 +370,18 @@ class Trainer:
                 _dict_add(cli_report, metrics)
             _dict_mul(cli_report, 1.0 / max(i_batch + 1, 1))
             sys.stdout.write("\nValid  %d/%d %s\n" % (
-                epoch, n_epoch, _dict_format(cli_report)))
+                epoch, n_total, _dict_format(cli_report)))
             sys.stdout.flush()
+            # keep-best checkpoint on the valid loss (not in the reference,
+            # which only saves per-epoch — a late-training excursion there
+            # silently degrades the last checkpoint)
+            if save_best and cli_report.get("loss", float("inf")) \
+                    < best_valid_loss:
+                best_valid_loss = cli_report["loss"]
+                self.save_params(state, os.path.join(
+                    self.save_dir, "%s_best" % self.name))
+                sys.stdout.write("B")
+                sys.stdout.flush()
         return state
 
     # ------------------------------------------------------------------

@@ -79,7 +79,7 @@ def main():
         print("resumed from step %d (epoch %d)"
               % (state["step"], state["epoch"]), flush=True)
     state = trainer.train(args.epochs, dataset, save_on_epoch=False,
-                          valid_on_epoch=True, state=state)
+                          valid_on_epoch=True, state=state, save_best=True)
     trainer.save_params(state, latest)
     print("saved at step %d" % state["step"], flush=True)
 

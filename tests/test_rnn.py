@@ -103,3 +103,21 @@ def test_gru_matches_numpy_oracle():
     x = np.random.RandomState(5).randn(2, 5, 4).astype(np.float32)
     out = np.asarray(rnn.gru_apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(out, _numpy_gru(params, x), atol=1e-5)
+
+
+def test_unknown_backend_rejected(fresh_hparams):
+    import jax
+    import numpy as np
+    import pytest
+    from danet_tpu.ops import rnn
+
+    params = rnn.lstm_init(jax.random.PRNGKey(0), 4, 4)
+    x = np.zeros((2, 4, 4), np.float32)
+    with pytest.raises(ValueError):
+        rnn.lstm_apply(params, x, backend="palas")
+    bparams = rnn.bilstm_init(jax.random.PRNGKey(1), 4, 4)
+    with pytest.raises(ValueError):
+        rnn.bilstm_apply(bparams, x, backend="Pallas")
+    gparams = rnn.gru_init(jax.random.PRNGKey(2), 4, 4)
+    with pytest.raises(ValueError):
+        rnn.gru_apply(gparams, x, backend="xl a")

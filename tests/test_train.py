@@ -211,3 +211,34 @@ def test_checkpoint_counters_restore_as_ints(fresh_hparams, tmp_path):
         trainer.init_state(jax.random.PRNGKey(1)), str(tmp_path / "ck"))
     assert type(restored["step"]) is int and restored["step"] == 7
     assert type(restored["epoch"]) is int and restored["epoch"] == 3
+
+
+def test_resumed_training_accumulates_epochs(fresh_hparams, tmp_path):
+    """Epoch numbering is cumulative across checkpointed stages."""
+    hp = _tiny_hp(fresh_hparams)
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    model = DaNet()
+    trainer = Trainer(model, name="cum", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    state = trainer.train(2, ds, save_on_epoch=False, valid_on_epoch=False)
+    assert state["epoch"] == 2
+    trainer.save_params(state, str(tmp_path / "latest"))
+    state2 = trainer.load_params(
+        trainer.init_state(jax.random.PRNGKey(1)), str(tmp_path / "latest"))
+    state2 = trainer.train(1, ds, save_on_epoch=False,
+                           valid_on_epoch=False, state=state2)
+    assert state2["epoch"] == 3
+    assert state2["step"] == state["step"] + 10  # 10 toy batches/epoch
+
+
+def test_save_best_keeps_best_valid_checkpoint(fresh_hparams, tmp_path):
+    hp = _tiny_hp(fresh_hparams)
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    model = DaNet()
+    trainer = Trainer(model, name="best", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    trainer.train(2, ds, save_on_epoch=False, valid_on_epoch=True,
+                  save_best=True)
+    assert os.path.isdir(os.path.join(str(tmp_path), "best_best"))
