@@ -297,3 +297,30 @@ def test_separate_sp_attention_exact(fresh_hparams):
     mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("seq",))
     sp = np.asarray(model.separate_sp(params, jnp.asarray(mix), mesh))
     np.testing.assert_allclose(sp, exact, atol=2e-4, rtol=1e-3)
+
+
+def test_trainer_full_epoch_on_mesh(fresh_hparams, tmp_path):
+    """End-to-end Trainer.train over a dp=4 x tp=2 mesh (not just the
+    step fns): batch sharding via _put_batch, sharded metrics flow,
+    checkpoint save of sharded params."""
+    import jax
+    from danet_tpu.data.dataset import WhiteNoiseData
+    from danet_tpu.models import DaNet
+    from danet_tpu.train.trainer import Trainer
+
+    hp = fresh_hparams
+    hp.BATCH_SIZE = 8
+    hp.MAX_TRAIN_LEN = 32
+    hp.TIME_BUCKET = 32
+    hp.MESH_DATA = 4
+    hp.MESH_MODEL = 2
+    hp.digest()
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    trainer = Trainer(DaNet(), name="mesh", save_dir=str(tmp_path))
+    assert dict(zip(trainer.mesh.axis_names, trainer.mesh.devices.shape)) \
+        == {"data": 4, "model": 2}
+    state = trainer.train(1, ds, save_on_epoch=True, valid_on_epoch=True)
+    assert state["epoch"] == 1
+    import os
+    assert os.path.isdir(trainer.save_path(1))
