@@ -190,13 +190,25 @@ class DaNet:
         snr = jnp.mean(loss_ops.batch_snr(
             src_ri, sep_ri, eps=hp.EPS, complex_ri=True))
         out = {"loss": loss, "SNR": snr, "separated_ri": sep_ri}
-        if getattr(hp, "EVAL_SI_SNR", False):
-            # waveform-domain SI-SNR via on-device iSTFT (modern WSJ0-2mix
-            # eval metric; the reference reports only spectral SNR)
+        eval_si = getattr(hp, "EVAL_SI_SNR", False)
+        eval_sdr = getattr(hp, "EVAL_SDR", False)
+        if eval_si or eval_sdr:
+            # waveform-domain metrics via on-device iSTFT (modern WSJ0-2mix
+            # eval metrics; the reference reports only spectral SNR)
             from danet_tpu.ops import dsp
             wav_src = dsp.istft_ri(src_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
             wav_sep = dsp.istft_ri(sep_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
-            out["SI_SNR"] = jnp.mean(loss_ops.si_snr(wav_src, wav_sep))
+            if eval_si:
+                out["SI_SNR"] = jnp.mean(loss_ops.si_snr(wav_src, wav_sep))
+            if eval_sdr:
+                # BSS-eval with the standard 512-tap distortion filter —
+                # the metric the DaNet paper's WSJ0-mix numbers use
+                bss = jax.vmap(lambda r, e: loss_ops.bss_eval_sources(
+                    r, e, filt_len=int(getattr(hp, "BSS_FILT_LEN", 512))))(
+                        wav_src, wav_sep)
+                out["SDR"] = jnp.mean(bss["sdr"])
+                out["SIR"] = jnp.mean(bss["sir"])
+                out["SAR"] = jnp.mean(bss["sar"])
         return out
 
     # ------------------------------------------------------------------

@@ -172,6 +172,110 @@ def pit_si_snr_loss(target_wav: jnp.ndarray, estimate_wav: jnp.ndarray,
     return loss, jnp.asarray(perms), perm_idx
 
 
+def bss_eval_sources(ref: jnp.ndarray, est: jnp.ndarray,
+                     filt_len: int = 512, eps: float = 1e-10):
+    """BSS-eval SDR / SIR / SAR with a time-invariant distortion filter.
+
+    The standard source-separation evaluation (Vincent et al. 2006, BSS
+    Eval v3 `bss_eval_sources` semantics): each estimate is decomposed as
+    ``est = s_target + e_interf + e_artif`` where
+
+      * ``s_target`` is the least-squares projection of the estimate onto
+        the span of the matching reference source delayed by 0..L-1
+        samples (an allowed L-tap distortion filter), and
+      * ``s_target + e_interf`` is the projection onto the span of ALL
+        reference sources' delays.
+
+    Not present in the reference repo (which reports only spectral SNR,
+    /root/reference/app/ops.py:191-222); this is the metric the DaNet
+    paper's WSJ0-mix numbers are quoted in.  Inputs must be PIT-aligned
+    (est[i] estimates ref[i]) — align with pit_si_snr_loss/unpermute first.
+
+    All correlations are computed with one batched rFFT and the projection
+    coefficients with one dense solve of the [N*L, N*L] block-Toeplitz
+    Gram system — no data-dependent control flow, so the whole metric jits
+    onto the MXU.  Computed in f32 (TPU-native): the Gram-solve precision
+    caps a *perfect* estimate at roughly 30 dB SDR, far above any real
+    separation quality; oracle-tested vs an explicit float64 least-squares
+    decomposition (tests/test_loss.py).
+
+    Args:
+        ref: [N, T] true source waveforms.
+        est: [N, T] separated waveforms, source-aligned with ref.
+        filt_len: allowed distortion filter length L (512 = standard).
+        eps: Tikhonov regularizer for the Gram solves.
+
+    Returns:
+        dict with "sdr", "sir", "sar": each a [N] vector in dB.
+    """
+    n, t = ref.shape
+    ell = int(filt_len)
+    nfft = 1
+    while nfft < t + ell:  # linear (non-circular) correlations
+        nfft *= 2
+
+    ref32 = ref.astype(jnp.float32)
+    est32 = est.astype(jnp.float32)
+    rf = jnp.fft.rfft(ref32, nfft, axis=-1)           # [N, K]
+    ef = jnp.fft.rfft(est32, nfft, axis=-1)           # [N, K]
+
+    # cross-correlations between references at lags -(L-1)..(L-1):
+    # r[j, j', k] = sum_t ref_j[t - a] ref_j'[t - b] with k = a - b + L-1
+    #            = sum_t ref_j[t] ref_j'[t + (a - b)]
+    cc = jnp.fft.irfft(jnp.conj(rf[:, None]) * rf[None, :], nfft,
+                       axis=-1)                        # [N, N, nfft]
+    # lag m = a - b in [-(L-1), L-1]; circular indexing folds negatives.
+    lags = jnp.arange(-(ell - 1), ell) % nfft
+    cc = cc[:, :, lags]                                # [N, N, 2L-1]
+    # Toeplitz blocks: G[j a, j' b] = cc[j, j', (a - b) + L - 1]
+    a_idx = jnp.arange(ell)
+    toep = cc[:, :, a_idx[:, None] - a_idx[None, :] + ell - 1]  # [N,N,L,L]
+    gram = toep.transpose(0, 2, 1, 3).reshape(n * ell, n * ell)
+
+    # correlation of each estimate with each delayed reference:
+    # c[i, j, a] = sum_t est_i[t] ref_j[t - a] = sum_u ref_j[u] est_i[u + a]
+    ec = jnp.fft.irfft(jnp.conj(rf[None, :]) * ef[:, None], nfft,
+                       axis=-1)                        # [N_est, N_ref, nfft]
+    c_all = ec[:, :, :ell]                             # lags 0..L-1
+
+    ridge = eps * jnp.trace(gram) / (n * ell)
+    eye_full = jnp.eye(n * ell, dtype=gram.dtype)
+
+    # projection onto ALL sources' delays (one solve, all estimates RHS)
+    h_all = jnp.linalg.solve(gram + ridge * eye_full,
+                             c_all.reshape(n, n * ell).T)    # [NL, N_est]
+    h_all = h_all.T.reshape(n, n, ell)                 # [N_est, N_ref, L]
+
+    # projection onto the OWN source's delays (batched per-source solve)
+    gram_own = toep[jnp.arange(n), jnp.arange(n)]      # [N, L, L]
+    eye_own = jnp.eye(ell, dtype=gram.dtype)
+    c_own = c_all[jnp.arange(n), jnp.arange(n)]        # [N_est, L]
+    h_own = jnp.linalg.solve(gram_own + ridge * eye_own,
+                             c_own[..., None])[..., 0]  # [N_est, L]
+
+    # synthesize the filtered projections in the frequency domain
+    hf_all = jnp.fft.rfft(h_all, nfft, axis=-1)        # [N_est, N_ref, K]
+    p_all = jnp.fft.irfft(jnp.sum(hf_all * rf[None, :], axis=1),
+                          nfft, axis=-1)[:, :t + ell - 1]
+    hf_own = jnp.fft.rfft(h_own, nfft, axis=-1)        # [N_est, K]
+    p_own = jnp.fft.irfft(hf_own * rf, nfft, axis=-1)[:, :t + ell - 1]
+
+    est_pad = jnp.pad(est32, ((0, 0), (0, ell - 1)))
+    s_target = p_own
+    e_interf = p_all - p_own
+    e_artif = est_pad - p_all
+
+    def _pow(x):
+        return jnp.sum(jnp.square(x), axis=-1)
+
+    db = lambda num, den: 10.0 * (jnp.log10(num + eps) - jnp.log10(den + eps))
+    return {
+        "sdr": db(_pow(s_target), _pow(e_interf + e_artif)),
+        "sir": db(_pow(s_target), _pow(e_interf)),
+        "sar": db(_pow(s_target + e_interf), _pow(e_artif)),
+    }
+
+
 def combinations_gather(data: jnp.ndarray, subset_size: int) -> jnp.ndarray:
     """Gather all C(total, subset_size) row subsets (reference ops.py:273-292).
 
