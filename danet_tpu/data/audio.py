@@ -98,3 +98,31 @@ def save_wavfile(filename: str, spectra: np.ndarray) -> None:
     (reference utils.py:125-135)."""
     data = istft_np(spectra)
     scipy.io.wavfile.write(filename, hparams.SMPRATE, data)
+
+
+def load_wav_raw(filename: str, smprate: int) -> np.ndarray:
+    """WAV -> mono float32 waveform resampled to `smprate`.
+
+    Raw-waveform twin of load_wavfile for the fused on-device DSP paths
+    (DaNet.separate_wav, serve artifacts) — no host STFT, no hparams
+    dependency."""
+    in_rate, data = scipy.io.wavfile.read(filename)
+    was_int = np.issubdtype(data.dtype, np.integer)
+    data = np.asarray(data, dtype=np.float64)
+    if data.ndim > 1:
+        data = data.mean(axis=-1)
+    if was_int:
+        data = data / 32768.0
+    if in_rate != smprate:
+        data = scipy.signal.resample(
+            data, int(ceil(len(data) * smprate / in_rate)))
+    return data.astype(np.float32)
+
+
+def save_wav_raw(filename: str, wav: np.ndarray, smprate: int) -> None:
+    """float waveform -> 16-bit WAV at `smprate`."""
+    wav = np.asarray(wav, dtype=np.float64)
+    peak = np.max(np.abs(wav)) or 1.0
+    pcm = np.clip(wav / max(peak, 1.0), -1.0, 1.0)
+    scipy.io.wavfile.write(
+        filename, smprate, (pcm * 32767.0).astype(np.int16))

@@ -1,0 +1,238 @@
+"""AOT serving artifacts: portable exported inference programs.
+
+The reference repo's only inference surface is the interactive demo mode
+(/root/reference/main.py:655-716 — rebuild the graph in-process, feed a WAV
+through the session).  This module adds the production path the TPU build
+is designed for: the fused waveform->separated-waveforms program
+(`DaNet.separate_wav` — GEMM-native STFT, encoder, attractors, masking,
+iSTFT, one XLA program) is ahead-of-time exported with `jax.export` into a
+serialized StableHLO artifact with the model parameters baked in as
+constants.  Serving then needs no model code, no config files and no
+tracing: deserialize + call.
+
+TPU serving reality drives two design points:
+
+  * **Static shapes.**  XLA compiles one program per input shape; a serving
+    fleet wants a small, fixed set of compiled programs, not a recompile
+    per request.  Artifacts are therefore *length-bucketed*: one exported
+    program per waveform length bucket, requests are zero-padded up to the
+    smallest admitting bucket (the same static-shape bucketing strategy the
+    trainer uses for TIME_BUCKET).
+  * **Platform pinning.**  An artifact lists the platforms it was lowered
+    for.  By default we export for the platform JAX is running on; pass
+    ``platforms=("tpu", "cpu")`` for a multi-platform artifact (this forces
+    the portable XLA DSP/RNN paths — Pallas kernels are TPU-only custom
+    calls and are disabled for multi-platform exports).
+
+Layout of an artifact directory:
+
+    manifest.json            bucket lengths, batch, model/config summary
+    sep_<LENGTH>.jaxexport   serialized jax.export.Exported per bucket
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+MANIFEST_NAME = "manifest.json"
+
+
+def _bucket_file(length: int) -> str:
+    return "sep_%d.jaxexport" % length
+
+
+def export_separator(model, params, out_dir: str,
+                     lengths: Sequence[int], batch: int = 1,
+                     platforms: Optional[Sequence[str]] = None) -> dict:
+    """Export `model.separate_wav(params, .)` for each length bucket.
+
+    Args:
+        model: a built DaNet (its hparams pin the DSP/encoder config).
+        params: trained parameter pytree (baked into the artifact).
+        out_dir: artifact directory (created if needed).
+        lengths: waveform-length buckets (samples), e.g. 8k/16k/32k.
+        batch: static batch size of the exported program.
+        platforms: lowering platforms, e.g. ("tpu",), ("tpu", "cpu").
+            None = the current default platform.  Multi-platform exports
+            force the portable XLA kernel backends.
+
+    Returns:
+        The manifest dict (also written to out_dir/manifest.json).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    hp = model.hp
+    lengths = sorted(int(l) for l in lengths)
+    if platforms is not None:
+        platforms = tuple(str(p) for p in platforms)
+        if len(platforms) > 1:
+            # Pallas kernels are TPU-only custom calls; a multi-platform
+            # artifact must lower the portable XLA paths everywhere.
+            if getattr(hp, "STFT_BACKEND", "auto") != "xla" or \
+                    getattr(hp, "LSTM_BACKEND", "auto") != "xla":
+                raise ValueError(
+                    "multi-platform export requires STFT_BACKEND='xla' and "
+                    "LSTM_BACKEND='xla' (Pallas custom calls are not "
+                    "portable across platforms)")
+
+    os.makedirs(out_dir, exist_ok=True)
+    # bake parameters in as program constants; normalize to unsharded jax
+    # arrays (numpy leaves would break traced indexing inside modules)
+    params = jax.tree.map(jnp.asarray, jax.device_get(params))
+
+    def fn(wav):
+        return model.separate_wav(params, wav)
+
+    for length in lengths:
+        spec = jax.ShapeDtypeStruct((batch, length), jnp.float32)
+        exp = jexport.export(jax.jit(fn), platforms=platforms)(spec)
+        with open(os.path.join(out_dir, _bucket_file(length)), "wb") as f:
+            f.write(exp.serialize())
+
+    manifest = {
+        "format": "danet-tpu-serve-v1",
+        "lengths": lengths,
+        "batch": int(batch),
+        "platforms": list(platforms) if platforms is not None
+        else [jexport.default_export_platform()],
+        "n_signal": int(hp.MAX_N_SIGNAL),
+        "smprate": int(hp.SMPRATE),
+        "fft_size": int(hp.FFT_SIZE),
+        "fft_stride": int(hp.FFT_STRIDE),
+        "encoder": str(hp.ENCODER_TYPE),
+        "infer_estimator": str(hp.INFER_ESTIMATOR_METHOD),
+        "separator": str(hp.SEPARATOR_TYPE),
+    }
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+class SeparatorBundle:
+    """Loaded serving artifact: bucketed exported programs + manifest.
+
+    ``separate(wav)`` zero-pads the request up to the smallest admitting
+    bucket, runs the exported program, and trims the outputs back to the
+    request length.
+    """
+
+    def __init__(self, directory: str):
+        with open(os.path.join(directory, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        if self.manifest.get("format") != "danet-tpu-serve-v1":
+            raise ValueError("not a danet-tpu serving artifact: %r"
+                             % (directory,))
+        from jax import export as jexport
+        self._programs = {}
+        for length in self.manifest["lengths"]:
+            with open(os.path.join(directory, _bucket_file(length)),
+                      "rb") as f:
+                self._programs[int(length)] = jexport.deserialize(f.read())
+
+    @property
+    def lengths(self):
+        return sorted(self._programs)
+
+    def _pick_bucket(self, length: int) -> int:
+        for cand in self.lengths:
+            if cand >= length:
+                return cand
+        raise ValueError(
+            "request length %d exceeds the largest exported bucket %d"
+            % (length, self.lengths[-1]))
+
+    def separate(self, wav: np.ndarray) -> np.ndarray:
+        """[L] or [B, L] float waveform -> [B, N, <=L] separated sources
+        (B=1 squeezed back out for rank-1 input)."""
+        wav = np.asarray(wav, dtype=np.float32)
+        squeeze = wav.ndim == 1
+        if squeeze:
+            wav = wav[None]
+        batch = self.manifest["batch"]
+        if wav.shape[0] != batch:
+            raise ValueError(
+                "artifact was exported with batch=%d, got %d"
+                % (batch, wav.shape[0]))
+        length = wav.shape[1]
+        bucket = self._pick_bucket(length)
+        padded = np.zeros((batch, bucket), dtype=np.float32)
+        padded[:, :length] = wav
+        out = np.asarray(self._programs[bucket].call(padded))
+        out = out[..., :length]
+        return out[0] if squeeze else out
+
+
+def load_separator(directory: str) -> SeparatorBundle:
+    return SeparatorBundle(directory)
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m danet_tpu.serve {export,run} ...
+# ---------------------------------------------------------------------------
+
+def _main():
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="export / run AOT separation serving artifacts")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("export", help="export a trained model")
+    ex.add_argument("-c", "--hparams-file", default=None)
+    ex.add_argument("-i", "--input-pfile", required=True,
+                    help="checkpoint to export")
+    ex.add_argument("-o", "--out-dir", required=True)
+    ex.add_argument("--lengths", default="16000,40000,80000",
+                    help="comma-separated waveform-length buckets")
+    ex.add_argument("--batch", type=int, default=1)
+    ex.add_argument("--platforms", default=None,
+                    help="comma-separated lowering platforms (e.g. "
+                         "'tpu,cpu'); default = current platform")
+
+    rn = sub.add_parser("run", help="separate a WAV with an artifact")
+    rn.add_argument("-d", "--artifact-dir", required=True)
+    rn.add_argument("-if", "--input-file", required=True)
+    rn.add_argument("-o", "--output-prefix", default="separated")
+    args = ap.parse_args()
+
+    if args.cmd == "export":
+        import jax
+        from danet_tpu.hparams import hparams
+        import danet_tpu  # noqa: F401 (registries)
+        from danet_tpu.models import DaNet
+        from danet_tpu.train import checkpoint as ckpt_lib
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        hparams.load_json(os.path.join(repo, "default.json"))
+        if args.hparams_file:
+            hparams.load_json(args.hparams_file)
+        hparams.digest()
+        model = DaNet()
+        params = model.init(jax.random.PRNGKey(0))
+        state = ckpt_lib.load_checkpoint(
+            args.input_pfile, {"params": params}, partial=True)
+        platforms = (args.platforms.split(",")
+                     if args.platforms else None)
+        manifest = export_separator(
+            model, state["params"], args.out_dir,
+            [int(x) for x in args.lengths.split(",")],
+            batch=args.batch, platforms=platforms)
+        print(json.dumps(manifest, indent=2, sort_keys=True))
+    else:
+        from danet_tpu.data import audio
+        bundle = load_separator(args.artifact_dir)
+        wav = audio.load_wav_raw(args.input_file,
+                                 bundle.manifest["smprate"])
+        out = bundle.separate(wav)
+        for i, src in enumerate(out):
+            path = "%s_%d.wav" % (args.output_prefix, i)
+            audio.save_wav_raw(path, src, bundle.manifest["smprate"])
+            print("wrote", path)
+
+
+if __name__ == "__main__":
+    _main()

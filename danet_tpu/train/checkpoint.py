@@ -31,12 +31,25 @@ def save_checkpoint(path: str, state: dict) -> None:
     ckptr.wait_until_finished()
 
 
-def load_checkpoint(path: str, template: dict) -> dict:
-    """Restore a train-state pytree; template supplies structure/shapes."""
+def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
+    """Restore a train-state pytree; template supplies structure/shapes.
+
+    partial=True restores only the subtree present in the template
+    (e.g. params-only consumers like the serving exporter)."""
     path = _abspath(path)
     ckptr = ocp.StandardCheckpointer()
     template = jax.tree_util.tree_map(np.asarray, template)
-    state = ckptr.restore(path, template)
+    if partial:
+        # restore the raw tree without a template, then select only the
+        # template's top-level keys (this orbax version has no
+        # partial_restore kwarg)
+        full = ckptr.restore(path)
+        missing = [k for k in template if k not in full]
+        if missing:
+            raise KeyError("checkpoint %s lacks keys %s" % (path, missing))
+        state = {k: full[k] for k in template}
+    else:
+        state = ckptr.restore(path, template)
     # counters round-trip as 0-d arrays; hand back python ints so consumers
     # (JSONL metrics writer, epoch arithmetic) see the template's types
     for key in ("step", "epoch"):
