@@ -135,13 +135,48 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_steps(self):
         model, opt = self.model, self.optimizer
+        accum = int(getattr(self.hp, "GRAD_ACCUM", 1) or 1)
+        if accum > 1 and self.hp.BATCH_SIZE % accum != 0:
+            raise ValueError(
+                "GRAD_ACCUM=%d must divide BATCH_SIZE=%d"
+                % (accum, self.hp.BATCH_SIZE))
+
+        def grads_and_metrics(params, src_ri, rng):
+            if accum == 1:
+                (loss, aux), grads = jax.value_and_grad(
+                    model.train_loss, has_aux=True)(params, src_ri, rng)
+                return grads, loss, aux["snr"]
+            # gradient accumulation: the effective batch stays BATCH_SIZE
+            # but fwd+bwd memory is one microbatch — lax.scan over accum
+            # microbatches inside ONE compiled step (big-batch training on
+            # a single chip's HBM; no reference analogue — single-GPU,
+            # whole-batch only, main.py:430-431)
+            micro = src_ri.reshape(
+                (accum, src_ri.shape[0] // accum) + src_ri.shape[1:])
+            rngs = (jax.random.split(rng, accum)
+                    if rng is not None else jnp.zeros((accum,)))
+
+            def body(carry, xs):
+                g_acc, loss_acc, snr_acc = carry
+                mb, k = xs
+                (loss, aux), grads = jax.value_and_grad(
+                    model.train_loss, has_aux=True)(
+                        params, mb, k if rng is not None else None)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, loss_acc + loss, snr_acc + aux["snr"]), None
+
+            init = (jax.tree_util.tree_map(jnp.zeros_like, params),
+                    jnp.zeros(()), jnp.zeros(()))
+            (g, l, s), _ = jax.lax.scan(body, init, (micro, rngs))
+            inv = 1.0 / accum
+            return (jax.tree_util.tree_map(lambda x: x * inv, g),
+                    l * inv, s * inv)
 
         def train_step(params, opt_state, src_ri, rng):
-            (loss, aux), grads = jax.value_and_grad(
-                model.train_loss, has_aux=True)(params, src_ri, rng)
+            grads, loss, snr = grads_and_metrics(params, src_ri, rng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, {"loss": loss, "SNR": aux["snr"]}
+            return params, opt_state, {"loss": loss, "SNR": snr}
 
         def valid_step(params, src_ri):
             m = model.valid_metrics(params, src_ri)

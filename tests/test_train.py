@@ -242,3 +242,48 @@ def test_save_best_keeps_best_valid_checkpoint(fresh_hparams, tmp_path):
     trainer.train(2, ds, save_on_epoch=False, valid_on_epoch=True,
                   save_best=True)
     assert os.path.isdir(os.path.join(str(tmp_path), "best_best"))
+
+
+def test_grad_accum_matches_full_batch(fresh_hparams):
+    """GRAD_ACCUM=k microbatched steps produce the same parameter update
+    as the whole-batch step (deterministic: dropout off)."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.BATCH_SIZE = 8
+    hp.DROPOUT_KEEP_PROB = 1.0
+    hp.digest()
+    rng = np.random.RandomState(3)
+    flat = rng.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 32,
+                    hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    results = {}
+    for accum in (1, 4):
+        hp.GRAD_ACCUM = accum
+        trainer = Trainer(DaNet(), name="ga%d" % accum,
+                          mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        src = trainer._put_batch(batch)
+        for i in range(2):
+            state["params"], state["opt_state"], m = trainer._train_step(
+                state["params"], state["opt_state"], src,
+                jax.random.PRNGKey(i))
+        results[accum] = (jax.device_get(state["params"]), float(m["loss"]))
+    hp.GRAD_ACCUM = 1
+
+    p1, l1 = results[1]
+    p4, l4 = results[4]
+    np.testing.assert_allclose(l1, l4, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_grad_accum_must_divide_batch(fresh_hparams):
+    hp = _tiny_hp(fresh_hparams)
+    hp.BATCH_SIZE = 4
+    hp.GRAD_ACCUM = 3
+    hp.digest()
+    with pytest.raises(ValueError, match="GRAD_ACCUM"):
+        Trainer(DaNet(), name="bad",
+                mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    hp.GRAD_ACCUM = 1
