@@ -107,12 +107,18 @@ def load_wav_raw(filename: str, smprate: int) -> np.ndarray:
     (DaNet.separate_wav, serve artifacts) — no host STFT, no hparams
     dependency."""
     in_rate, data = scipy.io.wavfile.read(filename)
-    was_int = np.issubdtype(data.dtype, np.integer)
+    dtype = data.dtype
     data = np.asarray(data, dtype=np.float64)
+    if np.issubdtype(dtype, np.integer):
+        # scale per sample width; scipy reads 8-bit WAV as unsigned
+        # (centered at 128), wider widths as signed
+        info = np.iinfo(dtype)
+        if info.min == 0:
+            data = data - (info.max + 1) / 2.0
+        data = data / ((info.max + 1) / 2.0 if info.min == 0
+                       else info.max + 1.0)
     if data.ndim > 1:
         data = data.mean(axis=-1)
-    if was_int:
-        data = data / 32768.0
     if in_rate != smprate:
         data = scipy.signal.resample(
             data, int(ceil(len(data) * smprate / in_rate)))
@@ -122,7 +128,7 @@ def load_wav_raw(filename: str, smprate: int) -> np.ndarray:
 def save_wav_raw(filename: str, wav: np.ndarray, smprate: int) -> None:
     """float waveform -> 16-bit WAV at `smprate`."""
     wav = np.asarray(wav, dtype=np.float64)
-    peak = np.max(np.abs(wav)) or 1.0
-    pcm = np.clip(wav / max(peak, 1.0), -1.0, 1.0)
+    # attenuate only if out of range; quiet signals pass through unchanged
+    pcm = np.clip(wav / max(float(np.max(np.abs(wav))), 1.0), -1.0, 1.0)
     scipy.io.wavfile.write(
         filename, smprate, (pcm * 32767.0).astype(np.int16))

@@ -70,15 +70,33 @@ def export_separator(model, params, out_dir: str,
     lengths = sorted(int(l) for l in lengths)
     if platforms is not None:
         platforms = tuple(str(p) for p in platforms)
-        if len(platforms) > 1:
-            # Pallas kernels are TPU-only custom calls; a multi-platform
-            # artifact must lower the portable XLA paths everywhere.
-            if getattr(hp, "STFT_BACKEND", "auto") != "xla" or \
-                    getattr(hp, "LSTM_BACKEND", "auto") != "xla":
-                raise ValueError(
-                    "multi-platform export requires STFT_BACKEND='xla' and "
-                    "LSTM_BACKEND='xla' (Pallas custom calls are not "
-                    "portable across platforms)")
+    targets = platforms or (jexport.default_export_platform(),)
+
+    # Backend resolution must follow the export TARGET platform, not the
+    # platform this process happens to run on (`separate_wav`'s 'auto'
+    # keys off jax.default_backend()).  Pallas kernels are TPU-only
+    # Mosaic custom calls: any non-TPU target must bake the portable XLA
+    # paths, and we refuse (rather than silently mis-lower) if the config
+    # explicitly pinned Pallas.
+    non_tpu_target = any(p not in ("tpu", "axon") for p in targets)
+    saved_backends = (getattr(hp, "STFT_BACKEND", "auto"),
+                      getattr(hp, "LSTM_BACKEND", "auto"))
+    if non_tpu_target:
+        if "pallas" in saved_backends:
+            raise ValueError(
+                "export for platforms %r requires the portable XLA "
+                "backends, but STFT_BACKEND/LSTM_BACKEND pin 'pallas' "
+                "(TPU-only Mosaic custom calls)" % (targets,))
+        hp.STFT_BACKEND, hp.LSTM_BACKEND = "xla", "xla"
+    elif jax.default_backend() not in ("tpu", "axon"):
+        # TPU-only target but tracing on a non-TPU host: 'auto' would
+        # resolve to XLA and silently forfeit the Pallas kernels
+        import warnings
+        warnings.warn(
+            "exporting a TPU artifact from a %s host bakes the portable "
+            "XLA DSP/RNN paths ('auto' backends resolve by the tracing "
+            "platform); export on a TPU host for the Pallas kernels"
+            % jax.default_backend())
 
     os.makedirs(out_dir, exist_ok=True)
     # bake parameters in as program constants; normalize to unsharded jax
@@ -88,11 +106,15 @@ def export_separator(model, params, out_dir: str,
     def fn(wav):
         return model.separate_wav(params, wav)
 
-    for length in lengths:
-        spec = jax.ShapeDtypeStruct((batch, length), jnp.float32)
-        exp = jexport.export(jax.jit(fn), platforms=platforms)(spec)
-        with open(os.path.join(out_dir, _bucket_file(length)), "wb") as f:
-            f.write(exp.serialize())
+    try:
+        for length in lengths:
+            spec = jax.ShapeDtypeStruct((batch, length), jnp.float32)
+            exp = jexport.export(jax.jit(fn), platforms=platforms)(spec)
+            with open(os.path.join(out_dir, _bucket_file(length)),
+                      "wb") as f:
+                f.write(exp.serialize())
+    finally:
+        hp.STFT_BACKEND, hp.LSTM_BACKEND = saved_backends
 
     manifest = {
         "format": "danet-tpu-serve-v1",

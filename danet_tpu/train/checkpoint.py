@@ -48,6 +48,26 @@ def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
         if missing:
             raise KeyError("checkpoint %s lacks keys %s" % (path, missing))
         state = {k: full[k] for k in template}
+        # an untyped restore skips Orbax's template validation — check the
+        # selected subtrees ourselves so a checkpoint from a different
+        # architecture fails HERE with a clear message, not deep inside a
+        # later trace
+        for key, want in template.items():
+            w_tree = jax.tree_util.tree_structure(want)
+            g_tree = jax.tree_util.tree_structure(state[key])
+            if w_tree != g_tree:
+                raise ValueError(
+                    "checkpoint %s[%r] tree structure %s does not match "
+                    "the expected %s (different architecture/config?)"
+                    % (path, key, g_tree, w_tree))
+            for w_leaf, g_leaf in zip(jax.tree_util.tree_leaves(want),
+                                      jax.tree_util.tree_leaves(state[key])):
+                w_shape = np.shape(w_leaf)
+                if w_shape != np.shape(g_leaf):
+                    raise ValueError(
+                        "checkpoint %s[%r] leaf shape %s != expected %s "
+                        "(different architecture/config?)"
+                        % (path, key, np.shape(g_leaf), w_shape))
     else:
         state = ckptr.restore(path, template)
     # counters round-trip as 0-d arrays; hand back python ints so consumers

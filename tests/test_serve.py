@@ -75,3 +75,60 @@ def test_manifest_format_guard(tmp_path):
         json.dump({"format": "something-else"}, f)
     with pytest.raises(ValueError, match="not a danet-tpu serving"):
         serve.load_separator(str(tmp_path / "bad"))
+
+
+def test_partial_restore_rejects_wrong_architecture(tiny_model, tmp_path):
+    """A checkpoint from a different config must fail partial restore with
+    a clear error, not deep inside export tracing."""
+    from danet_tpu.train import checkpoint as ckpt_lib
+    model, params = tiny_model
+    path = str(tmp_path / "ckpt")
+    ckpt_lib.save_checkpoint(path, {"params": params, "step": 3})
+
+    import jax.numpy as jnp
+    bad = jax.tree_util.tree_map(
+        lambda x: jnp.zeros(x.shape + (2,), x.dtype), params)
+    with pytest.raises(ValueError, match="architecture"):
+        ckpt_lib.load_checkpoint(path, {"params": bad}, partial=True)
+    with pytest.raises(KeyError, match="lacks keys"):
+        ckpt_lib.load_checkpoint(path, {"nonexistent": 1}, partial=True)
+    # correct template round-trips and selects only the requested key
+    got = ckpt_lib.load_checkpoint(path, {"params": params}, partial=True)
+    assert set(got) == {"params"}
+
+
+def test_load_wav_raw_scaling(tmp_path):
+    """Integer PCM of every width loads to the same +-1.0-scale float."""
+    import scipy.io.wavfile
+    from danet_tpu.data import audio
+    t = np.arange(4000)
+    wav = 0.5 * np.sin(2 * np.pi * 440 * t / 8000.0)
+    cases = {
+        "i16.wav": (wav * 32767).astype(np.int16),
+        "i32.wav": (wav * 2147483647).astype(np.int32),
+        "u8.wav": ((wav * 127) + 128).astype(np.uint8),
+        "f32.wav": wav.astype(np.float32),
+    }
+    for name, pcm in cases.items():
+        path = str(tmp_path / name)
+        scipy.io.wavfile.write(path, 8000, pcm)
+        got = audio.load_wav_raw(path, 8000)
+        peak = float(np.max(np.abs(got)))
+        assert 0.4 < peak < 0.6, (name, peak)
+        assert abs(float(np.mean(got))) < 0.01, (name, "dc offset")
+
+
+def test_export_rejects_pinned_pallas_for_cpu_target(tiny_model, tmp_path):
+    model, params = tiny_model
+    hparams.STFT_BACKEND = "pallas"
+    try:
+        with pytest.raises(ValueError, match="portable XLA"):
+            serve.export_separator(model, params, str(tmp_path / "a"),
+                                   lengths=[4096], platforms=["cpu"])
+    finally:
+        hparams.STFT_BACKEND = "auto"
+    # and the backends are restored after a successful export
+    serve.export_separator(model, params, str(tmp_path / "b"),
+                           lengths=[4096], platforms=["cpu"])
+    assert hparams.STFT_BACKEND == "auto"
+    assert hparams.LSTM_BACKEND == "auto"
