@@ -29,9 +29,18 @@ class SyntheticTonesData(Dataset):
         v = getattr(hparams, "SYNTH_BATCHES", None)
         return 20 if v is None else int(v)
 
+    # epochs are deterministic (seeded per batch index, not per epoch), so
+    # regenerating + re-STFT-ing every epoch is pure host-side waste — the
+    # device step is ~6 ms while corpus regeneration dominated epoch wall
+    # time.  Cache the generated batches per (subset, shape-config) key,
+    # up to this many bytes total (beyond it, fall back to regeneration).
+    CACHE_BYTES_MAX = 4 << 30
+
     def __init__(self, seed: int = 0):
         super().__init__()
         self.seed = seed
+        self._cache = {}
+        self._cache_bytes = 0
 
     def install_and_load(self):
         self.is_loaded = True
@@ -53,19 +62,36 @@ class SyntheticTonesData(Dataset):
             wav += env * np.sin(2 * np.pi * freq * t + phase)
         return (wav / self.N_TONES).astype(np.float32)
 
+    def _make_batch(self, subset: str, batch_size: int,
+                    b: int) -> np.ndarray:
+        import scipy.signal
+        base = {"train": 0, "valid": 10 ** 6, "test": 2 * 10 ** 6}[subset]
+        rng = np.random.RandomState(self.seed + base + b)
+        spectra = []
+        for _ in range(batch_size):
+            wav = self._utterance(rng)
+            z = scipy.signal.stft(
+                wav, window=hparams.FFT_WND_ARRAY,
+                nperseg=hparams.FFT_SIZE,
+                noverlap=hparams.FFT_SIZE - hparams.FFT_STRIDE)[2]
+            spectra.append(z.astype(hparams.COMPLEXX).T)
+        return np.stack(spectra)
+
     def epoch(self, subset, batch_size, shuffle=False):
         if not self.is_loaded:
             raise RuntimeError("Dataset is not loaded.")
-        import scipy.signal
-        base = {"train": 0, "valid": 10 ** 6, "test": 2 * 10 ** 6}[subset]
+        key = (subset, batch_size, self.N_BATCHES, hparams.FFT_SIZE,
+               hparams.FFT_STRIDE, hparams.SMPRATE, hparams.COMPLEXX)
+        cached = self._cache.get(key)
         for b in range(self.N_BATCHES):
-            rng = np.random.RandomState(self.seed + base + b)
-            spectra = []
-            for _ in range(batch_size):
-                wav = self._utterance(rng)
-                z = scipy.signal.stft(
-                    wav, window=hparams.FFT_WND_ARRAY,
-                    nperseg=hparams.FFT_SIZE,
-                    noverlap=hparams.FFT_SIZE - hparams.FFT_STRIDE)[2]
-                spectra.append(z.astype(hparams.COMPLEXX).T)
-            yield (np.stack(spectra),)
+            if cached is not None and b < len(cached):
+                batch = cached[b]
+            else:
+                batch = self._make_batch(subset, batch_size, b)
+                if self._cache_bytes + batch.nbytes <= self.CACHE_BYTES_MAX:
+                    if cached is None:
+                        cached = self._cache[key] = []
+                    if b == len(cached):
+                        cached.append(batch)
+                        self._cache_bytes += batch.nbytes
+            yield (batch,)

@@ -142,3 +142,29 @@ def test_timit_exact_multiple_keeps_all_batches(fresh_hparams, tmp_path):
     assert len(list(ds.epoch("train", 4))) == 3
     assert len(list(ds.epoch("train", 12))) == 1
     assert len(list(ds.epoch("train", 5))) == 3  # 2 full + 1 tail
+
+
+def test_synth_epoch_cache_identical_and_hit(fresh_hparams):
+    """Cached epochs replay byte-identical batches without regenerating."""
+    from danet_tpu.data.synth import SyntheticTonesData
+    fresh_hparams.SYNTH_BATCHES = 3
+    fresh_hparams.digest()
+    ds = SyntheticTonesData()
+    ds.install_and_load()
+    first = [b[0].copy() for b in ds.epoch("train", 4)]
+    calls = {"n": 0}
+    orig = ds._make_batch
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    ds._make_batch = counting
+    second = [b[0] for b in ds.epoch("train", 4)]
+    assert calls["n"] == 0  # fully served from cache
+    for a, b in zip(first, second):
+        np.testing.assert_array_equal(a, b)
+    # different subset is a different cache key (held-out stays held-out)
+    valid = [b[0] for b in ds.epoch("valid", 4)]
+    assert calls["n"] == 3
+    assert not np.array_equal(valid[0], first[0])
