@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--n-signal", type=int, default=2)
     ap.add_argument("--no-sdr", action="store_true",
                     help="skip the BSS-eval solve (faster)")
+    ap.add_argument("--kmeans-iter", type=int, default=None,
+                    help="override KMEANS_ITER for the kmeans estimator")
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
@@ -44,6 +46,8 @@ def main():
     hparams.SYNTH_BATCHES = args.batches
     hparams.EVAL_SI_SNR = True
     hparams.EVAL_SDR = not args.no_sdr
+    if args.kmeans_iter is not None:
+        hparams.KMEANS_ITER = args.kmeans_iter
     hparams.digest()
 
     from danet_tpu.models import DaNet

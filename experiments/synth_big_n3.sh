@@ -1,0 +1,20 @@
+#!/bin/bash
+# 3-speaker flagship at larger data scale (PARITY.md N=3 numbers came from
+# the 960-mixture corpus; tone bands overlap heavily at N=3 so the ideal
+# mask ceiling is lower — more data is the main available lever).
+set -e
+cd "$(dirname "$0")/.."
+SAVE=saves/synth_big_n3
+mkdir -p "$SAVE"
+PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
+    --eval-si-snr --n-signal 3"
+
+echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
+$PY --epochs 12 --lr 1e-3
+echo "=== stage B: PIT-MSE @ 3e-4 (12 epochs)"
+$PY --epochs 12 --lr 3e-4 --resume
+echo "=== stage C: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
+$PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
+echo "=== stage D: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
+$PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
+echo "=== all stages done"
