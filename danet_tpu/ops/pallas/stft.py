@@ -32,15 +32,29 @@ from danet_tpu.ops import dsp
 FRAMES_BLK = 128  # frames per grid step (MXU-aligned M dimension)
 
 
+_BASIS_CACHE: dict = {}
+
+
 def _basis_banded(fft_size: int, stride: int, window: np.ndarray):
-    """Windowed DFT basis [fft_size, 2F] split into R [stride, 2F] bands."""
+    """Windowed DFT basis [fft_size, 2F] split into R [stride, 2F] bands.
+
+    Cached per (fft_size, stride, window bytes) — eager callers (per-
+    request serving) would otherwise rebuild and re-upload the constant
+    on every call (dsp._dft_basis is lru_cached for the same reason).
+    """
+    key = (fft_size, stride, window.tobytes())
+    hit = _BASIS_CACHE.get(key)
+    if hit is not None:
+        return hit
     cos_b, sin_b = dsp._dft_basis(fft_size, "float32")
     scale = 1.0 / float(np.sum(window))
     w = window.astype(np.float64)[:, None] * scale
     full = np.concatenate([w * cos_b, w * sin_b], axis=1).astype(np.float32)
     r = fft_size // stride
-    return np.ascontiguousarray(
+    out = np.ascontiguousarray(
         full.reshape(r, stride, full.shape[1]))  # [R, stride, 2F]
+    _BASIS_CACHE[key] = out
+    return out
 
 
 def _stft_kernel(*refs, n_bands: int, feat: int, logmag: bool):

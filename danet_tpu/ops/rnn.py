@@ -68,13 +68,24 @@ def _check_backend(backend: str) -> str:
 
 
 def lstm_backend_default() -> str:
-    """'pallas' on TPU backends, 'xla' on CPU/GPU.
+    """'pallas' on TPU backends, 'xla' on CPU/GPU and under tensor
+    parallelism.
 
     The Pallas kernel (ops/pallas/lstm.py) uses TPU Mosaic primitives
     (pltpu VMEM specs), so it is only selected for TPU-family backends
     ('tpu', or 'axon' — the tunneled TPU platform); everything else gets
     the portable XLA scan.
+
+    With MESH_MODEL > 1 the gate matmuls are TP-sharded on the 'model'
+    axis (parallel/sharding.py); a pallas_call is an opaque custom call
+    with no GSPMD partitioning rule, so selecting it would silently
+    all-gather the sharded weights and run the scan replicated — 'auto'
+    therefore resolves to the partitionable XLA scan whenever tensor
+    parallelism is configured (pin LSTM_BACKEND='pallas' to override).
     """
+    from danet_tpu.hparams import hparams
+    if int(getattr(hparams, "MESH_MODEL", 1) or 1) > 1:
+        return "xla"
     return ("pallas" if jax.default_backend() in ("tpu", "axon")
             else "xla")
 

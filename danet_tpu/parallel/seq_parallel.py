@@ -79,6 +79,8 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
         [B, T, 2*hdim] (global, T-sharded internally)
     """
     s = mesh.shape[seq_axis]
+    assert halo >= 1, "halo must be >= 1 (x[:, -halo:] with halo=0 would " \
+        "select the whole chunk, not an empty one)"
     assert x.shape[1] % s == 0, "T must divide across the seq axis"
     assert x.shape[1] // s >= halo, "chunk must be >= halo"
 

@@ -60,7 +60,9 @@ def mesh_from_hparams(hp=None, devices=None) -> Mesh:
     if (n_data or 1) * (n_model or 1) > 1:
         return make_mesh(n_data, n_model, devices)
     batch = getattr(hp, "BATCH_SIZE", len(devices))
-    n_data = math.gcd(len(devices), batch)
+    # largest device count that evenly divides the batch (gcd would
+    # under-utilize, e.g. 8 devices / batch 12 -> 4 instead of 6)
+    n_data = max(k for k in range(1, len(devices) + 1) if batch % k == 0)
     return make_mesh(n_data, 1, devices=devices[:n_data])
 
 

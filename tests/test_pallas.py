@@ -179,3 +179,36 @@ def test_pallas_gru_gradients_match_xla(fresh_hparams):
         np.testing.assert_allclose(
             np.asarray(g_pal[k]), np.asarray(g_ref[k]),
             atol=2e-5, rtol=1e-4, err_msg=k)
+
+
+def test_pallas_stft_logmag_branch_matches_dsp(fresh_hparams, monkeypatch):
+    """The fused (mag, log1p(mag)) feature branch vs the XLA reference."""
+    import danet_tpu.ops.pallas.stft as pstft
+    from danet_tpu.ops import dsp
+
+    orig = pstft.pl.pallas_call
+
+    def interp_call(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pstft.pl, "pallas_call", interp_call)
+    pstft._stft_pallas_padded._clear_cache()
+    hp = fresh_hparams
+    w = hp.FFT_WND_ARRAY
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(2, 8000).astype(np.float32))
+    ri = np.asarray(dsp.stft_ri(x, 256, 64, w))
+    mag_ref = np.sqrt((ri ** 2).sum(-1))
+    out = np.asarray(pstft.stft_ri_pallas(x, 256, 64, w, logmag=True))
+    np.testing.assert_allclose(out[..., 0], mag_ref, atol=2e-5)
+    np.testing.assert_allclose(out[..., 1], np.log1p(mag_ref), atol=2e-5)
+    pstft._stft_pallas_padded._clear_cache()
+
+
+def test_stft_basis_cached():
+    import danet_tpu.ops.pallas.stft as pstft
+    w = np.hanning(256).astype(np.float32)
+    a = pstft._basis_banded(256, 64, w)
+    b = pstft._basis_banded(256, 64, w)
+    assert a is b  # second call served from cache

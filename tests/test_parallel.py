@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 from jax.sharding import PartitionSpec as P
 
 from danet_tpu import optim as optim_lib
@@ -324,3 +325,35 @@ def test_trainer_full_epoch_on_mesh(fresh_hparams, tmp_path):
     assert state["epoch"] == 1
     import os
     assert os.path.isdir(trainer.save_path(1))
+
+
+def test_mesh_from_hparams_max_divisor(fresh_hparams):
+    """Device-count selection takes the largest divisor of the batch, not
+    the gcd (8 devices / batch 12 should use 6, not 4)."""
+    from danet_tpu.parallel.sharding import mesh_from_hparams
+    hp = fresh_hparams
+    hp.MESH_DATA = 0
+    hp.MESH_MODEL = 0
+    hp.BATCH_SIZE = 12
+    mesh = mesh_from_hparams(hp)  # 8 virtual devices in conftest
+    assert mesh.shape["data"] == 6
+    hp.BATCH_SIZE = 9
+    assert mesh_from_hparams(hp).shape["data"] == 3
+
+
+def test_sp_halo_zero_rejected(fresh_hparams):
+    from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    x = jnp.zeros((2, 64, 8), jnp.float32)
+    with pytest.raises(AssertionError, match="halo must be >= 1"):
+        bilstm_stack_sp([], x, mesh, halo=0)
+
+
+def test_lstm_backend_auto_resolves_xla_under_tp(fresh_hparams):
+    """'auto' must not pick the unpartitionable Pallas custom call when
+    tensor parallelism is configured."""
+    from danet_tpu.ops import rnn
+    fresh_hparams.MESH_MODEL = 2
+    assert rnn.lstm_backend_default() == "xla"
+    fresh_hparams.MESH_MODEL = 1
