@@ -132,3 +132,28 @@ def test_export_rejects_pinned_pallas_for_cpu_target(tiny_model, tmp_path):
                            lengths=[4096], platforms=["cpu"])
     assert hparams.STFT_BACKEND == "auto"
     assert hparams.LSTM_BACKEND == "auto"
+
+
+def test_export_attn_encoder_roundtrip(tmp_path):
+    """Serving export of the transformer encoder (tiny dims)."""
+    import danet_tpu  # noqa: F401
+    from danet_tpu.models import DaNet
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hparams.load_json(os.path.join(repo, "default.json"))
+    hparams.ENCODER_TYPE = "attn-v1"
+    hparams.ATTN_DIM = 32
+    hparams.ATTN_HEADS = 2
+    hparams.ATTN_LAYERS = 1
+    hparams.BATCH_SIZE = 1
+    hparams.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    out_dir = str(tmp_path / "attn")
+    serve.export_separator(model, params, out_dir, lengths=[4096], batch=1)
+    bundle = serve.load_separator(out_dir)
+    wav = np.random.RandomState(0).randn(4096).astype(np.float32) * 0.1
+    got = bundle.separate(wav)
+    want = np.asarray(jax.jit(
+        lambda w: model.separate_wav(params, w))(wav[None]))[0]
+    np.testing.assert_allclose(got, want[:, :got.shape[1]],
+                               rtol=1e-5, atol=1e-6)
