@@ -388,22 +388,9 @@ class Trainer:
 
             if not valid_on_epoch:
                 continue
-            cli_report = OrderedDict()
-            i_batch = -1
-            for i_batch, data_pt in enumerate(dataset.epoch(
-                    "valid", hp.BATCH_SIZE * hp.MAX_N_SIGNAL,
-                    shuffle=False)):
-                batch = prepare_batch(
-                    data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
-                    bucket=bucket)
-                metrics = self._valid_step(
-                    state["params"], self._put_batch(batch))
-                metrics = {k: float(v) for k, v in metrics.items()}
-                writer.scalars("valid", metrics, state["step"])
-                sys.stdout.write(".")
-                sys.stdout.flush()
-                _dict_add(cli_report, metrics)
-            _dict_mul(cli_report, 1.0 / max(i_batch + 1, 1))
+            cli_report = self._metrics_sweep(
+                state, dataset, "valid", bucket)
+            writer.scalars("valid", cli_report, state["step"])
             sys.stdout.write("\nValid  %d/%d %s\n" % (
                 epoch, n_total, _dict_format(cli_report)))
             sys.stdout.flush()
@@ -420,25 +407,44 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
-    def test(self, state, dataset, subset: str = "test",
-             name: str = "Test") -> dict:
-        """One metrics pass over a subset (reference main.py:512-532; unlike
-        the reference, reports the *average* over batches, not the sum)."""
+    def _metrics_sweep(self, state, dataset, subset: str, bucket) -> dict:
+        """One metrics pass with device-side accumulation.
+
+        Fetching each batch's scalars immediately (`float(v)` per batch)
+        serializes dispatch -> transfer -> dispatch, which dominates sweep
+        wall time on high-latency device links (the tunneled TPU pays a
+        full RTT per fetch).  Instead the per-batch metric dicts stay on
+        device and are summed there; the sweep does exactly ONE host
+        transfer at the end.  (TensorBoard gets the sweep mean rather than
+        per-batch points — the per-batch curves were an artifact of the
+        reference's synchronous sess.run loop, main.py:482-509.)
+        """
         hp = self.hp
-        bucket = getattr(hp, "TIME_BUCKET", None)
-        cli_report = OrderedDict()
-        i_batch = -1
-        for i_batch, data_pt in enumerate(dataset.epoch(
-                subset, hp.BATCH_SIZE * hp.MAX_N_SIGNAL)):
+        acc = None
+        n = 0
+        for data_pt in dataset.epoch(
+                subset, hp.BATCH_SIZE * hp.MAX_N_SIGNAL, shuffle=False):
             batch = prepare_batch(
                 data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL, bucket=bucket)
             metrics = self._valid_step(
                 state["params"], self._put_batch(batch))
-            _dict_add(cli_report, {k: float(v) for k, v in metrics.items()})
+            acc = metrics if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, metrics)
+            n += 1
             sys.stdout.write(".")
             sys.stdout.flush()
-        if i_batch >= 0:
-            _dict_mul(cli_report, 1.0 / (i_batch + 1))
+        if acc is None:
+            return OrderedDict()
+        fetched = jax.device_get(acc)  # the sweep's single host transfer
+        return OrderedDict(
+            (k, float(v) / n) for k, v in sorted(fetched.items()))
+
+    def test(self, state, dataset, subset: str = "test",
+             name: str = "Test") -> dict:
+        """One metrics pass over a subset (reference main.py:512-532; unlike
+        the reference, reports the *average* over batches, not the sum)."""
+        bucket = getattr(self.hp, "TIME_BUCKET", None)
+        cli_report = self._metrics_sweep(state, dataset, subset, bucket)
         sys.stdout.write("\n%s: %s\n" % (name, _dict_format(cli_report)))
         return cli_report
 
