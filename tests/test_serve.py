@@ -157,3 +157,28 @@ def test_export_attn_encoder_roundtrip(tmp_path):
         lambda w: model.separate_wav(params, w))(wav[None]))[0]
     np.testing.assert_allclose(got, want[:, :got.shape[1]],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_export_kmeans_inference_estimator(tmp_path):
+    """The shipping inference config (configs/tpu.json) uses the kmeans
+    estimator; its unrolled-fori refinement must export cleanly."""
+    import danet_tpu  # noqa: F401
+    from danet_tpu.models import DaNet
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hparams.load_json(os.path.join(repo, "default.json"))
+    hparams.ENCODER_TYPE = "toy"
+    hparams.INFER_ESTIMATOR_METHOD = "kmeans"
+    hparams.BATCH_SIZE = 1
+    hparams.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    out_dir = str(tmp_path / "km")
+    serve.export_separator(model, params, out_dir, lengths=[4096], batch=1)
+    bundle = serve.load_separator(out_dir)
+    assert bundle.manifest["infer_estimator"] == "kmeans"
+    wav = np.random.RandomState(0).randn(4096).astype(np.float32) * 0.1
+    got = bundle.separate(wav)
+    want = np.asarray(jax.jit(
+        lambda w: model.separate_wav(params, w))(wav[None]))[0]
+    np.testing.assert_allclose(got, want[:, :got.shape[1]],
+                               rtol=1e-5, atol=1e-6)
