@@ -173,7 +173,8 @@ def pit_si_snr_loss(target_wav: jnp.ndarray, estimate_wav: jnp.ndarray,
 
 
 def bss_eval_sources(ref: jnp.ndarray, est: jnp.ndarray,
-                     filt_len: int = 512, eps: float = 1e-10):
+                     filt_len: int = 512, eps: float = 1e-10,
+                     rcond: float = 1e-6):
     """BSS-eval SDR / SIR / SAR with a time-invariant distortion filter.
 
     The standard source-separation evaluation (Vincent et al. 2006, BSS
@@ -203,7 +204,18 @@ def bss_eval_sources(ref: jnp.ndarray, est: jnp.ndarray,
         ref: [N, T] true source waveforms.
         est: [N, T] separated waveforms, source-aligned with ref.
         filt_len: allowed distortion filter length L (512 = standard).
-        eps: Tikhonov regularizer for the Gram solves.
+        eps: floor inside the dB ratios.
+        rcond: relative eigenvalue cutoff of the Gram pseudo-inverse
+            (f32 precision is ~1e-7; rank-deficient Grams arise when
+            sources share spectral content).
+
+    Identifiability caveat: when sources genuinely SHARE spectral
+    components (e.g. narrowband tonal material with coinciding
+    frequencies), the target/interference split is non-identifiable —
+    P_all vs P_own assign the shared component differently and SIR/SDR
+    become meaningless regardless of solver precision (mir_eval's
+    bss_eval has the same property).  Use SNR/SI-SNR on such material;
+    BSS-eval is intended for broadband sources (speech).
 
     Returns:
         dict with "sdr", "sir", "sar": each a [N] vector in dB.
@@ -238,20 +250,25 @@ def bss_eval_sources(ref: jnp.ndarray, est: jnp.ndarray,
                        axis=-1)                        # [N_est, N_ref, nfft]
     c_all = ec[:, :, :ell]                             # lags 0..L-1
 
-    ridge = eps * jnp.trace(gram) / (n * ell)
-    eye_full = jnp.eye(n * ell, dtype=gram.dtype)
+    # Projection coefficients via Hermitian pseudo-inverse (eigenvalue
+    # cutoff), NOT a ridge solve: when sources share near-identical
+    # spectral content the block-Toeplitz Gram is rank-deficient, and an
+    # f32 linear solve returns exploding, mutually-cancelling h — the
+    # symptom is SDR > SIR (impossible for exact projections, since
+    # e_artif ⊥ span(refs) ⊥-decomposes the denominator).  The projection
+    # itself is unique on the span regardless of which h expresses it, and
+    # the SVD-cutoff pinv computes exactly that min-norm h stably.
+    def _psolve(g, rhs):
+        return jnp.linalg.pinv(g, rcond=rcond, hermitian=True) @ rhs
 
-    # projection onto ALL sources' delays (one solve, all estimates RHS)
-    h_all = jnp.linalg.solve(gram + ridge * eye_full,
-                             c_all.reshape(n, n * ell).T)    # [NL, N_est]
+    # projection onto ALL sources' delays (one pinv, all estimates RHS)
+    h_all = _psolve(gram, c_all.reshape(n, n * ell).T)       # [NL, N_est]
     h_all = h_all.T.reshape(n, n, ell)                 # [N_est, N_ref, L]
 
-    # projection onto the OWN source's delays (batched per-source solve)
+    # projection onto the OWN source's delays (batched per-source)
     gram_own = toep[jnp.arange(n), jnp.arange(n)]      # [N, L, L]
-    eye_own = jnp.eye(ell, dtype=gram.dtype)
     c_own = c_all[jnp.arange(n), jnp.arange(n)]        # [N_est, L]
-    h_own = jnp.linalg.solve(gram_own + ridge * eye_own,
-                             c_own[..., None])[..., 0]  # [N_est, L]
+    h_own = jax.vmap(_psolve)(gram_own, c_own[..., None])[..., 0]
 
     # synthesize the filtered projections in the frequency domain
     hf_all = jnp.fft.rfft(h_all, nfft, axis=-1)        # [N_est, N_ref, K]
