@@ -5,7 +5,8 @@ Equivalent of the reference pipeline
 si_dt_05 / si_et_05 file lists produced by install.sh, decodes each SPHERE
 file (via the bundled native C++ decoder in danet_tpu/native — the
 reference shells out to the external sph2pipe C tool), downsamples to
-SMPRATE, STFTs with stride FFT_SIZE/4, and stores the variable-length
+SMPRATE, STFTs with stride FFT_STRIDE (the reference hardcodes
+FFT_SIZE/4, its process.py:179), and stores the variable-length
 complex spectra in an HDF5 file with per-subset split attributes.  Up to
 100 corrupt source files are tolerated before aborting, and the RNG is
 seeded (SEED=1337) as in the reference.
@@ -38,6 +39,7 @@ hparams.load_json(os.path.join(_REPO, "default.json"))
 hparams.digest()
 
 FFT_SIZE = hparams.FFT_SIZE
+FFT_STRIDE = hparams.FFT_STRIDE
 FFT_WND = hparams.FFT_WND_ARRAY
 SMPRATE = hparams.SMPRATE
 FLOATX = hparams.FLOATX
@@ -45,8 +47,6 @@ COMPLEXX = hparams.COMPLEXX
 SEED = 1337
 FILENAME = "wsj0-danet.hdf5"
 MAX_ERRORS = 100
-
-assert FFT_SIZE % 4 == 0
 
 
 def _resample(rate: int, data: np.ndarray, smprate: int) -> np.ndarray:
@@ -145,10 +145,15 @@ def main():
                                 " Raising latest exception:\n")
                             raise wav
                         continue
+                    # stride from hparams (FFT_STRIDE) so the offline
+                    # spectra match the runtime iSTFT framing — the
+                    # reference hardcodes stride=FFT_SIZE/4, which is the
+                    # default config but would silently mis-frame under
+                    # any other FFT_STRIDE (reference WSJ0/process.py:179)
                     spectra = scipy.signal.stft(
                         wav.astype(FLOATX), window=FFT_WND,
                         nperseg=FFT_SIZE,
-                        noverlap=(FFT_SIZE * 3) // 4)[2].T.astype(COMPLEXX)
+                        noverlap=FFT_SIZE - FFT_STRIDE)[2].T.astype(COMPLEXX)
                     feats[row] = spectra.flatten()
                     shapes[row] = (len(spectra), 1 + FFT_SIZE // 2)
                     row += 1

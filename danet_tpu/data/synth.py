@@ -64,18 +64,12 @@ class SyntheticTonesData(Dataset):
 
     def _make_batch(self, subset: str, batch_size: int,
                     b: int) -> np.ndarray:
-        import scipy.signal
+        from danet_tpu.data.audio import stft_np
         base = {"train": 0, "valid": 10 ** 6, "test": 2 * 10 ** 6}[subset]
         rng = np.random.RandomState(self.seed + base + b)
-        spectra = []
-        for _ in range(batch_size):
-            wav = self._utterance(rng)
-            z = scipy.signal.stft(
-                wav, window=hparams.FFT_WND_ARRAY,
-                nperseg=hparams.FFT_SIZE,
-                noverlap=hparams.FFT_SIZE - hparams.FFT_STRIDE)[2]
-            spectra.append(z.astype(hparams.COMPLEXX).T)
-        return np.stack(spectra)
+        return np.stack([
+            stft_np(self._utterance(rng)).astype(hparams.COMPLEXX)
+            for _ in range(batch_size)])
 
     def epoch(self, subset, batch_size, shuffle=False):
         if not self.is_loaded:

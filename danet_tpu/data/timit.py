@@ -25,8 +25,10 @@ from danet_tpu.hparams import hparams
 @hparams.register_dataset("timit")
 class TimitDataset(Dataset):
     CHARSET = string.ascii_lowercase + " "
+    # '$' stream terminator at index 0 — MUST match the encoding table in
+    # data/TIMIT/process.py (PHONEME_LIST), which writes the pickles
     PHONEME_LI = (
-        "aa_ae_ah_ao_aw_ax_ax-h_axr_ay_b_bcl_ch_d_dcl_dh_"
+        "$_aa_ae_ah_ao_aw_ax_ax-h_axr_ay_b_bcl_ch_d_dcl_dh_"
         "dx_eh_el_em_en_eng_epi_er_ey_f_g_gcl_h#_hh_hv_ih_"
         "ix_iy_jh_k_kcl_l_m_n_ng_nx_ow_oy_p_pau_pcl_q_r_"
         "s_sh_t_tcl_th_uh_uw_ux_v_w_y_z_zh").split("_")

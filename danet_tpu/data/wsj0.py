@@ -68,7 +68,11 @@ class Wsj0Dataset(Dataset):
             if source + "_shapes" in self.h5file \
             else self.h5file["features_shapes"]
         out = []
-        for r in np.sort(rows):
+        # preserve the REQUESTED order: a sorted fetch would undo the
+        # epoch shuffle, and since the HDF5 rows are written per-speaker
+        # contiguously, consecutive (= mixed-together) utterances would
+        # preferentially come from the same speaker
+        for r in rows:
             t, f = shapes[start + r]
             out.append(feats[start + r].reshape(t, f))
         return out

@@ -177,8 +177,16 @@ class AnchoredEstimator(Estimator):
             assignment.astype(jnp.float32), axis=(2, 3)
         )[..., None].astype(embed.dtype)
 
-        # eq (8): in-set max pairwise similarity
+        # eq (8): in-set max pairwise similarity between DISTINCT
+        # attractors.  The reference takes the max over the full Gram
+        # including the diagonal (modules.py:526-531); by Cauchy-Schwarz
+        # a.b <= max(|a|^2, |b|^2), so its criterion degenerates to
+        # "smallest max attractor norm", ignoring actual pairwise
+        # similarity — a documented fix (SURVEY.md appendix policy).
         sim = ee("bpce,bpde->bpcd", attractor_sets, attractor_sets)
+        n_set = sim.shape[-1]
+        diag = jnp.eye(n_set, dtype=bool)
+        sim = jnp.where(diag, -jnp.inf, sim.astype(jnp.float32))
         in_set_sim = jnp.max(sim, axis=(-1, -2))
 
         # eq (9): pick the least-similar subset

@@ -25,8 +25,11 @@ def save_checkpoint(path: str, state: dict) -> None:
     path = _abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
-    # host-side numpy copy so no device sync issues on the tunnel
-    state = jax.tree_util.tree_map(np.asarray, state)
+    if jax.process_count() == 1:
+        # host-side numpy copy so no device sync issues on the tunnel
+        state = jax.tree_util.tree_map(np.asarray, state)
+    # multi-host: leave global arrays intact — np.asarray on a
+    # non-fully-addressable array raises; Orbax gathers shards itself
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
 

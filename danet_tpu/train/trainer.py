@@ -68,25 +68,45 @@ def prefetch_to_device(batch_iter, put_fn, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     sentinel = object()
     err = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in batch_iter:
-                q.put(item)
+                # bounded put + stop flag: if the consumer abandons the
+                # generator (step exception, Ctrl-C), the worker must not
+                # block on a full queue forever, pinning the dataset
+                # handles it holds
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(sentinel)
+            while not stop.is_set():  # consumer still draining: deliver
+                try:
+                    q.put(sentinel, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield put_fn(item)  # async dispatch; returns before DMA completes
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield put_fn(item)  # async dispatch; returns before DMA ends
+    finally:
+        stop.set()
 
 
 def prepare_batch(flat_spectra: np.ndarray, batch_size: int, n_signal: int,
@@ -241,7 +261,20 @@ class Trainer:
         ckpt_lib.save_checkpoint(path, state)
 
     def load_params(self, state, path: str) -> dict:
-        return ckpt_lib.load_checkpoint(path, state)
+        """Restore a train state AND re-establish its mesh placement.
+
+        The checkpoint layer hands back host arrays; without re-sharding,
+        a resume or NaN rollback on a dp x tp mesh would silently drop the
+        tensor-parallel parameter placement (replicating every shard)."""
+        state = ckpt_lib.load_checkpoint(path, state)
+        state["params"] = shard_params(self.mesh, state["params"])
+        # opt_state placement mirrors a fresh init on the sharded params
+        ref_opt = jax.jit(self.optimizer.init)(state["params"])
+        state["opt_state"] = jax.tree_util.tree_map(
+            lambda ref, x: (jax.device_put(np.asarray(x), ref.sharding)
+                            if hasattr(ref, "sharding") else x),
+            ref_opt, state["opt_state"])
+        return state
 
     # ------------------------------------------------------------------
     def train(self, n_epoch: int, dataset, save_on_epoch: bool = True,
@@ -290,6 +323,7 @@ class Trainer:
         epoch0 = int(state.get("epoch", 0))
         epoch = epoch0
         n_total = epoch0 + n_epoch
+        nan_retries = 0  # NaN-rollback retries; perturbs the retry's seeds
         while epoch < n_total:
             if jax.process_count() > 1:
                 # all hosts must draw the same shuffled epoch stream so the
@@ -297,7 +331,11 @@ class Trainer:
                 # (zlib.crc32 is process-independent; Python hash() is
                 # salted per process)
                 import zlib
-                np.random.seed(zlib.crc32(b"danet-epoch-%d" % epoch))
+                # retry counter folds in so a NaN rollback does not replay
+                # a bit-identical epoch forever (the seed must still be
+                # process-independent across hosts)
+                np.random.seed(zlib.crc32(
+                    b"danet-epoch-%d-retry-%d" % (epoch, nan_retries)))
             cli_report = OrderedDict()
             i_batch = -1
             pending = []
@@ -313,7 +351,11 @@ class Trainer:
             timer = StepTimer()
             for i_batch, src_ri in enumerate(prefetch_to_device(
                     device_batches(), self._put_batch)):
-                step_rng = jax.random.fold_in(rng, state["step"])
+                # nan_retries folds in so a rolled-back epoch re-runs with
+                # fresh dropout keys (the restored step alone would replay
+                # the identical computation)
+                step_rng = jax.random.fold_in(
+                    jax.random.fold_in(rng, state["step"]), nan_retries)
                 if state["step"] == profile_at and not profiling:
                     jax.profiler.start_trace(
                         os.path.join(writer.run_dir, "profile"))
@@ -365,23 +407,30 @@ class Trainer:
             # never be silently written into a stage's final checkpoint;
             # rollback needs a prior epoch save, otherwise abort.
             if any(isnan(v) for v in cli_report.values()):
-                if save_on_epoch and epoch > epoch0:
+                # roll back whenever the previous epoch boundary's
+                # checkpoint exists — including the first epoch of a
+                # RESUMED stage (epoch == epoch0), whose checkpoint was
+                # written by the prior stage
+                rollback = self.save_path(epoch)
+                if save_on_epoch and os.path.exists(rollback):
                     sys.stdout.write(
                         "\nEpoch %d/%d got NaN values, restoring last "
                         "checkpoint ... " % (epoch + 1, n_total))
-                    state = self.load_params(
-                        state, self.save_path(epoch))
+                    state = self.load_params(state, rollback)
+                    nan_retries += 1  # perturbs shuffle/crop/dropout seeds
                     sys.stdout.write("done\n")
                     continue  # redo this epoch from the restored state
                 sys.stdout.write(
                     "\nRun into NaN during epoch %d with no checkpoint to "
                     "roll back to, exiting ...\n" % (epoch + 1))
                 sys.exit(-1)
-            if save_on_epoch:
-                self.save_params(state, self.save_path(epoch + 1))
-                sys.stdout.write("S")
+            # increment BEFORE saving so saves/<name>_e<k> embeds epoch=k
+            # and resuming from it continues at epoch k (not k-1)
             epoch += 1
             state["epoch"] = epoch
+            if save_on_epoch:
+                self.save_params(state, self.save_path(epoch))
+                sys.stdout.write("S")
             sys.stdout.write("\nEpoch %d/%d %s (%.3fs/step)\n" % (
                 epoch, n_total, _dict_format(cli_report), timer.mean))
             sys.stdout.flush()

@@ -168,3 +168,18 @@ def test_synth_epoch_cache_identical_and_hit(fresh_hparams):
     valid = [b[0] for b in ds.epoch("valid", 4)]
     assert calls["n"] == 3
     assert not np.array_equal(valid[0], first[0])
+
+
+def test_wsj0_fetch_preserves_requested_order(fresh_hparams, tmp_path):
+    """Shuffled batch order must survive the HDF5 fetch — a sorted fetch
+    would bias speaker pairing toward adjacent (same-speaker) rows."""
+    from danet_tpu.data.wsj0 import Wsj0Dataset
+    path = str(tmp_path / "w.h5")
+    _write_wsj0_h5(path)
+    ds = Wsj0Dataset(path=path)
+    ds.install_and_load()
+    import h5py
+    with h5py.File(path, "r") as f:
+        want_lens = [int(f["features_shapes"][r][0]) for r in (7, 1, 4, 2)]
+    got = ds._fetch("train", np.asarray([7, 1, 4, 2]))
+    assert [len(x) for x in got] == want_lens

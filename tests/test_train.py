@@ -287,3 +287,44 @@ def test_grad_accum_must_divide_batch(fresh_hparams):
         Trainer(DaNet(), name="bad",
                 mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
     hp.GRAD_ACCUM = 1
+
+
+def test_prefetch_worker_exits_when_consumer_abandons():
+    """Abandoning the prefetch generator must release the worker thread
+    (it must not block forever on a full queue)."""
+    import threading
+    import time
+    from danet_tpu.train.trainer import prefetch_to_device
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch_to_device(gen(), lambda x: x, depth=1)
+    assert next(it) == 0
+    it.close()  # abandon mid-stream -> finally sets the stop flag
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    assert len(produced) < 100  # producer stopped early
+
+
+def test_epoch_checkpoint_embeds_completed_epoch(fresh_hparams, tmp_path):
+    """saves/<name>_eK must embed epoch=K so a resume continues at K."""
+    hp = _tiny_hp(fresh_hparams)
+    from danet_tpu.data.dataset import WhiteNoiseData
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    trainer = Trainer(DaNet(), name="epk", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = trainer.train(2, ds, save_on_epoch=True, valid_on_epoch=False,
+                          state=state)
+    fresh = trainer.init_state(jax.random.PRNGKey(1))
+    restored = trainer.load_params(fresh, str(tmp_path / "epk_e2"))
+    assert restored["epoch"] == 2
