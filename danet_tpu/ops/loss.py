@@ -205,9 +205,8 @@ def bss_eval_sources(ref: jnp.ndarray, est: jnp.ndarray,
         est: [N, T] separated waveforms, source-aligned with ref.
         filt_len: allowed distortion filter length L (512 = standard).
         eps: floor inside the dB ratios.
-        rcond: relative eigenvalue cutoff of the Gram pseudo-inverse
-            (f32 precision is ~1e-7; rank-deficient Grams arise when
-            sources share spectral content).
+        rcond: relative Tikhonov ridge for the Gram solves (scaled by
+            mean diagonal energy).
 
     Identifiability caveat: when sources genuinely SHARE spectral
     components (e.g. narrowband tonal material with coinciding
@@ -250,25 +249,25 @@ def bss_eval_sources(ref: jnp.ndarray, est: jnp.ndarray,
                        axis=-1)                        # [N_est, N_ref, nfft]
     c_all = ec[:, :, :ell]                             # lags 0..L-1
 
-    # Projection coefficients via Hermitian pseudo-inverse (eigenvalue
-    # cutoff), NOT a ridge solve: when sources share near-identical
-    # spectral content the block-Toeplitz Gram is rank-deficient, and an
-    # f32 linear solve returns exploding, mutually-cancelling h — the
-    # symptom is SDR > SIR (impossible for exact projections, since
-    # e_artif ⊥ span(refs) ⊥-decomposes the denominator).  The projection
-    # itself is unique on the span regardless of which h expresses it, and
-    # the SVD-cutoff pinv computes exactly that min-norm h stably.
-    def _psolve(g, rhs):
-        return jnp.linalg.pinv(g, rcond=rcond, hermitian=True) @ rhs
-
-    # projection onto ALL sources' delays (one pinv, all estimates RHS)
-    h_all = _psolve(gram, c_all.reshape(n, n * ell).T)       # [NL, N_est]
+    # Projection coefficients via a Tikhonov-regularized solve.  An SVD/
+    # eigh-cutoff pseudo-inverse was tried and measured WORSE on TPU: f32
+    # eigh of these ill-conditioned Toeplitz Grams misestimates the small
+    # eigenpairs and the reconstructed inverse explodes, whereas the
+    # ridge-shifted direct solve stays bounded.  (On genuinely
+    # rank-deficient material the metric itself is non-identifiable — see
+    # the caveat above — regardless of solver.)
+    ridge = rcond * jnp.trace(gram) / (n * ell)
+    eye_full = jnp.eye(n * ell, dtype=gram.dtype)
+    h_all = jnp.linalg.solve(gram + ridge * eye_full,
+                             c_all.reshape(n, n * ell).T)    # [NL, N_est]
     h_all = h_all.T.reshape(n, n, ell)                 # [N_est, N_ref, L]
 
-    # projection onto the OWN source's delays (batched per-source)
+    # projection onto the OWN source's delays (batched per-source solve)
     gram_own = toep[jnp.arange(n), jnp.arange(n)]      # [N, L, L]
+    eye_own = jnp.eye(ell, dtype=gram.dtype)
     c_own = c_all[jnp.arange(n), jnp.arange(n)]        # [N_est, L]
-    h_own = jax.vmap(_psolve)(gram_own, c_own[..., None])[..., 0]
+    h_own = jnp.linalg.solve(gram_own + ridge * eye_own,
+                             c_own[..., None])[..., 0]  # [N_est, L]
 
     # synthesize the filtered projections in the frequency domain
     hf_all = jnp.fft.rfft(h_all, nfft, axis=-1)        # [N_est, N_ref, K]

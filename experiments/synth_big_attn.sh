@@ -15,4 +15,7 @@ echo "=== stage B: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
 $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
 echo "=== stage C: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
 $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
+echo "=== stage D: unrolled-kmeans SI-SNR @ 5e-5 (12 epochs, from best)"
+rm -rf "$SAVE/latest" && cp -r "$SAVE/synthext_best" "$SAVE/latest"
+$PY --epochs 12 --lr 5e-5 --loss pit-si-snr --infer-est kmeans --resume
 echo "=== all stages done"
