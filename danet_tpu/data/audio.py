@@ -125,10 +125,18 @@ def load_wav_raw(filename: str, smprate: int) -> np.ndarray:
     return data.astype(np.float32)
 
 
-def save_wav_raw(filename: str, wav: np.ndarray, smprate: int) -> None:
-    """float waveform -> 16-bit WAV at `smprate`."""
+def save_wav_raw(filename: str, wav: np.ndarray, smprate: int,
+                 scale: float = None) -> None:
+    """float waveform -> 16-bit WAV at `smprate`.
+
+    ``scale``: optional shared normalization divisor.  Stems of one
+    separation should pass the same value (e.g. the max peak across all
+    stems) so their relative levels survive — independent per-file peak
+    normalization would attenuate each stem by a different factor."""
     wav = np.asarray(wav, dtype=np.float64)
-    # attenuate only if out of range; quiet signals pass through unchanged
-    pcm = np.clip(wav / max(float(np.max(np.abs(wav))), 1.0), -1.0, 1.0)
+    if scale is None:
+        # attenuate only if out of range; quiet signals pass unchanged
+        scale = max(float(np.max(np.abs(wav))), 1.0)
+    pcm = np.clip(wav / max(float(scale), 1e-12), -1.0, 1.0)
     scipy.io.wavfile.write(
         filename, smprate, (pcm * 32767.0).astype(np.int16))

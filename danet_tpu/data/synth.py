@@ -74,8 +74,11 @@ class SyntheticTonesData(Dataset):
     def epoch(self, subset, batch_size, shuffle=False):
         if not self.is_loaded:
             raise RuntimeError("Dataset is not loaded.")
+        # FFT_WND folds in: the window shapes the cached spectra, so an
+        # in-process window change must not serve stale batches
         key = (subset, batch_size, self.N_BATCHES, hparams.FFT_SIZE,
-               hparams.FFT_STRIDE, hparams.SMPRATE, hparams.COMPLEXX)
+               hparams.FFT_STRIDE, hparams.SMPRATE, hparams.COMPLEXX,
+               getattr(hparams, "FFT_WND", "sqrt-hann"))
         cached = self._cache.get(key)
         for b in range(self.N_BATCHES):
             if cached is not None and b < len(cached):

@@ -79,15 +79,22 @@ def export_separator(model, params, out_dir: str,
     # paths, and we refuse (rather than silently mis-lower) if the config
     # explicitly pinned Pallas.
     non_tpu_target = any(p not in ("tpu", "axon") for p in targets)
-    saved_backends = (getattr(hp, "STFT_BACKEND", "auto"),
-                      getattr(hp, "LSTM_BACKEND", "auto"))
+    configured_backends = (getattr(hp, "STFT_BACKEND", "auto"),
+                           getattr(hp, "LSTM_BACKEND", "auto"))
     if non_tpu_target:
-        if "pallas" in saved_backends:
+        if "pallas" in configured_backends:
             raise ValueError(
                 "export for platforms %r requires the portable XLA "
                 "backends, but STFT_BACKEND/LSTM_BACKEND pin 'pallas' "
                 "(TPU-only Mosaic custom calls)" % (targets,))
+        # Re-bind the model to a COPY of its hparams with the portable
+        # backends pinned — the caller's (possibly shared/global) hparams
+        # object is never mutated, so concurrent readers and re-entrant
+        # exports see consistent config.
+        import copy
+        hp = copy.copy(hp)
         hp.STFT_BACKEND, hp.LSTM_BACKEND = "xla", "xla"
+        model = type(model)(hp, name=model.name)
     elif jax.default_backend() not in ("tpu", "axon"):
         # TPU-only target but tracing on a non-TPU host: 'auto' would
         # resolve to XLA and silently forfeit the Pallas kernels
@@ -106,15 +113,12 @@ def export_separator(model, params, out_dir: str,
     def fn(wav):
         return model.separate_wav(params, wav)
 
-    try:
-        for length in lengths:
-            spec = jax.ShapeDtypeStruct((batch, length), jnp.float32)
-            exp = jexport.export(jax.jit(fn), platforms=platforms)(spec)
-            with open(os.path.join(out_dir, _bucket_file(length)),
-                      "wb") as f:
-                f.write(exp.serialize())
-    finally:
-        hp.STFT_BACKEND, hp.LSTM_BACKEND = saved_backends
+    for length in lengths:
+        spec = jax.ShapeDtypeStruct((batch, length), jnp.float32)
+        exp = jexport.export(jax.jit(fn), platforms=platforms)(spec)
+        with open(os.path.join(out_dir, _bucket_file(length)),
+                  "wb") as f:
+            f.write(exp.serialize())
 
     manifest = {
         "format": "danet-tpu-serve-v1",
@@ -250,9 +254,13 @@ def _main():
         wav = audio.load_wav_raw(args.input_file,
                                  bundle.manifest["smprate"])
         out = bundle.separate(wav)
+        # one shared normalization across all stems: relative source
+        # levels survive (per-file peak scaling would distort them)
+        scale = max(float(np.max(np.abs(out))), 1.0)
         for i, src in enumerate(out):
             path = "%s_%d.wav" % (args.output_prefix, i)
-            audio.save_wav_raw(path, src, bundle.manifest["smprate"])
+            audio.save_wav_raw(path, src, bundle.manifest["smprate"],
+                               scale=scale)
             print("wrote", path)
 
 

@@ -71,6 +71,13 @@ def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
                         "checkpoint %s[%r] leaf shape %s != expected %s "
                         "(different architecture/config?)"
                         % (path, key, np.shape(g_leaf), w_shape))
+                w_dtype = np.asarray(w_leaf).dtype
+                g_dtype = np.asarray(g_leaf).dtype
+                if w_dtype != g_dtype:
+                    raise ValueError(
+                        "checkpoint %s[%r] leaf dtype %s != expected %s "
+                        "(different FLOATX/COMPUTE_DTYPE config?)"
+                        % (path, key, g_dtype, w_dtype))
     else:
         state = ckptr.restore(path, template)
     # counters round-trip as 0-d arrays; hand back python ints so consumers

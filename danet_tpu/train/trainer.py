@@ -280,7 +280,8 @@ class Trainer:
     def train(self, n_epoch: int, dataset, save_on_epoch: bool = True,
               valid_on_epoch: bool = True, state: Optional[dict] = None,
               rng=None, writer: Optional[MetricsWriter] = None,
-              save_best: bool = False) -> dict:
+              save_best: bool = False, lr: Optional[float] = None,
+              data_seed: int = 0) -> dict:
         hp = self.hp
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if state is None:
@@ -293,8 +294,17 @@ class Trainer:
         best_loss = float("+inf")
         best_loss_time = 0
         best_valid_loss = float("+inf")
-        self.set_learn_rate(state, hp.LR)
-        print("Set learning rate to %f" % hp.LR)
+        # LR resume semantics: the checkpointed LR (restored inside
+        # opt_state by load_params) is authoritative unless the caller
+        # overrides it explicitly — a mid-stage resume of an adaptive-decay
+        # run continues at the decayed LR instead of silently restarting at
+        # hp.LR.  A fresh init already carries hp.LR (optim.make_optimizer),
+        # so non-resumed runs behave identically.
+        if lr is not None:
+            self.set_learn_rate(state, lr)
+            print("Set learning rate to %f" % lr)
+        else:
+            print("Learning rate: %f" % self.get_learn_rate(state))
         bucket = getattr(hp, "TIME_BUCKET", None)
 
         # device profiling (absent in the reference — SURVEY.md §5): trace
@@ -325,17 +335,19 @@ class Trainer:
         n_total = epoch0 + n_epoch
         nan_retries = 0  # NaN-rollback retries; perturbs the retry's seeds
         while epoch < n_total:
-            if jax.process_count() > 1:
-                # all hosts must draw the same shuffled epoch stream so the
-                # per-host batch slices partition one global batch
-                # (zlib.crc32 is process-independent; Python hash() is
-                # salted per process)
-                import zlib
-                # retry counter folds in so a NaN rollback does not replay
-                # a bit-identical epoch forever (the seed must still be
-                # process-independent across hosts)
-                np.random.seed(zlib.crc32(
-                    b"danet-epoch-%d-retry-%d" % (epoch, nan_retries)))
+            # Deterministic per-epoch data stream (shuffle + crop): the
+            # reference leaves these to the ambient unseeded np.random;
+            # here every epoch seeds the global numpy RNG from
+            # (data_seed, epoch, retry) so a run is reproducible end-to-end
+            # and — on multi-host — all hosts draw the SAME shuffled epoch
+            # stream, letting per-host batch slices partition one global
+            # batch.  zlib.crc32 is process-independent (Python hash() is
+            # salted per process); the retry counter folds in so a NaN
+            # rollback does not replay a bit-identical epoch forever.
+            import zlib
+            np.random.seed(zlib.crc32(
+                b"danet-epoch-%d-retry-%d-seed-%d"
+                % (epoch, nan_retries, data_seed)))
             cli_report = OrderedDict()
             i_batch = -1
             pending = []
@@ -424,6 +436,11 @@ class Trainer:
                     "\nRun into NaN during epoch %d with no checkpoint to "
                     "roll back to, exiting ...\n" % (epoch + 1))
                 sys.exit(-1)
+            # a transient NaN only perturbs the seeds of the epoch that
+            # retried — once an epoch completes cleanly, later epochs
+            # return to the canonical (retry-free) RNG streams so the rest
+            # of the run stays reproducible
+            nan_retries = 0
             # increment BEFORE saving so saves/<name>_e<k> embeds epoch=k
             # and resuming from it continues at epoch k (not k-1)
             epoch += 1

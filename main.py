@@ -243,11 +243,18 @@ def main():
         print("Now in interactive mode, you should run this with python -i")
         return
     elif g_args.mode == "train":
+        # only an explicit -lr (or a resume-less fresh init, which already
+        # carries hp.LR) overrides the LR; resuming via -i keeps the
+        # checkpointed (possibly decayed) learning rate
+        explicit_lr = (float(g_args.learn_rate)
+                       if g_args.learn_rate is not None else
+                       (hparams.LR if g_args.input_pfile is None else None))
         g_state = g_trainer.train(
             n_epoch=g_args.num_epoch, dataset=g_dataset,
             save_on_epoch=not g_args.no_save_on_epoch,
             valid_on_epoch=not g_args.no_valid_on_epoch,
-            state=g_state, rng=jax.random.PRNGKey(g_args.seed + 1))
+            state=g_state, rng=jax.random.PRNGKey(g_args.seed + 1),
+            lr=explicit_lr, data_seed=g_args.seed)
         if g_args.output_pfile is not None:
             sys.stdout.write(
                 "Saving parameters into %s ... " % g_args.output_pfile)

@@ -232,6 +232,75 @@ def test_resumed_training_accumulates_epochs(fresh_hparams, tmp_path):
     assert state2["step"] == state["step"] + 10  # 10 toy batches/epoch
 
 
+def test_lr_survives_resume(fresh_hparams, tmp_path):
+    """A resumed run continues at the checkpointed (decayed) LR unless the
+    caller overrides it explicitly — mid-stage resume of a decaying run
+    must NOT silently restart at hp.LR."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.LR_DECAY_TYPE = "fixed"
+    hp.NUM_EPOCH_PER_LR_DECAY = 1
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    model = DaNet()
+    trainer = Trainer(model, name="lrres", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    state = trainer.train(2, ds, save_on_epoch=False, valid_on_epoch=False)
+    decayed = trainer.get_learn_rate(state)
+    np.testing.assert_allclose(decayed, hp.LR * hp.LR_DECAY ** 2, rtol=1e-5)
+    trainer.save_params(state, str(tmp_path / "mid"))
+
+    restored = trainer.load_params(
+        trainer.init_state(jax.random.PRNGKey(1)), str(tmp_path / "mid"))
+    # the restored state already carries the decayed LR...
+    np.testing.assert_allclose(
+        trainer.get_learn_rate(restored), decayed, rtol=1e-6)
+    # ...and train() without an explicit lr keeps decaying FROM it
+    restored = trainer.train(1, ds, save_on_epoch=False,
+                             valid_on_epoch=False, state=restored)
+    np.testing.assert_allclose(
+        trainer.get_learn_rate(restored), decayed * hp.LR_DECAY, rtol=1e-5)
+    # an explicit override still wins
+    restored = trainer.train(1, ds, save_on_epoch=False,
+                             valid_on_epoch=False, state=restored, lr=0.5)
+    np.testing.assert_allclose(
+        trainer.get_learn_rate(restored), 0.5 * hp.LR_DECAY, rtol=1e-5)
+
+
+def test_epoch_data_stream_is_seeded(fresh_hparams, tmp_path):
+    """Two identical runs draw identical shuffled/cropped batches (the
+    reference depends on the ambient unseeded np.random); a different
+    data_seed draws a different stream."""
+    from danet_tpu.train import trainer as trainer_mod
+
+    captured = []
+    orig = trainer_mod.prepare_batch
+
+    def capture(*a, **k):
+        out = orig(*a, **k)
+        captured.append(out.copy())
+        return out
+
+    hp = _tiny_hp(fresh_hparams)
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    trainer = Trainer(DaNet(), name="seed", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    trainer_mod.prepare_batch = capture
+    try:
+        def run(seed):
+            captured.clear()
+            trainer.train(1, ds, save_on_epoch=False, valid_on_epoch=False,
+                          state=trainer.init_state(jax.random.PRNGKey(0)),
+                          data_seed=seed)
+            return np.stack(captured)
+
+        a, b, c = run(0), run(0), run(1)
+    finally:
+        trainer_mod.prepare_batch = orig
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
 def test_save_best_keeps_best_valid_checkpoint(fresh_hparams, tmp_path):
     hp = _tiny_hp(fresh_hparams)
     ds = WhiteNoiseData()
