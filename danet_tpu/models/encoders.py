@@ -139,16 +139,48 @@ class BiLstmEncoder(Encoder):
         hp = self.hp
         act = _candidate_activation(hp)
         keep = hp.DROPOUT_KEEP_PROB if train else 1.0
-        drop_keys = (jax.random.split(rng, self.N_LAYERS)
-                     if (rng is not None and keep < 1.0) else
-                     [None] * self.N_LAYERS)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
-        for i in range(self.N_LAYERS):
-            layer = _maybe_remat(hp, lambda p, v, k: rnn.bilstm_apply(
-                p, v, act, dropout_rng=k, keep_prob=keep,
-                backend=_backend(hp)))
-            x = layer(params[f"lstm{i}"], x, drop_keys[i])
+        n_pipe = int(getattr(hp, "MESH_PIPE", 1) or 1)
+        if n_pipe > 1:
+            # trainer-reachable pipeline parallelism: the stack runs
+            # GPipe-microbatched over the mesh's 'pipe' axis (exact +
+            # differentiable; parallel/pipeline.py)
+            x = self._apply_pipelined(
+                params, x, n_pipe, act, keep,
+                rng if (rng is not None and keep < 1.0) else None)
+        else:
+            drop_keys = (jax.random.split(rng, self.N_LAYERS)
+                         if (rng is not None and keep < 1.0) else
+                         [None] * self.N_LAYERS)
+            for i in range(self.N_LAYERS):
+                layer = _maybe_remat(hp, lambda p, v, k: rnn.bilstm_apply(
+                    p, v, act, dropout_rng=k, keep_prob=keep,
+                    backend=_backend(hp)))
+                x = layer(params[f"lstm{i}"], x, drop_keys[i])
         return _LstmHead.apply(params["output"], hp, x)
+
+    def _apply_pipelined(self, params, x, n_pipe, act, keep, rng):
+        from danet_tpu.parallel import active_mesh
+        from danet_tpu.parallel.pipeline import bilstm_stack_pipelined
+        hp = self.hp
+        mesh = active_mesh()
+        if "pipe" not in mesh.shape or mesh.shape["pipe"] != n_pipe:
+            raise ValueError(
+                "MESH_PIPE=%d but the active mesh has no matching 'pipe' "
+                "axis (%r) — build the Trainer mesh via mesh_from_hparams"
+                % (n_pipe, dict(mesh.shape)))
+        layers = [params[f"lstm{i}"] for i in range(self.N_LAYERS)]
+        b = x.shape[0]
+        n_micro = int(getattr(hp, "PIPE_MICROBATCHES", 0) or 0)
+        if not n_micro:
+            # default: enough microbatches to keep the bubble small,
+            # clipped to a divisor of the batch
+            n_micro = min(b, 2 * n_pipe)
+            while b % n_micro:
+                n_micro -= 1
+        return bilstm_stack_pipelined(
+            layers, x, mesh, n_micro=n_micro, candidate_activation=act,
+            backend=_backend(hp), dropout_rng=rng, keep_prob=keep)
 
 
 @hparams.register_encoder("attn-v1")
@@ -310,7 +342,20 @@ class MoEAttentionEncoder(AttentionEncoder):
         }}
 
     def _mlp(self, blk, y):
-        from danet_tpu.parallel.expert import moe_mlp
+        from danet_tpu.parallel.expert import moe_mlp, moe_mlp_ep
+        n_ep = int(getattr(self.hp, "MESH_EXPERT", 1) or 1)
+        if n_ep > 1:
+            # trainer-reachable expert parallelism: expert groups shard
+            # one-per-device over the mesh's 'expert' axis (exact,
+            # all-to-all-free; parallel/expert.py)
+            from danet_tpu.parallel import active_mesh
+            mesh = active_mesh()
+            if "expert" not in mesh.shape or mesh.shape["expert"] != n_ep:
+                raise ValueError(
+                    "MESH_EXPERT=%d but the active mesh has no matching "
+                    "'expert' axis (%r) — build the Trainer mesh via "
+                    "mesh_from_hparams" % (n_ep, dict(mesh.shape)))
+            return moe_mlp_ep(blk["moe"], y, mesh)
         return moe_mlp(blk["moe"], y)
 
 

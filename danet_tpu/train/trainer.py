@@ -150,6 +150,10 @@ class Trainer:
         self.save_dir = save_dir
         self.optimizer = optim_lib.make_optimizer(self.hp)
         self.mesh = mesh if mesh is not None else mesh_from_hparams(self.hp)
+        # model code (pipeline/expert shard_map paths) reaches the mesh
+        # through the active-mesh registry
+        from danet_tpu.parallel import set_active_mesh
+        set_active_mesh(self.mesh)
         self._build_steps()
 
     # ------------------------------------------------------------------

@@ -35,3 +35,5 @@ def fresh_hparams():
     yield hparams
     hparams.__dict__.clear()
     hparams.__dict__.update(saved)
+    from danet_tpu.parallel import set_active_mesh
+    set_active_mesh(None)  # Trainer-registered meshes must not leak

@@ -215,6 +215,125 @@ def test_pipeline_parallel_bilstm_stack(fresh_hparams):
     np.testing.assert_allclose(out, exact, atol=2e-5, rtol=1e-4)
 
 
+def test_pipeline_parallel_gradients(fresh_hparams):
+    """Differentiating THROUGH the GPipe schedule (ppermute + cond +
+    fori_loop) matches the sequential stack's gradients — for 4 stages of
+    1 layer and 2 stages of 2 layers."""
+    from jax.sharding import Mesh
+    from danet_tpu.parallel.pipeline import bilstm_stack_pipelined
+    from danet_tpu.ops import rnn
+
+    B, T, F, H = 8, 12, 10, 7
+    layers = [rnn.bilstm_init(jax.random.PRNGKey(i),
+                              F if i == 0 else 2 * H, H)
+              for i in range(4)]
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, F)
+                    .astype(np.float32))
+
+    def seq_loss(ls):
+        y = x
+        for p in ls:
+            y = rnn.bilstm_apply(p, y, "tanh")
+        return jnp.sum(jnp.sin(y))
+
+    l_ref, g_ref = jax.value_and_grad(seq_loss)(layers)
+
+    for n_stages, n_micro in ((4, 4), (2, 2)):
+        mesh = Mesh(np.asarray(jax.devices()[:n_stages]), ("pipe",))
+
+        def pp_loss(ls):
+            return jnp.sum(jnp.sin(bilstm_stack_pipelined(
+                ls, x, mesh, n_micro=n_micro)))
+
+        l_pp, g_pp = jax.jit(jax.value_and_grad(pp_loss))(layers)
+        np.testing.assert_allclose(float(l_ref), float(l_pp), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_pp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)
+
+
+def test_mesh_from_hparams_pipe_expert(fresh_hparams):
+    """MESH_PIPE/MESH_EXPERT configs produce meshes with the extra axes."""
+    from danet_tpu.parallel.sharding import mesh_from_hparams
+    hp = fresh_hparams
+    hp.MESH_DATA, hp.MESH_PIPE = 2, 4
+    mesh = mesh_from_hparams(hp)
+    assert dict(mesh.shape) == {"data": 2, "model": 1, "pipe": 4}
+    hp.MESH_PIPE, hp.MESH_EXPERT = 1, 2
+    hp.MESH_DATA = 4
+    mesh = mesh_from_hparams(hp)
+    assert dict(mesh.shape) == {"data": 4, "model": 1, "expert": 2}
+
+
+def test_trainer_pipeline_parallel_step(fresh_hparams):
+    """A Trainer train step with MESH_PIPE=4 (dp=2 x pp=4) runs on the CPU
+    mesh and matches the unpipelined step numerically (dropout off)."""
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "bilstm-orig"
+    hp.BATCH_SIZE = 4
+    hp.DROPOUT_KEEP_PROB = 1.0
+    hp.digest()
+    rngnp = np.random.RandomState(0)
+    flat = rngnp.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 16,
+                      hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    def one_step(n_pipe, n_data):
+        hp.MESH_PIPE, hp.MESH_DATA = n_pipe, n_data
+        trainer = Trainer(DaNet(), name="pp%d" % n_pipe)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        src = trainer._put_batch(batch)
+        state["params"], state["opt_state"], m = trainer._train_step(
+            state["params"], state["opt_state"], src, jax.random.PRNGKey(1))
+        return float(m["loss"]), jax.device_get(state["params"])
+
+    loss_pp, params_pp = one_step(4, 2)
+    loss_ref, params_ref = one_step(1, 1)
+    np.testing.assert_allclose(loss_pp, loss_ref, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                    jax.tree_util.tree_leaves(params_pp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_trainer_expert_parallel_step(fresh_hparams):
+    """A Trainer train step with MESH_EXPERT=2 (dp=4 x ep=2, moe-v1)
+    matches the dense-MoE step numerically."""
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "moe-v1"
+    hp.ATTN_DIM = 32
+    hp.ATTN_LAYERS = 2
+    hp.MOE_EXPERTS = 4
+    hp.BATCH_SIZE = 4
+    hp.digest()
+    rngnp = np.random.RandomState(0)
+    flat = rngnp.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 16,
+                      hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    def one_step(n_expert, n_data):
+        hp.MESH_EXPERT, hp.MESH_DATA = n_expert, n_data
+        trainer = Trainer(DaNet(), name="ep%d" % n_expert)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        src = trainer._put_batch(batch)
+        state["params"], state["opt_state"], m = trainer._train_step(
+            state["params"], state["opt_state"], src, jax.random.PRNGKey(1))
+        return float(m["loss"]), jax.device_get(state["params"])
+
+    loss_ep, params_ep = one_step(2, 4)
+    loss_ref, params_ref = one_step(1, 1)
+    np.testing.assert_allclose(loss_ep, loss_ref, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                    jax.tree_util.tree_leaves(params_ep)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
 def test_expert_parallel_moe(fresh_hparams):
     """Expert-sharded MoE MLP == dense single-device MoE; and the moe-v1
     encoder trains end to end."""
