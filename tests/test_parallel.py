@@ -137,6 +137,53 @@ def test_host_batch_slice_single_process():
     assert multihost.initialize() is False  # no coordinator configured
 
 
+def test_multihost_two_process_training(tmp_path):
+    """REAL multi-process training: 2 CPU processes (4 virtual devices
+    each) join a jax.distributed cluster over gloo and run 2 Trainer
+    epochs on the toy dataset.  Exercises multihost.initialize,
+    host_batch_slice, make_array_from_process_local_data assembly and the
+    crc32-seeded shared epoch shuffles; asserts both hosts end with
+    identical parameters (SURVEY.md §2.4 elasticity row)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", port, str(tmp_path)],
+            env=env, cwd=repo, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out.decode(errors="replace")[-4000:]
+
+    results = []
+    for pid in range(2):
+        with open(os.path.join(str(tmp_path), "result_%d.json" % pid)) as f:
+            results.append(json.load(f))
+    assert results[0]["epoch"] == results[1]["epoch"] == 2
+    assert results[0]["step"] == results[1]["step"] == 20
+    assert np.isfinite(results[0]["checksum"])
+    # identical replicated state on both hosts
+    np.testing.assert_allclose(
+        results[0]["checksum"], results[1]["checksum"], rtol=1e-6)
+    np.testing.assert_allclose(results[0]["lr"], results[1]["lr"])
+
+
 def test_sequence_parallel_bilstm_halo(fresh_hparams):
     """Chunked BiLSTM over a 'seq' mesh axis: error vs the exact scan is
     bounded at the chunk boundaries and shrinks with halo length."""
