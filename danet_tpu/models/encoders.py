@@ -152,12 +152,45 @@ class BiLstmEncoder(Encoder):
             drop_keys = (jax.random.split(rng, self.N_LAYERS)
                          if (rng is not None and keep < 1.0) else
                          [None] * self.N_LAYERS)
+            tp_mesh = self._tp_kernel_mesh(x.shape[0])
             for i in range(self.N_LAYERS):
-                layer = _maybe_remat(hp, lambda p, v, k: rnn.bilstm_apply(
-                    p, v, act, dropout_rng=k, keep_prob=keep,
-                    backend=_backend(hp)))
+                if tp_mesh is not None:
+                    # TP + TPU: keep the fused Pallas kernel by resharding
+                    # the batch over ('data','model') for the recurrent
+                    # stage (rnn.bilstm_apply_tp); dropout applies outside
+                    # the shard_map so masks stay uncorrelated
+                    layer = _maybe_remat(
+                        hp, lambda p, v, k: rnn.bilstm_apply_tp(
+                            p, v, tp_mesh, act))
+                else:
+                    layer = _maybe_remat(
+                        hp, lambda p, v, k: rnn.bilstm_apply(
+                            p, v, act, dropout_rng=k, keep_prob=keep,
+                            backend=_backend(hp)))
                 x = layer(params[f"lstm{i}"], x, drop_keys[i])
+                if tp_mesh is not None and drop_keys[i] is not None:
+                    from danet_tpu.ops.nn import dropout
+                    x = dropout(drop_keys[i], x, keep)
         return _LstmHead.apply(params["output"], hp, x)
+
+    def _tp_kernel_mesh(self, batch: int):
+        """The mesh for the batch-resharded Pallas path under tensor
+        parallelism, or None when the plain per-backend path applies
+        (no TP, non-TPU platform, explicit non-pallas pin, or a batch
+        that does not divide over the mesh slices)."""
+        hp = self.hp
+        if int(getattr(hp, "MESH_MODEL", 1) or 1) <= 1:
+            return None
+        if _backend(hp) not in ("auto", "pallas"):
+            return None
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+        from danet_tpu.parallel import active_mesh
+        mesh = active_mesh()
+        n = 1
+        for a in ("data", "model"):
+            n *= mesh.shape.get(a, 1)
+        return mesh if batch % n == 0 else None
 
     def _apply_pipelined(self, params, x, n_pipe, act, keep, rng):
         from danet_tpu.parallel import active_mesh

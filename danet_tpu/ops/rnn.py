@@ -81,7 +81,10 @@ def lstm_backend_default() -> str:
     with no GSPMD partitioning rule, so selecting it would silently
     all-gather the sharded weights and run the scan replicated — 'auto'
     therefore resolves to the partitionable XLA scan whenever tensor
-    parallelism is configured (pin LSTM_BACKEND='pallas' to override).
+    parallelism is configured.  TP runs do NOT lose the kernel, though:
+    the BiLSTM encoders route through ``bilstm_apply_tp`` (batch resharded
+    over ('data','model'), kernel per slice) on TPU platforms; this
+    fallback only governs plain ``lstm_apply``/``bilstm_apply`` calls.
     """
     from danet_tpu.hparams import hparams
     if int(getattr(hparams, "MESH_MODEL", 1) or 1) > 1:
@@ -220,6 +223,55 @@ def bilstm_apply(params, x: jnp.ndarray,
     if dropout_rng is not None and keep_prob < 1.0:
         y = dropout(dropout_rng, y, keep_prob)
     return y
+
+
+def bilstm_apply_tp(params, x: jnp.ndarray, mesh,
+                    candidate_activation: str = "tanh",
+                    backend: str = "pallas") -> jnp.ndarray:
+    """Fused Pallas BiLSTM under tensor parallelism.
+
+    A ``pallas_call`` is an opaque custom call with no GSPMD partitioning
+    rule, so running it directly on 'model'-sharded gate weights would
+    silently all-gather them and execute replicated.  The exact TP-over-
+    hidden recurrence is also a poor fit for a fused kernel: each step's
+    ``h @ Wh`` contracts over the FULL hidden axis, needing a per-step
+    all-gather that cannot live inside one kernel launch.
+
+    The TPU-native resolution: for the recurrent stage, reshard the BATCH
+    over ('data','model') via shard_map — every device runs the fused
+    kernel on a batch slice with the full weights (in_specs P() gathers
+    the TP-sharded params ONCE per layer; hdim=300 gate weights are ~1.4MB
+    — O(|W|) comm instead of O(T·|h|) per-step collectives).  Activations
+    re-shard to the TP layout automatically at the next GSPMD op.  Exact:
+    parity-tested vs the XLA scan on the CPU interpreter path
+    (tests/test_parallel.py).
+
+    Requires batch % (n_data * n_model) == 0; callers fall back to the
+    partitionable XLA scan otherwise.  Dropout is the caller's job (a
+    shared key inside shard_map would correlate masks across slices).
+    """
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(a for a in ("data", "model") if a in mesh.shape)
+    assert axes, "mesh has neither 'data' nor 'model' axis"
+    n_slices = 1
+    for a in axes:
+        n_slices *= mesh.shape[a]
+    assert x.shape[0] % n_slices == 0, (
+        "batch %d must divide over %d mesh slices" % (x.shape[0], n_slices))
+
+    # check_vma off: the body is collective-free (a pure per-slice kernel
+    # call), and pallas_call's out_shape carries no vma annotation
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axes)), out_specs=P(axes), check_vma=False)
+    def run(p_full, x_l):
+        return bilstm_apply(p_full, x_l, candidate_activation,
+                            backend=backend)
+
+    return run(params, x)
 
 
 def gru_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,

@@ -137,6 +137,59 @@ def test_host_batch_slice_single_process():
     assert multihost.initialize() is False  # no coordinator configured
 
 
+def test_bilstm_tp_kernel_batch_reshard(fresh_hparams):
+    """The TP Pallas path (batch resharded over ('data','model'), kernel
+    per slice, weights gathered once) matches the XLA scan exactly —
+    forward and gradients, on the CPU interpreter kernel."""
+    from danet_tpu.ops import rnn
+
+    B, T, F, H = 8, 12, 10, 16
+    p = rnn.bilstm_init(jax.random.PRNGKey(0), F, H)
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, F)
+                    .astype(np.float32))
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+
+    def ref_loss(p):
+        return jnp.sum(jnp.sin(rnn.bilstm_apply(p, x, "tanh",
+                                                backend="xla")))
+
+    def tp_loss(p):
+        return jnp.sum(jnp.sin(rnn.bilstm_apply_tp(
+            p, x, mesh, "tanh", backend="pallas-interpret")))
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(p)
+    l_tp, g_tp = jax.jit(jax.value_and_grad(tp_loss))(p)
+    np.testing.assert_allclose(float(l_ref), float(l_tp), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_tp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_bilstm_encoder_tp_kernel_gating(fresh_hparams, monkeypatch):
+    """Under MESH_MODEL>1 the encoder keeps the Pallas kernel via the
+    batch-reshard path on TPU platforms, and falls back cleanly off-TPU,
+    on an explicit xla pin, or on an indivisible batch."""
+    from danet_tpu.models.encoders import BiLstmEncoder
+    from danet_tpu.parallel import set_active_mesh
+
+    hp = fresh_hparams
+    enc = BiLstmEncoder(hp, "enc")
+    assert enc._tp_kernel_mesh(8) is None           # MESH_MODEL=1
+
+    hp.MESH_MODEL = 2
+    hp.MESH_DATA = 4
+    assert enc._tp_kernel_mesh(8) is None           # CPU platform
+
+    mesh = make_mesh(4, 2)
+    set_active_mesh(mesh)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert enc._tp_kernel_mesh(8) is mesh           # engaged
+    assert enc._tp_kernel_mesh(6) is None           # 6 % 8 != 0
+    hp.LSTM_BACKEND = "xla"
+    assert enc._tp_kernel_mesh(8) is None           # explicit pin wins
+
+
 def test_multihost_two_process_training(tmp_path):
     """REAL multi-process training: 2 CPU processes (4 virtual devices
     each) join a jax.distributed cluster over gloo and run 2 Trainer
