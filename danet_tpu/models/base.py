@@ -33,10 +33,22 @@ class Encoder(ModelModule):
     """Maps log-magnitude spectra [B, T, F] to embeddings [B, T, F, E].
 
     (reference modules.py:28-50)
+
+    ``apply`` accepts an optional ``tap(name, value)`` callback that
+    encoders call with their internal activations (per-layer hidden
+    sequences, conv activations, ...) — the functional replacement for the
+    reference's ``debug_fetches`` side dicts (modules.py:19-20,375-377).
     """
 
-    def apply(self, params, log_spectra, train=False, rng=None):
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         raise NotImplementedError()
+
+    def apply_debug(self, params, log_spectra):
+        """(embed, fetches): forward pass + dict of internal activations
+        for the debug-mode .mat dump (reference main.py:387-397)."""
+        fetches = {}
+        embed = self.apply(params, log_spectra, tap=fetches.__setitem__)
+        return embed, fetches
 
 
 class Estimator(ModelModule):

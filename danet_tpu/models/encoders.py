@@ -53,11 +53,13 @@ class ToyEncoder(Encoder):
                 k1, hp.FFT_SIZE * 2, hp.FEATURE_SIZE * hp.EMBED_SIZE),
         }
 
-    def apply(self, params, log_spectra, train=False, rng=None):
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
         b, t = log_spectra.shape[0], log_spectra.shape[1]
         mid = nn.linear_apply(params["linear0"], log_spectra)
         mid = nn.leaky_relu(mid, hp.RELU_LEAKAGE)
+        if tap:
+            tap("mid_act", mid)
         out = nn.linear_apply(params["linear1"], mid)
         return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
 
@@ -101,7 +103,7 @@ class LstmEncoder(Encoder):
         params["output"] = _LstmHead.init(keys[-1], hp, in_dim)
         return params
 
-    def apply(self, params, log_spectra, train=False, rng=None):
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
         act = _candidate_activation(hp)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
@@ -109,6 +111,8 @@ class LstmEncoder(Encoder):
             layer = _maybe_remat(hp, lambda p, v: rnn.lstm_apply(
                 p, v, act, backend=_backend(hp)))
             x = layer(params[f"lstm{i}"], x)
+            if tap:
+                tap("lstm%d_h" % i, x)
         return _LstmHead.apply(params["output"], hp, x)
 
 
@@ -135,7 +139,7 @@ class BiLstmEncoder(Encoder):
         params["output"] = _LstmHead.init(keys[-1], hp, in_dim)
         return params
 
-    def apply(self, params, log_spectra, train=False, rng=None):
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
         act = _candidate_activation(hp)
         keep = hp.DROPOUT_KEEP_PROB if train else 1.0
@@ -171,6 +175,8 @@ class BiLstmEncoder(Encoder):
                 if tp_mesh is not None and drop_keys[i] is not None:
                     from danet_tpu.ops.nn import dropout
                     x = dropout(drop_keys[i], x, keep)
+                if tap:
+                    tap("lstm%d_h" % i, x)
         return _LstmHead.apply(params["output"], hp, x)
 
     def _tp_kernel_mesh(self, batch: int):
@@ -303,7 +309,7 @@ class AttentionEncoder(Encoder):
         return nn.ee("bhqk,bkhd->bqhd", attn, v)
 
     def apply(self, params, log_spectra, train=False, rng=None,
-              attn_fn=None):
+              attn_fn=None, tap=None):
         """attn_fn(q, k, v, key_mask) -> [B,T,H,D]; defaults to dense
         attention. parallel/ring_attention supplies the exact
         sequence-parallel alternative (see DaNet.separate_sp)."""
@@ -344,6 +350,8 @@ class AttentionEncoder(Encoder):
             if drop_keys[i] is not None:
                 y = nn.dropout(drop_keys[i], y, keep)
             h = h + y
+            if tap:
+                tap("block%d_h" % i, h)
         out = nn.linear_apply(params["output"], h)
         return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
 
@@ -417,11 +425,13 @@ class GruEncoder(Encoder):
         params["output"] = _LstmHead.init(keys[-1], hp, in_dim)
         return params
 
-    def apply(self, params, log_spectra, train=False, rng=None):
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         for i in range(self.N_LAYERS):
             x = rnn.gru_apply(params[f"gru{i}"], x, backend=_backend(hp))
+            if tap:
+                tap("gru%d_h" % i, x)
         return _LstmHead.apply(params["output"], hp, x)
 
 
@@ -458,7 +468,7 @@ class ConvBiLstmEncoder(Encoder):
                 ks[10], nfft, hp.FEATURE_SIZE * hp.EMBED_SIZE, bias=False),
         }
 
-    def apply(self, params, log_spectra, train=False, rng=None):
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
         nfft = hp.FFT_SIZE
         alpha = hp.RELU_LEAKAGE
@@ -472,6 +482,8 @@ class ConvBiLstmEncoder(Encoder):
         x = nn.leaky_relu(nn.conv2d_apply(params["down0a"], x), alpha)
         x = nn.leaky_relu(nn.conv2d_apply(params["down0b"], x), alpha)
         x = nn.max_pool_2x2(x)                       # [B, 16, T/2, F/2]
+        if tap:
+            tap("conv_act", x)  # reference modules.py:375-377 conv_act
         x = nn.leaky_relu(nn.conv2d_apply(params["down1a"], x), alpha)
         x = nn.leaky_relu(nn.conv2d_apply(params["down1b"], x), alpha)
         x = nn.max_pool_2x2(x)                       # [B, 16, T/4, nfft/8]
@@ -486,10 +498,14 @@ class ConvBiLstmEncoder(Encoder):
         seq = rnn.bilstm_apply(params["lstm1"], seq, act,
                                dropout_rng=drop_keys[1], keep_prob=keep,
                                backend=_backend(hp))
+        if tap:
+            tap("lstm_act", seq)  # reference lstm_act (modules.py:376)
         x = jnp.transpose(
             seq.reshape(b, -1, 16, nfft // 8), (0, 2, 1, 3))
         x = x + skip
         x = x - jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        if tap:
+            tap("mid4", x)        # reference mid4: post-residual centering
 
         x = nn.leaky_relu(nn.conv2d_apply(params["up0a"], x), alpha)
         x = nn.leaky_relu(nn.conv2d_apply(params["up0b"], x), alpha)

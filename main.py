@@ -177,7 +177,14 @@ def run_debug(args):
         hp = model.hp
         (mix_ri, src_pwr, mix_pwr, logmag,
          phase_unit) = mixture_features(src_ri, hp.EPS)
-        embed, embed_flat = model._embed(params, logmag, False, None)
+        # encoder internals (per-layer hidden sequences / conv
+        # activations) ride along via the tap hook — the functional
+        # equivalent of the reference's encoder.debug_fetches
+        # (reference modules.py:375-377, main.py:387-397)
+        cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
+        embed, enc_fetches = model.encoder.apply_debug(
+            params["encoder"], logmag.astype(cdt))
+        embed_flat = embed.reshape(embed.shape[0], -1, embed.shape[-1])
         attractors = model.train_estimator.apply(
             params["train_estimator"], embed,
             src_pwr=src_pwr, mix_pwr=mix_pwr)
@@ -185,7 +192,7 @@ def run_debug(args):
             params["separator"], mix_pwr, attractors, embed_flat)
         sep_ri = sep_pwr[..., None] * phase_unit[:, None]
         return dict(embed=embed, attrs=attractors, masks=sep_pwr,
-                    output=sep_ri)
+                    output=sep_ri, **enc_fetches)
 
     data = jax.jit(debug_fetch)(params, src_ri)
     data = {k: np.asarray(v) for k, v in data.items()}

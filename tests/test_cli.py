@@ -65,9 +65,27 @@ def test_cli_debug_mode_writes_mat(workdir):
     _run(["-m", "debug", "-ds", "toy", "-c", cfg,
           "-i", os.path.join(workdir, "ckpt")], workdir)
     mat = scipy.io.loadmat(os.path.join(workdir, "debug/debug_data.mat"))
-    for key in ("input", "embed", "attrs", "masks", "output"):
+    # shared tail tensors + toy-encoder internals (tap hook)
+    for key in ("input", "embed", "attrs", "masks", "output", "mid_act"):
         assert key in mat, key
         assert np.asarray(mat[key]).size > 0
+
+
+def test_cli_debug_mode_dumps_encoder_internals(tmp_path):
+    """Debug mode on the recurrent flagship dumps per-layer hidden
+    sequences (reference modules.py:375-377 / main.py:387-397 analogue)."""
+    import scipy.io
+    cwd = str(tmp_path)
+    cfg = os.path.join(cwd, "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"BATCH_SIZE": 1, "MAX_TRAIN_LEN": 16,
+                   "ENCODER_TYPE": "bilstm-orig"}, f)
+    _run(["-m", "debug", "-ds", "toy", "-c", cfg], cwd)
+    mat = scipy.io.loadmat(os.path.join(cwd, "debug/debug_data.mat"))
+    for i in range(4):
+        key = "lstm%d_h" % i
+        assert key in mat, sorted(mat)
+        assert np.asarray(mat[key]).shape[-1] == 600  # 2 x hdim=300
 
 
 def test_cli_rejects_unknown_mode(workdir):
