@@ -67,14 +67,7 @@ def _gru_bwd_step(acts, c_prev, dc_total, wgh, wch, hdim: int, dt):
     dc_prev = dc_prev + jax.lax.dot_general(
         dgx_dt, wgh, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    c_prev_dt = c_prev.astype(dt)
-    dwgh_inc = jax.lax.dot_general(
-        c_prev_dt, dgx_dt, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dwch_inc = jax.lax.dot_general(
-        (c_prev * r).astype(dt), dcand_dt, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return dgx, dcand_pre, dwgh_inc, dwch_inc, dc_prev
+    return dgx, dcand_pre, dc_prev
 
 
 def _fwd_kernel(gx_ref, cx_ref, wgh_ref, wch_ref, c0_ref, *rest,
@@ -102,40 +95,38 @@ def _fwd_kernel(gx_ref, cx_ref, wgh_ref, wch_ref, c0_ref, *rest,
 
 
 def _bwd_kernel(d_cs_ref, acts_ref, cprev_ref, wgh_ref, wch_ref,
-                dgx_ref, dcx_ref, dwgh_ref, dwch_ref, dc0_ref,
-                dc_scr, dwgh_scr, dwch_scr, *, unroll: int):
+                dgx_ref, dcx_ref, dc0_ref,
+                dc_scr, *, unroll: int):
+    """Backward scan: sequential work only (dgx/dcx/dc chain).
+
+    As in the LSTM backward (ops/pallas/lstm.py::_bwd_kernel), the weight
+    gradients are NOT accumulated in-kernel: their per-step contributions
+    are rank-B GEMMs with no sequential dependency, so _vjp_bwd computes
+    dWgh/dWch as bulk [H, T*B] x [T*B, .] GEMMs at near-peak MXU
+    utilization from the dgx/dcx streams this kernel writes out."""
     blk = pl.program_id(0)
-    n_blk = pl.num_programs(0)
     hdim = dc_scr.shape[-1]
     dt = d_cs_ref.dtype
 
     @pl.when(blk == 0)
     def _():
         dc_scr[:] = jnp.zeros_like(dc_scr)
-        dwgh_scr[:] = jnp.zeros_like(dwgh_scr)
-        dwch_scr[:] = jnp.zeros_like(dwch_scr)
 
     dc = dc_scr[:]
-    dwgh = dwgh_scr[:]
-    dwch = dwch_scr[:]
     for s in range(unroll - 1, -1, -1):
         dc_total = d_cs_ref[s].astype(jnp.float32) + dc
-        dgx, dcx, dwgh_inc, dwch_inc, dc = _gru_bwd_step(
+        dgx, dcx, dc = _gru_bwd_step(
             acts_ref[s].astype(jnp.float32),
             cprev_ref[s].astype(jnp.float32),
             dc_total, wgh_ref[:], wch_ref[:], hdim, dt)
         dgx_ref[s] = dgx.astype(dt)
         dcx_ref[s] = dcx.astype(dt)
-        dwgh = dwgh + dwgh_inc
-        dwch = dwch + dwch_inc
     dc_scr[:] = dc
-    dwgh_scr[:] = dwgh
-    dwch_scr[:] = dwch
+
+    n_blk = pl.num_programs(0)
 
     @pl.when(blk == n_blk - 1)
     def _():
-        dwgh_ref[:] = dwgh_scr[:]
-        dwch_ref[:] = dwch_scr[:]
         dc0_ref[:] = dc_scr[:].astype(dt)
 
 
@@ -183,20 +174,15 @@ def _bwd_call(d_cs, acts, c_prev, wgh, wch, interpret):
             _const_spec(h, 2 * h), _const_spec(h, h),
         ],
         out_specs=[
-            rev(b, 2 * h), rev(b, h),
-            _const_spec(h, 2 * h), _const_spec(h, h), _const_spec(b, h),
+            rev(b, 2 * h), rev(b, h), _const_spec(b, h),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, b, 2 * h), dt),
             jax.ShapeDtypeStruct((t, b, h), dt),
-            jax.ShapeDtypeStruct((h, 2 * h), jnp.float32),
-            jax.ShapeDtypeStruct((h, h), jnp.float32),
             jax.ShapeDtypeStruct((b, h), dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h), jnp.float32),
-            pltpu.VMEM((h, 2 * h), jnp.float32),
-            pltpu.VMEM((h, h), jnp.float32),
         ],
         interpret=interpret,
     )(d_cs, acts, c_prev, wgh, wch)
@@ -229,8 +215,15 @@ def _vjp_fwd(gx, cx, wgh, wch, c0, interpret):
 def _vjp_bwd(interpret, res, d_cs):
     wgh, wch, c0, cs, acts = res
     c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
-    dgx, dcx, dwgh, dwch, dc0 = _bwd_call_jit(
+    dgx, dcx, dc0 = _bwd_call_jit(
         d_cs, acts, c_prev, wgh, wch, interpret)
+    # weight grads as bulk GEMMs over all timesteps (see _bwd_kernel)
+    h = c_prev.shape[-1]
+    r = acts[..., :h]
+    dwgh = jnp.einsum("tbh,tbg->hg", c_prev, dgx,
+                      preferred_element_type=jnp.float32)
+    dwch = jnp.einsum("tbh,tbk->hk", c_prev * r, dcx,
+                      preferred_element_type=jnp.float32)
     return dgx, dcx, dwgh.astype(wgh.dtype), dwch.astype(wch.dtype), dc0
 
 

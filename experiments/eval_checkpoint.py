@@ -26,6 +26,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--batches", type=int, default=120)
+    ap.add_argument("--dataset", default="synth",
+                    choices=["synth", "synth-speech"])
     ap.add_argument("--subset", default="valid", choices=["valid", "test"])
     ap.add_argument("--estimators", default="anchor,kmeans")
     ap.add_argument("--encoder", default="bilstm-orig")
@@ -39,7 +41,7 @@ def main():
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
     hparams.load_json(os.path.join(repo, "default.json"))
     hparams.ENCODER_TYPE = args.encoder
-    hparams.DATASET_TYPE = "synth"
+    hparams.DATASET_TYPE = args.dataset
     hparams.BATCH_SIZE = 16
     hparams.COMPUTE_DTYPE = "bfloat16"
     hparams.MAX_N_SIGNAL = args.n_signal

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--save-dir", default="saves/synth_extended")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--batches", type=int, default=60)
+    ap.add_argument("--dataset", default="synth",
+                    choices=["synth", "synth-speech"],
+                    help="synthetic corpus: narrowband tones or broadband "
+                         "formant speech (data/synth_speech.py)")
     ap.add_argument("--loss", default="pit-mse",
                     choices=["pit-mse", "pit-si-snr"],
                     help="training objective (pit-si-snr = waveform uPIT "
@@ -50,7 +54,7 @@ def main():
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
     hparams.load_json(os.path.join(repo, "default.json"))
     hparams.ENCODER_TYPE = args.encoder
-    hparams.DATASET_TYPE = "synth"
+    hparams.DATASET_TYPE = args.dataset
     hparams.BATCH_SIZE = 16
     hparams.COMPUTE_DTYPE = "bfloat16"
     hparams.LR = args.lr
@@ -79,7 +83,8 @@ def main():
         print("resumed from step %d (epoch %d)"
               % (state["step"], state["epoch"]), flush=True)
     state = trainer.train(args.epochs, dataset, save_on_epoch=False,
-                          valid_on_epoch=True, state=state, save_best=True)
+                          valid_on_epoch=True, state=state, save_best=True,
+                          lr=args.lr)  # staged recipes pin LR per stage
     trainer.save_params(state, latest)
     print("saved at step %d" % state["step"], flush=True)
 

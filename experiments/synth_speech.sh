@@ -1,0 +1,21 @@
+#!/bin/bash
+# Staged training on the BROADBAND formant-speech corpus (synth-speech):
+# unlike the narrowband tone corpus, these sources span the whole band, so
+# BSS-eval SDR is identifiable (including at N=3 — see synth_speech_n3.sh).
+# Same curriculum as synth_big.sh: PIT-MSE warmup -> LR-dropped PIT-MSE ->
+# waveform uPIT SI-SNR fine-tune.  Reference analogue:
+# experiments/timit_1.sh staged curriculum.
+set -e
+cd "$(dirname "$0")/.."
+SAVE=saves/synth_speech
+mkdir -p "$SAVE"
+PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
+    --dataset synth-speech --eval-si-snr"
+
+echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
+$PY --epochs 12 --lr 1e-3
+echo "=== stage B: PIT-MSE @ 3e-4 (12 epochs)"
+$PY --epochs 12 --lr 3e-4 --resume
+echo "=== stage C: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
+$PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
+echo "=== all stages done"
