@@ -62,9 +62,7 @@ def build_step():
     src = jax.device_put(np.random.RandomState(0).randn(
         BATCH, N_SIGNAL, T, hparams.FEATURE_SIZE, 2).astype(np.float32))
 
-    # donate params/opt_state as the Trainer does (trainer.py): the update
-    # writes in place instead of allocating a second copy of every buffer
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    @jax.jit
     def train_step(params, opt_state, src_ri):
         (loss, aux), grads = jax.value_and_grad(
             model.train_loss, has_aux=True)(params, src_ri, None)
