@@ -54,6 +54,21 @@ def test_export_roundtrip_matches_live_model(tiny_model, tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_export_does_not_mutate_shared_hparams(tiny_model, tmp_path):
+    """Multi-platform exports pin the portable XLA backends on a COPY of
+    the config — the caller's shared hparams must be left untouched
+    (advisor r1: the old save/restore pattern was not reentrant and
+    leaked mid-export state to concurrent readers)."""
+    model, params = tiny_model
+    hparams.STFT_BACKEND = "auto"
+    hparams.LSTM_BACKEND = "auto"
+    serve.export_separator(model, params, str(tmp_path / "a"),
+                           lengths=[4096], platforms=["cpu"])
+    assert hparams.STFT_BACKEND == "auto"
+    assert hparams.LSTM_BACKEND == "auto"
+    assert model.hp.STFT_BACKEND == "auto"  # caller's model untouched too
+
+
 def test_bucket_selection_and_errors(tiny_model, tmp_path):
     model, params = tiny_model
     out_dir = str(tmp_path / "artifact")
