@@ -106,6 +106,19 @@ class DaNet:
         Returns (loss, aux) — aux = {snr, separated_ri, perm_idx}.
         """
         hp = self.hp
+        # Random relative-gain mixing augmentation: each source draws a
+        # per-example level offset in +/- MIX_SNR_DB/2 dB before in-graph
+        # mixing, as real WSJ0-mix recipes do.  The reference ships this
+        # only as DEAD code (gen_2spkr_mixture + MAX_MIX_SNR,
+        # /root/reference/app/datasets/WSJ0/process.py:17,67-118 — never
+        # called); here it is live, in-graph, and off by default.
+        mix_db = float(getattr(hp, "MIX_SNR_DB", 0.0) or 0.0)
+        if mix_db > 0.0 and rng is not None:
+            b, n = src_ri.shape[0], src_ri.shape[1]
+            db = jax.random.uniform(
+                jax.random.fold_in(rng, 0x5e2), (b, n, 1, 1, 1),
+                minval=-0.5 * mix_db, maxval=0.5 * mix_db)
+            src_ri = src_ri * (10.0 ** (db / 20.0)).astype(src_ri.dtype)
         (mix_ri, src_pwr, mix_pwr, logmag,
          phase_unit) = mixture_features(src_ri, hp.EPS)
         embed, embed_flat = self._embed(params, logmag, train=True, rng=rng)

@@ -186,6 +186,30 @@ def test_si_snr_objective_learns(fresh_hparams):
     assert losses[-1] < losses[0] - 2.0, losses
 
 
+def test_mix_snr_augmentation(fresh_hparams):
+    """MIX_SNR_DB>0 draws per-source level offsets in-graph: the loss
+    changes with the rng, and disabling it reproduces the baseline."""
+    hp = _tiny_hp(fresh_hparams)
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = np.random.RandomState(0).rand(
+        hp.BATCH_SIZE, hp.MAX_N_SIGNAL, 32, hp.FEATURE_SIZE, 2).astype(
+            np.float32)
+    base, _ = jax.jit(model.train_loss)(params, src, jax.random.PRNGKey(1))
+
+    hp.MIX_SNR_DB = 10.0
+    a, _ = jax.jit(model.train_loss)(params, src, jax.random.PRNGKey(1))
+    b, _ = jax.jit(model.train_loss)(params, src, jax.random.PRNGKey(2))
+    assert float(a) != float(base)  # gains applied
+    assert float(a) != float(b)     # rng-dependent
+    # gains are bounded: a 10 dB window cannot blow the loss up wildly
+    assert 0.1 * float(base) < float(a) < 10.0 * float(base)
+
+    hp.MIX_SNR_DB = 0.0
+    off, _ = jax.jit(model.train_loss)(params, src, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(off), float(base), rtol=1e-6)
+
+
 def test_unknown_train_loss_type_raises(fresh_hparams):
     hp = _tiny_hp(fresh_hparams)
     hp.TRAIN_LOSS_TYPE = "nope"
