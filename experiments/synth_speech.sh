@@ -18,4 +18,6 @@ echo "=== stage B: PIT-MSE @ 3e-4 (12 epochs)"
 $PY --epochs 12 --lr 3e-4 --resume
 echo "=== stage C: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
 $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
+echo "=== stage D: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
+$PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
 echo "=== all stages done"
