@@ -45,9 +45,20 @@ class Encoder(ModelModule):
 
     def apply_debug(self, params, log_spectra):
         """(embed, fetches): forward pass + dict of internal activations
-        for the debug-mode .mat dump (reference main.py:387-397)."""
+        for the debug-mode .mat dump (reference main.py:387-397).
+
+        User encoders that do not declare the optional ``tap`` kwarg
+        still work — they just contribute no internal fetches."""
+        import inspect
+        sig = inspect.signature(self.apply).parameters
+        takes_tap = "tap" in sig or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in sig.values())
         fetches = {}
-        embed = self.apply(params, log_spectra, tap=fetches.__setitem__)
+        if takes_tap:
+            embed = self.apply(params, log_spectra,
+                               tap=fetches.__setitem__)
+        else:
+            embed = self.apply(params, log_spectra)
         return embed, fetches
 
 

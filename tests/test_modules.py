@@ -398,3 +398,27 @@ def test_separate_wav_matches_host_dsp(fresh_hparams):
     host = np.stack([
         audio.istft_np(audio.from_ri(s)) for s in sep_ri])
     np.testing.assert_allclose(device, host, atol=1e-4)
+
+
+def test_apply_debug_without_tap_kwarg(fresh_hparams):
+    """User encoders that predate the tap hook (no tap kwarg) must still
+    work through apply_debug — they just contribute no fetches."""
+    import jax.numpy as jnp
+    import numpy as np
+    from danet_tpu.models.base import Encoder
+
+    class Legacy(Encoder):
+        def init(self, rng):
+            return {}
+
+        def apply(self, params, log_spectra, train=False, rng=None):
+            hp = self.hp
+            b, t = log_spectra.shape[:2]
+            return jnp.zeros((b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE))
+
+    hp = fresh_hparams
+    enc = Legacy(hp, "legacy")
+    x = np.zeros((1, 4, hp.FEATURE_SIZE), np.float32)
+    embed, fetches = enc.apply_debug({}, x)
+    assert embed.shape == (1, 4, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+    assert fetches == {}
