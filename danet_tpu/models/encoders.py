@@ -322,7 +322,11 @@ class AttentionEncoder(Encoder):
                      if (rng is not None and keep < 1.0) else
                      [None] * n_layers)
         if attn_fn is None:
-            attn_fn = self._dense_attention
+            # ATTN_BACKEND: dense einsum attention, or the Pallas flash
+            # kernel for block-aligned long sequences on TPU
+            # (ops/pallas/attention.py)
+            from danet_tpu.ops.pallas.attention import resolve_attn_fn
+            attn_fn = resolve_attn_fn(hp, t, self._dense_attention)
 
         # key mask: zero-padded frames (TIME_BUCKET / batch padding) have
         # exactly zero spectra; exclude them as attention keys so padding

@@ -1,0 +1,66 @@
+"""Flash-attention backend for the attention encoders (long-T path).
+
+The dense attention in models/encoders.py materializes [B, H, T, T]
+logits — fine at the flagship T=128, quadratic-memory at the tl=512
+curriculum stages and long-form inference.  This wraps the stock Pallas
+TPU flash-attention kernel (jax.experimental.pallas.ops.tpu.flash_attention:
+blockwise online-softmax, O(T) memory, custom VJP) behind the encoder's
+``attn_fn(q, k, v, key_mask)`` contract:
+
+  * layout adaptation [B, T, H, D] <-> [B, H, T, D];
+  * key padding handled with SegmentIds: real frames are segment 0,
+    padded frames segment 1 — padded KEYS are excluded from real queries
+    exactly like the dense path's additive mask.  (Padded QUERIES attend
+    only among themselves instead of over real keys; their embeddings are
+    garbage either way and the separators/estimators weight them by
+    mixture power, which is zero on padding.)
+
+Selection: ATTN_BACKEND config key — 'auto' (default) engages flash on
+TPU platforms when T is block-aligned and big enough to matter
+(>= 256 frames); 'flash' forces it; 'xla' keeps dense attention.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def flash_attention_masked(q, k, v, key_mask):
+    """attn_fn-contract wrapper: q/k/v [B, T, H, D], key_mask [B, T] bool
+    -> [B, T, H, D]."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))        # [B, H, T, D]
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    sm_scale = 1.0 / float(q.shape[-1]) ** 0.5
+    if key_mask is not None and key_mask.dtype == jnp.bool_:
+        seg = (~key_mask).astype(jnp.int32)    # 0 = real, 1 = padding
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    else:
+        segment_ids = None
+    out = flash_attention(qt, kt, vt, segment_ids=segment_ids,
+                          sm_scale=sm_scale)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def attn_backend_default(t: int) -> str:
+    """'flash' on TPU platforms for block-aligned long sequences, 'xla'
+    (dense) otherwise.  128 is the kernel's minimum block size; below
+    ~256 frames the dense path is faster (single-block kernel overhead,
+    and T=128 logits are tiny)."""
+    if t >= 256 and t % 128 == 0 and \
+            jax.default_backend() in ("tpu", "axon"):
+        return "flash"
+    return "xla"
+
+
+def resolve_attn_fn(hp, t: int, dense_fn):
+    """Pick the attention implementation for sequence length t."""
+    be = getattr(hp, "ATTN_BACKEND", "auto") or "auto"
+    if be not in ("auto", "flash", "xla"):
+        raise ValueError("Unknown ATTN_BACKEND %r" % (be,))
+    if be == "auto":
+        be = attn_backend_default(t)
+    return flash_attention_masked if be == "flash" else dense_fn

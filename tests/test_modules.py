@@ -422,3 +422,29 @@ def test_apply_debug_without_tap_kwarg(fresh_hparams):
     embed, fetches = enc.apply_debug({}, x)
     assert embed.shape == (1, 4, hp.FEATURE_SIZE, hp.EMBED_SIZE)
     assert fetches == {}
+
+
+def test_attn_backend_resolution(fresh_hparams):
+    """ATTN_BACKEND selection: dense off-TPU/short-T, flash only for
+    block-aligned long sequences on TPU; typos rejected."""
+    import pytest
+    from danet_tpu.ops.pallas import attention as attn
+
+    hp = fresh_hparams
+    dense = object()
+    # CPU platform: always dense
+    assert attn.resolve_attn_fn(hp, 512, dense) is dense
+    hp.ATTN_BACKEND = "flash"
+    assert attn.resolve_attn_fn(hp, 512, dense) \
+        is attn.flash_attention_masked
+    hp.ATTN_BACKEND = "xla"
+    assert attn.resolve_attn_fn(hp, 512, dense) is dense
+    hp.ATTN_BACKEND = "bogus"
+    with pytest.raises(ValueError, match="ATTN_BACKEND"):
+        attn.resolve_attn_fn(hp, 512, dense)
+    # default heuristic (platform-independent parts)
+    import unittest.mock as mock
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        assert attn.attn_backend_default(512) == "flash"
+        assert attn.attn_backend_default(128) == "xla"   # too short
+        assert attn.attn_backend_default(300) == "xla"   # not aligned
