@@ -155,12 +155,15 @@ def bilstm_stack_pipelined(params_list, x, mesh, n_micro: int = 4,
             return z
 
         n_ticks = n_micro + s - 1
-        # loop carries must be marked pipe-varying under shard_map
+        # loop carries must be marked varying over every axis the computed
+        # activations vary over: 'pipe' always, and 'data' when rows are
+        # data-sharded (micro slices differ per data shard)
+        vary = (pipe_axis,) + ((data_axis,) if data_axis else ())
         out_buf = jax.lax.pcast(
-            jnp.zeros((n_micro, mb, t, width), x.dtype), pipe_axis,
+            jnp.zeros((n_micro, mb, t, width), x.dtype), vary,
             to="varying")
         carry = jax.lax.pcast(
-            jnp.zeros((mb, t, width), x.dtype), pipe_axis, to="varying")
+            jnp.zeros((mb, t, width), x.dtype), vary, to="varying")
 
         def tick(i, state):
             carry, out_buf = state

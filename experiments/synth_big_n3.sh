@@ -6,15 +6,28 @@ set -e
 cd "$(dirname "$0")/.."
 SAVE=saves/synth_big_n3
 mkdir -p "$SAVE"
+
+# The tunneled remote-compile service occasionally drops a response
+# ("response body closed before all bytes were read"); every stage is
+# checkpoint-resumable, so transient failures just retry the stage.
+retry() {
+  for i in 1 2 3; do
+    "$@" && return 0
+    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
+    sleep 90
+  done
+  return 1
+}
+
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
     --eval-si-snr --n-signal 3"
 
 echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
-$PY --epochs 12 --lr 1e-3
+retry $PY --epochs 12 --lr 1e-3
 echo "=== stage B: PIT-MSE @ 3e-4 (12 epochs)"
-$PY --epochs 12 --lr 3e-4 --resume
+retry $PY --epochs 12 --lr 3e-4 --resume
 echo "=== stage C: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
-$PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
+retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
 echo "=== stage D: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
-$PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
+retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
 echo "=== all stages done"

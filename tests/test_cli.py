@@ -96,3 +96,18 @@ def test_cli_rejects_unknown_mode(workdir):
         [sys.executable, os.path.join(REPO, "main.py"), "-m", "bogus"],
         cwd=workdir, env=env, capture_output=True, text=True, timeout=120)
     assert proc.returncode != 0
+
+
+@pytest.mark.parametrize("cfg", ["pipeline.json", "moe-ep.json"])
+def test_cli_parallel_configs_train(cfg, tmp_path):
+    """The shipped MESH_PIPE / MESH_EXPERT configs drive `main.py -m train`
+    end-to-end on the 8-device virtual CPU mesh — pipeline and expert
+    parallelism are config-reachable, not library-only."""
+    cwd = str(tmp_path)
+    out = _run(["-m", "train", "-ne", "1", "-tl", "32", "-c",
+                os.path.join(REPO, "configs", cfg),
+                "--no-valid-on-epoch", "--no-save-on-epoch"], cwd,
+               extra_env={"XLA_FLAGS":
+                          "--xla_force_host_platform_device_count=8"})
+    assert "Epoch 1/1" in out
+    assert "nan" not in out.split("Epoch 1/1")[1].lower()

@@ -373,7 +373,11 @@ def test_trainer_pipeline_parallel_step(fresh_hparams):
 
     hp = fresh_hparams
     hp.ENCODER_TYPE = "bilstm-orig"
-    hp.BATCH_SIZE = 4
+    hp.BATCH_SIZE = 8
+    # 4 microbatches of 2 rows: 2 rows split over dp=2 ENGAGES the
+    # pipeline's data-sharded row path (regression: the loop carries must
+    # be varying over 'data' too, not just 'pipe')
+    hp.PIPE_MICROBATCHES = 4
     hp.DROPOUT_KEEP_PROB = 1.0
     hp.digest()
     rngnp = np.random.RandomState(0)
