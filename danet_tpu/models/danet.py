@@ -252,7 +252,8 @@ class DaNet:
 
     # ------------------------------------------------------------------
     def separate_sp(self, params, mix_ri: jnp.ndarray, mesh,
-                    halo: int = 32, seq_axis: str = "seq") -> jnp.ndarray:
+                    halo: int = 32, seq_axis: str = "seq",
+                    sp_attn: str = "ring") -> jnp.ndarray:
         """Sequence-parallel inference over a 'seq' mesh axis:
         [B, T, F, 2] -> [B, N, T, F, 2].
 
@@ -262,7 +263,10 @@ class DaNet:
         per its family: bilstm-orig as chunked scans with halo state
         warmup over the ICI (parallel/seq_parallel.bilstm_stack_sp,
         boundary-approximate with halo-decaying error); attn-v1/moe-v1
-        via EXACT ring attention (parallel/ring_attention).
+        via EXACT sequence-parallel attention — `sp_attn` picks the
+        collective pattern: 'ring' (K/V rotation over the ICI ring,
+        parallel/ring_attention) or 'ulysses' (all-to-all head sharding,
+        parallel/ulysses; needs ATTN_HEADS divisible by the axis size).
         """
         from danet_tpu.models.encoders import (AttentionEncoder,
                                                 BiLstmEncoder, _LstmHead,
@@ -274,10 +278,15 @@ class DaNet:
         enc = params["encoder"]
 
         if isinstance(self.encoder, AttentionEncoder):
-            from danet_tpu.parallel.ring_attention import ring_attention
+            if sp_attn == "ulysses":
+                from danet_tpu.parallel.ulysses import (
+                    ulysses_attention as sp_attention)
+            else:
+                from danet_tpu.parallel.ring_attention import (
+                    ring_attention as sp_attention)
             embed = self.encoder.apply(
                 enc, logmag.astype(cdt),
-                attn_fn=lambda q, k, v, km: ring_attention(
+                attn_fn=lambda q, k, v, km: sp_attention(
                     q, k, v, mesh, seq_axis=seq_axis, key_mask=km))
         elif isinstance(self.encoder, BiLstmEncoder):
             from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
