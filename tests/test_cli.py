@@ -20,7 +20,9 @@ def _run(args, cwd, extra_env=None):
     env.update(extra_env or {})
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "main.py")] + args,
-        cwd=cwd, env=env, capture_output=True, text=True, timeout=420)
+        # 900s: the MoE-EP config compiles ~5 min on an idle CPU host and
+        # the suite often shares the machine with a TPU run's host side
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     return proc.stdout
 
