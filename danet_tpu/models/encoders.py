@@ -145,12 +145,21 @@ class BiLstmEncoder(Encoder):
         keep = hp.DROPOUT_KEEP_PROB if train else 1.0
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         n_pipe = int(getattr(hp, "MESH_PIPE", 1) or 1)
+        n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
         if n_pipe > 1:
             # trainer-reachable pipeline parallelism: the stack runs
             # GPipe-microbatched over the mesh's 'pipe' axis (exact +
             # differentiable; parallel/pipeline.py)
             x = self._apply_pipelined(
                 params, x, n_pipe, act, keep,
+                rng if (rng is not None and keep < 1.0) else None)
+        elif n_seq > 1:
+            # trainer-reachable sequence parallelism: chunked scans with
+            # halo state warmup over the mesh's 'seq' axis (differentiable;
+            # boundary-approximate with halo-decaying error;
+            # parallel/seq_parallel.py)
+            x = self._apply_sp(
+                params, x, n_seq, act, keep,
                 rng if (rng is not None and keep < 1.0) else None)
         else:
             drop_keys = (jax.random.split(rng, self.N_LAYERS)
@@ -197,6 +206,29 @@ class BiLstmEncoder(Encoder):
         for a in ("data", "model"):
             n *= mesh.shape.get(a, 1)
         return mesh if batch % n == 0 else None
+
+    def _apply_sp(self, params, x, n_seq, act, keep, rng):
+        from danet_tpu.parallel import active_mesh
+        from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
+        hp = self.hp
+        mesh = active_mesh()
+        if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
+            raise ValueError(
+                "MESH_SEQ=%d but the active mesh has no matching 'seq' "
+                "axis (%r) — build the Trainer mesh via mesh_from_hparams"
+                % (n_seq, dict(mesh.shape)))
+        t = x.shape[1]
+        if t % n_seq:
+            raise ValueError(
+                "MESH_SEQ=%d must divide the frame count T=%d (pick "
+                "MAX_TRAIN_LEN / TIME_BUCKET accordingly)" % (n_seq, t))
+        halo = min(int(getattr(hp, "SP_HALO", 0) or 32), t // n_seq)
+        layers = [params[f"lstm{i}"] for i in range(self.N_LAYERS)]
+        drop_keys = (list(jax.random.split(rng, self.N_LAYERS))
+                     if rng is not None else None)
+        return bilstm_stack_sp(
+            layers, x, mesh, halo=halo, candidate_activation=act,
+            backend=_backend(hp), drop_keys=drop_keys, keep_prob=keep)
 
     def _apply_pipelined(self, params, x, n_pipe, act, keep, rng):
         from danet_tpu.parallel import active_mesh
@@ -308,6 +340,26 @@ class AttentionEncoder(Encoder):
         attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         return nn.ee("bhqk,bkhd->bqhd", attn, v)
 
+    def _sp_attn_fn(self, n_seq):
+        from danet_tpu.parallel import active_mesh
+        mesh = active_mesh()
+        if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
+            raise ValueError(
+                "MESH_SEQ=%d but the active mesh has no matching 'seq' "
+                "axis (%r) — build the Trainer mesh via mesh_from_hparams"
+                % (n_seq, dict(mesh.shape)))
+        kind = str(getattr(self.hp, "SP_ATTN", None) or "ring")
+        if kind == "ulysses":
+            from danet_tpu.parallel.ulysses import (
+                ulysses_attention as sp_attention)
+        elif kind == "ring":
+            from danet_tpu.parallel.ring_attention import (
+                ring_attention as sp_attention)
+        else:
+            raise ValueError("SP_ATTN must be 'ring' or 'ulysses', got %r"
+                             % (kind,))
+        return lambda q, k, v, km: sp_attention(q, k, v, mesh, key_mask=km)
+
     def apply(self, params, log_spectra, train=False, rng=None,
               attn_fn=None, tap=None):
         """attn_fn(q, k, v, key_mask) -> [B,T,H,D]; defaults to dense
@@ -321,7 +373,14 @@ class AttentionEncoder(Encoder):
         drop_keys = (jax.random.split(rng, n_layers)
                      if (rng is not None and keep < 1.0) else
                      [None] * n_layers)
-        if attn_fn is None:
+        n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+        if attn_fn is None and n_seq > 1:
+            # trainer-reachable sequence parallelism: EXACT T-sharded
+            # attention over the mesh's 'seq' axis; SP_ATTN picks the
+            # collective pattern ('ring' K/V rotation or 'ulysses'
+            # all-to-all head sharding)
+            attn_fn = self._sp_attn_fn(n_seq)
+        elif attn_fn is None:
             # ATTN_BACKEND: dense einsum attention, or the Pallas flash
             # kernel for block-aligned long sequences on TPU
             # (ops/pallas/attention.py)

@@ -102,8 +102,11 @@ def lstm_input_proj(params, x_tm: jnp.ndarray) -> jnp.ndarray:
 
 
 def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
-               candidate_activation: str, backend: str = "auto"):
-    """Core scan. x_tm: [T, B, idim] time-major. Returns hidden seq [T,B,h]."""
+               candidate_activation: str, backend: str = "auto",
+               return_state: bool = False):
+    """Core scan. x_tm: [T, B, idim] time-major. Returns hidden seq [T,B,h]
+    (or (hidden seq, (c_final, h_final)) with return_state — XLA scan path
+    only; the Pallas kernels do not expose the final carry)."""
     hdim = params["wh"].shape[0]
     t, b = x_tm.shape[0], x_tm.shape[1]
     dt = x_tm.dtype
@@ -119,6 +122,8 @@ def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
 
     if _check_backend(backend) == "auto":
         backend = lstm_backend_default()
+    if return_state and backend in ("pallas", "pallas-interpret"):
+        backend = "xla"
     if backend in ("pallas", "pallas-interpret"):
         from danet_tpu.ops.pallas.lstm import lstm_scan_pallas
         return lstm_scan_pallas(
@@ -141,13 +146,13 @@ def _lstm_scan(params, x_tm: jnp.ndarray, c0, h0,
         h_new = o * jnp.tanh(c_new)
         return (c_new, h_new), h_new
 
-    (_, _), hs = jax.lax.scan(step, (c0, h0), xp)
-    return hs
+    (c_f, h_f), hs = jax.lax.scan(step, (c0, h0), xp)
+    return (hs, (c_f, h_f)) if return_state else hs
 
 
 def lstm_apply(params, x: jnp.ndarray, candidate_activation: str = "tanh",
                reverse: bool = False, c0=None, h0=None,
-               backend: str = "auto") -> jnp.ndarray:
+               backend: str = "auto", return_state: bool = False):
     """Run an LSTM over x [B, T, idim] -> [B, T, hdim].
 
     reverse=True runs over time-reversed input and re-reverses the output
@@ -155,14 +160,21 @@ def lstm_apply(params, x: jnp.ndarray, candidate_activation: str = "tanh",
     modules.py:128-136). Initial state is zero, matching the reference's
     per-batch state reset (main.py:432,538-540).
     backend: 'auto' | 'xla' | 'pallas' | 'pallas-interpret'.
+    return_state=True additionally returns the final scan carry
+    (c, h) — for a reversed scan that is the state after consuming the
+    input down to its FIRST frame (sequence-parallel halo warmup,
+    parallel/seq_parallel.py).  Forces the XLA scan path.
     """
     x_tm = jnp.swapaxes(x, 0, 1)
     if reverse:
         x_tm = x_tm[::-1]
-    hs = _lstm_scan(params, x_tm, c0, h0, candidate_activation, backend)
+    out = _lstm_scan(params, x_tm, c0, h0, candidate_activation, backend,
+                     return_state=return_state)
+    hs, state = out if return_state else (out, None)
     if reverse:
         hs = hs[::-1]
-    return jnp.swapaxes(hs, 0, 1)
+    hs = jnp.swapaxes(hs, 0, 1)
+    return (hs, state) if return_state else hs
 
 
 def bilstm_init(rng, idim: int, hdim: int, w_scale=None,

@@ -41,12 +41,14 @@ def _fold_block(acc, m, denom, q, k, v, scale, kmask):
 
 
 def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
-                   key_mask=None):
+                   key_mask=None, data_axis: str = "data"):
     """Exact multi-head attention with T sharded over `seq_axis`.
 
     Args:
         q, k, v: GLOBAL [B, T, H, D] (T divisible by the axis size)
         key_mask: optional GLOBAL [B, T] bool; False keys are excluded
+        data_axis: mesh axis to shard B over as well (skipped when absent
+            or the batch does not divide) — composes dp x sp
     Returns:
         [B, T, H, D] attention output (f32 accumulate, input dtype out)
     """
@@ -56,23 +58,27 @@ def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
     scale = 1.0 / float(hd) ** 0.5
     if key_mask is None:
         key_mask = jnp.ones((b, t), bool)
+    from danet_tpu.parallel.seq_parallel import _mesh_data_axis
+    d_axis = _mesh_data_axis(mesh, b, data_axis)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, seq_axis), P(None, seq_axis), P(None, seq_axis),
-                  P(None, seq_axis)),
-        out_specs=P(None, seq_axis))
+        in_specs=(P(d_axis, seq_axis), P(d_axis, seq_axis),
+                  P(d_axis, seq_axis), P(d_axis, seq_axis)),
+        out_specs=P(d_axis, seq_axis))
     def run(q_loc, k_loc, v_loc, mask_loc):
         perm = [(i, (i + 1) % s) for i in range(s)]
         qf = q_loc.astype(jnp.float32)
-        # accumulators must carry the seq-varying type under shard_map
+        # accumulators must carry the varying type (seq, plus data under
+        # dp x sp) under shard_map
+        vary = (seq_axis,) if d_axis is None else (seq_axis, d_axis)
         acc = jax.lax.pcast(
-            jnp.zeros(q_loc.shape, jnp.float32), seq_axis, to="varying")
+            jnp.zeros(q_loc.shape, jnp.float32), vary, to="varying")
         m = jax.lax.pcast(
-            jnp.full(q_loc.shape[:3], -jnp.inf, jnp.float32), seq_axis,
+            jnp.full(q_loc.shape[:3], -jnp.inf, jnp.float32), vary,
             to="varying")
         denom = jax.lax.pcast(
-            jnp.zeros(q_loc.shape[:3], jnp.float32), seq_axis,
+            jnp.zeros(q_loc.shape[:3], jnp.float32), vary,
             to="varying")
 
         def rotate(blks):

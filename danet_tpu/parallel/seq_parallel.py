@@ -12,6 +12,14 @@ finite memory); the pointwise front/back ends are exactly T-parallel.
 
 Wall-clock per layer ~ (chunk + halo)/chunk / S of the sequential scan;
 comms are two edge-slice ppermutes per layer riding the ICI.
+
+Composes with data parallelism: when the mesh also carries a 'data' axis
+(and the batch divides over it), the batch dim is sharded over 'data'
+inside the same shard_map, so a dp x sp mesh runs each (batch shard,
+chunk) pair on its own device.  Trainer-reachable via MESH_SEQ (the
+BiLstmEncoder routes through here when MESH_SEQ > 1); dropout between
+layers is supported for that path, with masks decorrelated across mesh
+positions by folding the device's coordinates into the key.
 """
 from __future__ import annotations
 
@@ -41,32 +49,62 @@ def _shift_from_right(x_edge, axis_name):
 
 
 def _bilstm_layer_local(p, x_loc, halo: int, axis_name: str,
-                        candidate_activation: str, backend: str):
-    """One BiLSTM layer on a local chunk [B, C, F] with halo warmup."""
+                        candidate_activation: str, backend: str,
+                        vary_axes=None):
+    """One BiLSTM layer on a local chunk [B, C, F] with halo warmup.
+
+    Each direction runs a short warmup scan over the neighbour's halo
+    frames to estimate the state at the chunk boundary, then the main
+    scan over the local chunk seeded with that state.  Ring-EDGE devices
+    (first chunk for the forward direction, last for the backward) zero
+    the warmup state instead: their true initial state IS zero, and
+    warming up on the zeroed ppermute fill would drift the state off zero
+    through the gate biases.  Consequence: edge chunks are exact, and at
+    S=2 with halo == chunk the whole layer is exact."""
     left = _shift_from_left(x_loc[:, -halo:], axis_name)
     right = _shift_from_right(x_loc[:, :halo], axis_name)
 
-    # initial states must be marked seq-varying for the scan carry to
+    # initial states must be marked varying over every axis the input is
+    # sharded on (seq, plus data under dp x sp) for the scan carry to
     # type-check under shard_map
     hdim = p["fwd"]["wh"].shape[0]
     zero = jax.lax.pcast(
-        jnp.zeros((x_loc.shape[0], hdim), x_loc.dtype), axis_name,
+        jnp.zeros((x_loc.shape[0], hdim), x_loc.dtype),
+        vary_axes if vary_axes is not None else axis_name,
         to="varying")
+    idx = jax.lax.axis_index(axis_name)
+    s = jax.lax.psum(1, axis_name)
 
-    x_fwd = jnp.concatenate([left, x_loc], axis=1)
-    h_f = rnn.lstm_apply(p["fwd"], x_fwd, candidate_activation,
-                         backend=backend, c0=zero, h0=zero)[:, halo:]
-    x_bwd = jnp.concatenate([x_loc, right], axis=1)
-    h_b = rnn.lstm_apply(p["bwd"], x_bwd, candidate_activation,
-                         reverse=True, backend=backend,
-                         c0=zero, h0=zero)[:, :x_loc.shape[1]]
+    def boundary_state(params, x_halo, reverse, is_edge):
+        _, (c_w, h_w) = rnn.lstm_apply(
+            params, x_halo, candidate_activation, reverse=reverse,
+            c0=zero, h0=zero, return_state=True)
+        keep = jnp.where(is_edge, 0.0, 1.0).astype(c_w.dtype)
+        return c_w * keep, h_w * keep
+
+    c0f, h0f = boundary_state(p["fwd"], left, False, idx == 0)
+    h_f = rnn.lstm_apply(p["fwd"], x_loc, candidate_activation,
+                         backend=backend, c0=c0f, h0=h0f)
+    c0b, h0b = boundary_state(p["bwd"], right, True, idx == s - 1)
+    h_b = rnn.lstm_apply(p["bwd"], x_loc, candidate_activation,
+                         reverse=True, backend=backend, c0=c0b, h0=h0b)
     return jnp.concatenate([h_f, h_b], axis=-1)
+
+
+def _mesh_data_axis(mesh, batch: int, data_axis):
+    """'data' when the mesh carries it and the batch divides over it."""
+    if data_axis and data_axis in mesh.shape \
+            and mesh.shape[data_axis] > 1 and batch % mesh.shape[data_axis] == 0:
+        return data_axis
+    return None
 
 
 def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
                     seq_axis: str = "seq",
                     candidate_activation: str = "tanh",
-                    backend: str = "auto"):
+                    backend: str = "auto",
+                    data_axis: str = "data",
+                    drop_keys=None, keep_prob: float = 1.0):
     """Run a stack of BiLSTM layers sequence-parallel over `seq_axis`.
 
     Args:
@@ -75,6 +113,11 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
            each chunk must be >= halo
         mesh: jax.sharding.Mesh containing `seq_axis`
         halo: warmup frames exchanged per layer per direction
+        data_axis: mesh axis to shard the batch over as well (skipped when
+           absent from the mesh or the batch does not divide)
+        drop_keys: optional list of per-layer PRNG keys (None entries skip
+           that layer); masks are decorrelated across devices
+        keep_prob: dropout keep probability for the drop_keys path
     Returns:
         [B, T, 2*hdim] (global, T-sharded internally)
     """
@@ -83,16 +126,35 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
         "select the whole chunk, not an empty one)"
     assert x.shape[1] % s == 0, "T must divide across the seq axis"
     assert x.shape[1] // s >= halo, "chunk must be >= halo"
+    d_axis = _mesh_data_axis(mesh, x.shape[0], data_axis)
+    x_spec = P(d_axis, seq_axis, None)
+    if drop_keys is None:
+        drop_keys = [None] * len(params_list)
+    key_mask = [k is not None for k in drop_keys]
+    keys_in = [k for k in drop_keys if k is not None]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, seq_axis, None)),
-        out_specs=P(None, seq_axis, None))
-    def run(params_list, x_loc):
+        in_specs=(P(), x_spec, P()),
+        out_specs=x_spec)
+    def run(params_list, x_loc, keys_in):
+        # decorrelate dropout masks across mesh positions (each device
+        # holds a distinct (batch shard, chunk) tile)
+        coord = jax.lax.axis_index(seq_axis)
+        if d_axis is not None:
+            coord = coord * jax.lax.psum(1, d_axis) \
+                + jax.lax.axis_index(d_axis)
+        kiter = iter(keys_in)
+        vary = (seq_axis,) if d_axis is None else (seq_axis, d_axis)
         y = x_loc
-        for p in params_list:
+        for p, has_key in zip(params_list, key_mask):
             y = _bilstm_layer_local(
-                p, y, halo, seq_axis, candidate_activation, backend)
+                p, y, halo, seq_axis, candidate_activation, backend,
+                vary_axes=vary)
+            if has_key:
+                from danet_tpu.ops.nn import dropout
+                y = dropout(jax.random.fold_in(next(kiter), coord),
+                            y, keep_prob)
         return y
 
-    return run(params_list, x)
+    return run(params_list, x, keys_in)

@@ -27,30 +27,40 @@ from danet_tpu.hparams import hparams
 
 
 def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
-              devices=None, n_pipe: int = 1, n_expert: int = 1) -> Mesh:
+              devices=None, n_pipe: int = 1, n_expert: int = 1,
+              n_seq: int = 1) -> Mesh:
     """Build a mesh over the available devices.
 
-    Axes: always ('data', 'model'); a 'pipe' axis (pipeline stages,
-    parallel/pipeline.py) and an 'expert' axis (MoE expert groups,
-    parallel/expert.py) are appended only when their size exceeds 1, so
-    plain dp/tp meshes keep their 2-axis shape.  With no explicit factors,
-    all devices go to the 'data' axis (pure DP is the north-star upgrade
-    over the reference's single-GPU limit).
+    Axes: always ('data', 'model'); a 'seq' axis (sequence-parallel
+    chunks, parallel/seq_parallel.py + ring/ulysses attention), a 'pipe'
+    axis (pipeline stages, parallel/pipeline.py) and an 'expert' axis
+    (MoE expert groups, parallel/expert.py) are appended only when their
+    size exceeds 1, so plain dp/tp meshes keep their 2-axis shape.  'seq'
+    is the LAST axis: its neighbours are adjacent devices, so the
+    halo/ring ppermutes ride nearest-neighbour ICI links.  With no
+    explicit factors, all devices go to the 'data' axis (pure DP is the
+    north-star upgrade over the reference's single-GPU limit).
     """
     devices = devices if devices is not None else jax.devices()
     n_dev = len(devices)
     n_pipe = int(n_pipe or 1)
     n_expert = int(n_expert or 1)
-    rest = n_pipe * n_expert
+    n_seq = int(n_seq or 1)
+    rest = n_pipe * n_expert * n_seq
     if n_data is None and n_model is None:
         n_data, n_model = n_dev // rest, 1
     elif n_data is None:
         n_data = n_dev // (n_model * rest)
     elif n_model is None:
         n_model = n_dev // (n_data * rest)
+    elif n_data * n_model * rest < n_dev:
+        # fully-explicit factors that need fewer devices than available:
+        # use a prefix of the device list, leave the rest idle
+        devices = devices[: n_data * n_model * rest]
+        n_dev = len(devices)
     assert n_data * n_model * rest == n_dev, (
-        "mesh %dx%dx%dx%d != %d devices"
-        % (n_data, n_model, n_pipe, n_expert, n_dev))
+        "mesh %dx%dx%dx%dx%d != %d devices"
+        % (n_data, n_model, n_pipe, n_expert, n_seq, n_dev))
     shape = [n_data, n_model]
     names = ["data", "model"]
     if n_pipe > 1:
@@ -59,24 +69,28 @@ def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
     if n_expert > 1:
         shape.append(n_expert)
         names.append("expert")
+    if n_seq > 1:
+        shape.append(n_seq)
+        names.append("seq")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names=tuple(names))
 
 
 def mesh_from_hparams(hp=None, devices=None) -> Mesh:
-    """Mesh from MESH_DATA/MESH_MODEL/MESH_PIPE/MESH_EXPERT config; the
-    default (all-1 config on a multi-device host) data-parallelizes over as
-    many devices as the batch size divides into, leaving the rest idle
-    rather than failing."""
+    """Mesh from MESH_DATA/MESH_MODEL/MESH_PIPE/MESH_EXPERT/MESH_SEQ
+    config; the default (all-1 config on a multi-device host)
+    data-parallelizes over as many devices as the batch size divides
+    into, leaving the rest idle rather than failing."""
     hp = hp if hp is not None else hparams
     n_data = getattr(hp, "MESH_DATA", None) or None
     n_model = getattr(hp, "MESH_MODEL", None) or None
     n_pipe = int(getattr(hp, "MESH_PIPE", 1) or 1)
     n_expert = int(getattr(hp, "MESH_EXPERT", 1) or 1)
+    n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
     devices = devices if devices is not None else jax.devices()
-    if (n_data or 1) * (n_model or 1) * n_pipe * n_expert > 1:
+    if (n_data or 1) * (n_model or 1) * n_pipe * n_expert * n_seq > 1:
         return make_mesh(n_data, n_model, devices,
-                         n_pipe=n_pipe, n_expert=n_expert)
+                         n_pipe=n_pipe, n_expert=n_expert, n_seq=n_seq)
     batch = getattr(hp, "BATCH_SIZE", len(devices))
     # largest device count that evenly divides the batch (gcd would
     # under-utilize, e.g. 8 devices / batch 12 -> 4 instead of 6)

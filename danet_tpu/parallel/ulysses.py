@@ -27,13 +27,15 @@ from jax.sharding import PartitionSpec as P
 
 
 def ulysses_attention(q, k, v, mesh, seq_axis: str = "seq",
-                      key_mask=None):
+                      key_mask=None, data_axis: str = "data"):
     """Exact multi-head attention with T sharded over `seq_axis`,
     computed head-sharded after an all-to-all.
 
     Args:
         q, k, v: GLOBAL [B, T, H, D] (T and H divisible by the axis size)
         key_mask: optional GLOBAL [B, T] bool; False keys are excluded
+        data_axis: mesh axis to shard B over as well (skipped when absent
+            or the batch does not divide) — composes dp x sp
     Returns:
         [B, T, H, D] attention output (f32 accumulate, input dtype out)
     """
@@ -45,12 +47,14 @@ def ulysses_attention(q, k, v, mesh, seq_axis: str = "seq",
     scale = 1.0 / float(hd) ** 0.5
     if key_mask is None:
         key_mask = jnp.ones((b, t), bool)
+    from danet_tpu.parallel.seq_parallel import _mesh_data_axis
+    d_axis = _mesh_data_axis(mesh, b, data_axis)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(None, seq_axis), P(None, seq_axis), P(None, seq_axis),
-                  P(None, seq_axis)),
-        out_specs=P(None, seq_axis))
+        in_specs=(P(d_axis, seq_axis), P(d_axis, seq_axis),
+                  P(d_axis, seq_axis), P(d_axis, seq_axis)),
+        out_specs=P(d_axis, seq_axis))
     def run(q_loc, k_loc, v_loc, mask_loc):
         # [B, T/S, H, D] -> [B, T, H/S, D]: scatter head groups,
         # gather sequence blocks — one fused all-to-all each way.
