@@ -65,6 +65,38 @@ class DaNet:
             # reference main.py:266: inference estimator must not need truth
             assert not self.infer_estimator.USE_TRUTH
         self.separator = hp.get_separator(hp.SEPARATOR_TYPE)(hp, "separator")
+        self._check_parallel_support()
+
+    def _check_parallel_support(self):
+        """Fail loudly when a configured parallelism strategy has no route
+        through the configured encoder — a MESH_* axis that silently falls
+        back to replicated execution would waste the devices it claims."""
+        from danet_tpu.models import encoders as enc_mod
+        hp, enc = self.hp, self.encoder
+
+        def n(key):
+            return int(getattr(hp, key, 1) or 1)
+
+        if n("MESH_PIPE") > 1 and not isinstance(
+                enc, enc_mod.BiLstmEncoder):
+            raise ValueError(
+                "MESH_PIPE>1 requires a pipeline-capable encoder "
+                "(bilstm-orig); got ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
+        if n("MESH_SEQ") > 1 and not isinstance(
+                enc, (enc_mod.BiLstmEncoder, enc_mod.AttentionEncoder)):
+            raise ValueError(
+                "MESH_SEQ>1 requires a sequence-parallel encoder "
+                "(bilstm-orig, attn-v1, moe-v1); got ENCODER_TYPE=%r"
+                % hp.ENCODER_TYPE)
+        if n("MESH_EXPERT") > 1 and not isinstance(
+                enc, enc_mod.MoEAttentionEncoder):
+            raise ValueError(
+                "MESH_EXPERT>1 requires the MoE encoder (moe-v1); got "
+                "ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
+        if n("MESH_PIPE") > 1 and n("MESH_SEQ") > 1:
+            raise ValueError(
+                "MESH_PIPE and MESH_SEQ cannot combine (the encoder "
+                "routes through one strategy); pick one")
 
     # ------------------------------------------------------------------
     def init(self, rng) -> dict:

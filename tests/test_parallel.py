@@ -412,6 +412,23 @@ def test_mesh_from_hparams_seq(fresh_hparams):
     assert dict(mesh.shape) == {"data": 2, "model": 1, "seq": 4}
 
 
+def test_mesh_strategy_encoder_guard(fresh_hparams):
+    """Configuring a MESH_* strategy the encoder cannot route fails at
+    model build instead of silently replicating."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "toy"
+    hp.digest()
+    for key in ("MESH_SEQ", "MESH_PIPE", "MESH_EXPERT"):
+        setattr(hp, key, 2)
+        with pytest.raises(ValueError):
+            DaNet()
+        setattr(hp, key, 1)
+    hp.ENCODER_TYPE = "bilstm-orig"
+    hp.MESH_PIPE = hp.MESH_SEQ = 2  # mutually exclusive routes
+    with pytest.raises(ValueError):
+        DaNet()
+
+
 def test_trainer_seq_parallel_attention_step(fresh_hparams):
     """A Trainer train step with MESH_SEQ=2 (dp=2 x sp=2, attn-v1)
     matches the single-device step numerically for both SP collective
