@@ -83,11 +83,12 @@ class DaNet:
                 "MESH_PIPE>1 requires a pipeline-capable encoder "
                 "(bilstm-orig); got ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
         if n("MESH_SEQ") > 1 and not isinstance(
-                enc, (enc_mod.BiLstmEncoder, enc_mod.AttentionEncoder)):
+                enc, (enc_mod.BiLstmEncoder, enc_mod.AttentionEncoder,
+                      enc_mod.GruEncoder)):
             raise ValueError(
                 "MESH_SEQ>1 requires a sequence-parallel encoder "
-                "(bilstm-orig, attn-v1, moe-v1); got ENCODER_TYPE=%r"
-                % hp.ENCODER_TYPE)
+                "(bilstm-orig, gru-v1, attn-v1, moe-v1); got "
+                "ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
         if n("MESH_EXPERT") > 1 and not isinstance(
                 enc, enc_mod.MoEAttentionEncoder):
             raise ValueError(

@@ -491,10 +491,32 @@ class GruEncoder(Encoder):
     def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
-        for i in range(self.N_LAYERS):
-            x = rnn.gru_apply(params[f"gru{i}"], x, backend=_backend(hp))
-            if tap:
-                tap("gru%d_h" % i, x)
+        n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+        if n_seq > 1:
+            # trainer-reachable sequence parallelism (halo scheme,
+            # parallel/seq_parallel.gru_stack_sp)
+            from danet_tpu.parallel import active_mesh
+            from danet_tpu.parallel.seq_parallel import gru_stack_sp
+            mesh = active_mesh()
+            if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
+                raise ValueError(
+                    "MESH_SEQ=%d but the active mesh has no matching "
+                    "'seq' axis (%r)" % (n_seq, dict(mesh.shape)))
+            t = x.shape[1]
+            if t % n_seq:
+                raise ValueError(
+                    "MESH_SEQ=%d must divide the frame count T=%d"
+                    % (n_seq, t))
+            halo = min(int(getattr(hp, "SP_HALO", 0) or 32), t // n_seq)
+            layers = [params[f"gru{i}"] for i in range(self.N_LAYERS)]
+            x = gru_stack_sp(layers, x, mesh, halo=halo,
+                             backend=_backend(hp))
+        else:
+            for i in range(self.N_LAYERS):
+                x = rnn.gru_apply(params[f"gru{i}"], x,
+                                  backend=_backend(hp))
+                if tap:
+                    tap("gru%d_h" % i, x)
         return _LstmHead.apply(params["output"], hp, x)
 
 

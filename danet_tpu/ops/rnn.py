@@ -306,13 +306,15 @@ def gru_init(rng, idim: int, hdim: int, w_scale: Optional[float] = None,
 
 
 def gru_apply(params, x: jnp.ndarray, c0=None,
-              backend: str = "auto") -> jnp.ndarray:
+              backend: str = "auto", return_state: bool = False):
     """GRU over [B, T, idim] -> [B, T, hdim].
 
     Semantics per reference ops.py:151-188: gates (r, u) from concat(x, c);
     candidate tanh from concat(x, c*r); c' = c*u + cand*(1-u).
     backend: 'auto' | 'xla' | 'pallas' | 'pallas-interpret' — as with the
     LSTM, 'auto' picks the VMEM-resident Pallas kernel on TPU backends.
+    return_state=True additionally returns the final carry c (forces the
+    XLA scan path; sequence-parallel halo warmup).
     """
     hdim = params["wch"].shape[0]
     dt = x.dtype
@@ -329,6 +331,8 @@ def gru_apply(params, x: jnp.ndarray, c0=None,
 
     if _check_backend(backend) == "auto":
         backend = lstm_backend_default()
+    if return_state and backend in ("pallas", "pallas-interpret"):
+        backend = "xla"
     if backend in ("pallas", "pallas-interpret"):
         from danet_tpu.ops.pallas.gru import gru_scan_pallas
         t, b = x_tm.shape[0], x_tm.shape[1]
@@ -345,5 +349,6 @@ def gru_apply(params, x: jnp.ndarray, c0=None,
         c_new = c * u + cand * (1.0 - u)
         return c_new, c_new
 
-    _, cs = jax.lax.scan(step, c0, (gx, cx))
-    return jnp.swapaxes(cs, 0, 1)
+    c_f, cs = jax.lax.scan(step, c0, (gx, cx))
+    cs = jnp.swapaxes(cs, 0, 1)
+    return (cs, c_f) if return_state else cs

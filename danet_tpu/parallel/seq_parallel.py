@@ -91,6 +91,61 @@ def _bilstm_layer_local(p, x_loc, halo: int, axis_name: str,
     return jnp.concatenate([h_f, h_b], axis=-1)
 
 
+def _gru_layer_local(p, x_loc, halo: int, axis_name: str, backend: str,
+                     vary_axes):
+    """One unidirectional GRU layer on a local chunk with halo warmup
+    (same edge-zeroing scheme as the BiLSTM forward direction)."""
+    left = _shift_from_left(x_loc[:, -halo:], axis_name)
+    hdim = p["wch"].shape[0]
+    zero = jax.lax.pcast(
+        jnp.zeros((x_loc.shape[0], hdim), x_loc.dtype), vary_axes,
+        to="varying")
+    _, c_w = rnn.gru_apply(p, left, c0=zero, return_state=True)
+    keep = jnp.where(jax.lax.axis_index(axis_name) == 0, 0.0, 1.0)
+    return rnn.gru_apply(p, x_loc, c0=c_w * keep.astype(c_w.dtype),
+                         backend=backend)
+
+
+def gru_stack_sp(params_list, x, mesh, halo: int = 32,
+                 seq_axis: str = "seq", backend: str = "auto",
+                 data_axis: str = "data",
+                 drop_keys=None, keep_prob: float = 1.0):
+    """Sequence-parallel stack of unidirectional GRU layers (gru-v1
+    encoder) — same contract as bilstm_stack_sp."""
+    s = mesh.shape[seq_axis]
+    assert halo >= 1
+    assert x.shape[1] % s == 0, "T must divide across the seq axis"
+    assert x.shape[1] // s >= halo, "chunk must be >= halo"
+    d_axis = _mesh_data_axis(mesh, x.shape[0], data_axis)
+    x_spec = P(d_axis, seq_axis, None)
+    if drop_keys is None:
+        drop_keys = [None] * len(params_list)
+    key_mask = [k is not None for k in drop_keys]
+    keys_in = [k for k in drop_keys if k is not None]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), x_spec, P()),
+        out_specs=x_spec)
+    def run(params_list, x_loc, keys_in):
+        coord = jax.lax.axis_index(seq_axis)
+        if d_axis is not None:
+            coord = coord * jax.lax.psum(1, d_axis) \
+                + jax.lax.axis_index(d_axis)
+        vary = (seq_axis,) if d_axis is None else (seq_axis, d_axis)
+        kiter = iter(keys_in)
+        y = x_loc
+        for p, has_key in zip(params_list, key_mask):
+            y = _gru_layer_local(p, y, halo, seq_axis, backend, vary)
+            if has_key:
+                from danet_tpu.ops.nn import dropout
+                y = dropout(jax.random.fold_in(next(kiter), coord),
+                            y, keep_prob)
+        return y
+
+    return run(params_list, x, keys_in)
+
+
 def _mesh_data_axis(mesh, batch: int, data_axis):
     """'data' when the mesh carries it and the batch divides over it."""
     if data_axis and data_axis in mesh.shape \

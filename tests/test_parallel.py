@@ -506,6 +506,41 @@ def test_trainer_seq_parallel_bilstm_step(fresh_hparams):
     assert np.isfinite(loss_drop)
 
 
+def test_trainer_seq_parallel_gru_step(fresh_hparams):
+    """A Trainer train step with MESH_SEQ=2 (gru-v1): exact at S=2 with
+    halo == chunk, matching the single-device step."""
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "gru-v1"
+    hp.BATCH_SIZE = 4
+    hp.SP_HALO = 8
+    hp.digest()
+    rngnp = np.random.RandomState(0)
+    flat = rngnp.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 16,
+                      hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    def one_step(n_seq, n_data):
+        hp.MESH_SEQ, hp.MESH_DATA = n_seq, n_data
+        trainer = Trainer(DaNet(), name="spg%d" % n_seq)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        src = trainer._put_batch(batch)
+        state["params"], state["opt_state"], m = trainer._train_step(
+            state["params"], state["opt_state"], src, jax.random.PRNGKey(1))
+        return float(m["loss"]), jax.device_get(state["params"])
+
+    loss_sp, params_sp = one_step(2, 2)
+    loss_ref, params_ref = one_step(1, 1)
+    np.testing.assert_allclose(loss_sp, loss_ref, rtol=1e-5)
+    # hdim=600 accumulations: a handful of elements land ~1e-4 apart from
+    # reduction-order alone
+    for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                    jax.tree_util.tree_leaves(params_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_trainer_expert_parallel_step(fresh_hparams):
     """A Trainer train step with MESH_EXPERT=2 (dp=4 x ep=2, moe-v1)
     matches the dense-MoE step numerically."""
