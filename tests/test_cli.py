@@ -90,6 +90,14 @@ def test_cli_debug_mode_dumps_encoder_internals(tmp_path):
         assert np.asarray(mat[key]).shape[-1] == 600  # 2 x hdim=300
 
 
+def test_cli_interactive_mode(workdir):
+    """-m interactive loads everything then returns (reference
+    main.py:640-642: a REPL hook for `python -i`)."""
+    out = _run(["-m", "interactive", "-ds", "toy",
+                "-c", os.path.join(workdir, "cfg.json")], workdir)
+    assert "interactive" in out.lower()
+
+
 def test_cli_rejects_unknown_mode(workdir):
     env = {k: v for k, v in os.environ.items()
            if k != "PALLAS_AXON_POOL_IPS"}
@@ -100,7 +108,8 @@ def test_cli_rejects_unknown_mode(workdir):
     assert proc.returncode != 0
 
 
-@pytest.mark.parametrize("cfg", ["pipeline.json", "moe-ep.json"])
+@pytest.mark.parametrize("cfg", ["pipeline.json", "moe-ep.json",
+                                 "seq-parallel.json"])
 def test_cli_parallel_configs_train(cfg, tmp_path):
     """The shipped MESH_PIPE / MESH_EXPERT configs drive `main.py -m train`
     end-to-end on the 8-device virtual CPU mesh — pipeline and expert
