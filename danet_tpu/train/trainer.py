@@ -109,6 +109,19 @@ def prefetch_to_device(batch_iter, put_fn, depth: int = 2):
         stop.set()
 
 
+def effective_bucket(hp):
+    """TIME_BUCKET adjusted for sequence parallelism: under MESH_SEQ > 1
+    every padded T must divide over the 'seq' axis, so the bucket rounds
+    up to lcm(TIME_BUCKET, MESH_SEQ) (or just MESH_SEQ when unbucketed)."""
+    bucket = getattr(hp, "TIME_BUCKET", None)
+    n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+    if n_seq > 1:
+        from math import gcd
+        b = int(bucket or 1)
+        bucket = b * n_seq // gcd(b, n_seq)
+    return bucket
+
+
 def prepare_batch(flat_spectra: np.ndarray, batch_size: int, n_signal: int,
                   max_len: Optional[int] = None,
                   bucket: Optional[int] = None,
@@ -309,7 +322,7 @@ class Trainer:
             print("Set learning rate to %f" % lr)
         else:
             print("Learning rate: %f" % self.get_learn_rate(state))
-        bucket = getattr(hp, "TIME_BUCKET", None)
+        bucket = effective_bucket(hp)
 
         # device profiling (absent in the reference — SURVEY.md §5): trace
         # PROFILE_STEPS steps after warmup into the run dir; view with
@@ -513,7 +526,7 @@ class Trainer:
              name: str = "Test") -> dict:
         """One metrics pass over a subset (reference main.py:512-532; unlike
         the reference, reports the *average* over batches, not the sum)."""
-        bucket = getattr(self.hp, "TIME_BUCKET", None)
+        bucket = effective_bucket(self.hp)
         cli_report = self._metrics_sweep(state, dataset, subset, bucket)
         sys.stdout.write("\n%s: %s\n" % (name, _dict_format(cli_report)))
         return cli_report

@@ -429,6 +429,21 @@ def test_mesh_strategy_encoder_guard(fresh_hparams):
         DaNet()
 
 
+def test_effective_bucket_seq_alignment(fresh_hparams):
+    """Under MESH_SEQ the time bucket rounds up so every padded T divides
+    over the 'seq' axis."""
+    from danet_tpu.train.trainer import effective_bucket
+    hp = fresh_hparams
+    hp.TIME_BUCKET, hp.MESH_SEQ = 12, 1
+    assert effective_bucket(hp) == 12
+    hp.MESH_SEQ = 8
+    assert effective_bucket(hp) == 24    # lcm(12, 8)
+    hp.TIME_BUCKET = None
+    assert effective_bucket(hp) == 8     # unbucketed -> pad to n_seq
+    hp.MESH_SEQ = 1
+    assert effective_bucket(hp) is None
+
+
 def test_trainer_seq_parallel_attention_step(fresh_hparams):
     """A Trainer train step with MESH_SEQ=2 (dp=2 x sp=2, attn-v1)
     matches the single-device step numerically for both SP collective
