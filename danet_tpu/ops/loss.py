@@ -40,7 +40,7 @@ def _squared_error(x: jnp.ndarray, y: jnp.ndarray,
 
 
 def pit_mse_loss(x: jnp.ndarray, y: jnp.ndarray, pit_axis: int = 1,
-                 complex_ri: bool = False):
+                 complex_ri: bool = False, method: str = "gemm"):
     """Permutation-invariant MSE between per-source tensors.
 
     Semantics match reference ops.py:374-431: per-(i,j) mean squared error
@@ -54,6 +54,17 @@ def pit_mse_loss(x: jnp.ndarray, y: jnp.ndarray, pit_axis: int = 1,
         complex_ri: last axis of x/y is a (real, imag) pair; squared error
             sums over it, and it is excluded from the mean (so the loss
             equals the complex-input formulation exactly).
+        method: 'gemm' (default) or 'dense'.  'gemm' computes the pairwise
+            cost matrix in Gram form, ``||x_i - y_j||^2 = ||x_i||^2 +
+            ||y_j||^2 - 2<x_i, y_j>`` — the cross term is ONE tiny batched
+            [N, D] @ [D, N] GEMM instead of a materialized [B, N, N, ...]
+            difference tensor (4x the spectra, fwd AND bwd) — then
+            recomputes the loss of the WINNING permutation exactly from the
+            un-permuted difference, so the returned value (and its
+            gradient) is identical to 'dense' up to f32 reduction order in
+            the argmin inputs; an exactly tied permutation pair may resolve
+            differently (both costs equal).  'dense' is the literal
+            reference formulation (complex dtypes; oracle tests).
 
     Returns:
         (loss, perms, perm_idx): scalar loss; int32 [N!, N] permutation
@@ -68,6 +79,37 @@ def pit_mse_loss(x: jnp.ndarray, y: jnp.ndarray, pit_axis: int = 1,
     # one-hot permutation stack: [P, N, N]
     onehot = np.zeros((n_perm, n, n), dtype=np.float32)
     onehot[np.arange(n_perm)[:, None], np.arange(n)[None, :], perms] = 1.0
+
+    if method == "gemm" and not jnp.iscomplexobj(x):
+        b = x.shape[0]
+        # D = all non-(B, N) elements; the ri axis flattens in (|z|^2 =
+        # re^2 + im^2), but the mean divisor excludes it (see complex_ri).
+        d_mean = int(np.prod(x.shape[2:]))
+        if complex_ri:
+            d_mean //= x.shape[-1]
+        xf = x.reshape(b, n, -1)
+        yf = y.reshape(b, n, -1)
+        # costs only pick the permutation — no gradient flows through them
+        xf_s = jax.lax.stop_gradient(xf)
+        yf_s = jax.lax.stop_gradient(yf)
+        xx = jnp.sum(jnp.square(xf_s), axis=-1)            # [B, N]
+        yy = jnp.sum(jnp.square(yf_s), axis=-1)            # [B, N]
+        xy = jnp.einsum("bid,bjd->bij", xf_s, yf_s,
+                        preferred_element_type=jnp.float32)
+        cross = (xx[:, :, None] + yy[:, None, :] - 2.0 * xy) / d_mean
+        loss_sets = jnp.einsum("bij,pij->bp", cross, jnp.asarray(onehot))
+        perm_idx = jnp.argmin(loss_sets, axis=1)
+        # exact loss of the winning permutation (differentiable path);
+        # un-permute via the one-hot matrix: its VJP is another einsum
+        # (GEMM), where take_along_axis would put a scatter-add on the
+        # gradient path (slow on TPU)
+        sel_oh = jnp.asarray(onehot)[perm_idx]             # [B, N, N]
+        y_pit = jnp.einsum("bnm,bmd->bnd", sel_oh, yf)
+        # = sum over sources of the per-pair means (the dense loss_sets
+        # gather), then mean over batch
+        loss = jnp.mean(jnp.sum(jnp.square(xf - y_pit), axis=(1, 2))
+                        / d_mean)
+        return loss, jnp.asarray(perms), perm_idx
 
     xs = jnp.expand_dims(x, pit_axis + 1)   # [B, N, 1, ...]
     ys = jnp.expand_dims(y, pit_axis)       # [B, 1, N, ...]

@@ -52,6 +52,32 @@ def test_pit_complex_ri_matches_complex():
     np.testing.assert_allclose(float(loss_ri), ref, rtol=1e-5)
 
 
+def test_pit_gemm_matches_dense_and_grads():
+    """The Gram/GEMM cost-matrix path (default; no [B,N,N,...] tensor)
+    must match the literal dense formulation in loss, permutation choice,
+    AND gradient."""
+    import jax
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(6, 3, 11, 5, 2).astype(np.float32)
+    y = rng.randn(6, 3, 11, 5, 2).astype(np.float32)
+
+    def run(method):
+        def f(yy):
+            loss, _, idx = L.pit_mse_loss(
+                jnp.asarray(x), yy, complex_ri=True, method=method)
+            return loss, idx
+        (loss, idx), grad = jax.value_and_grad(f, has_aux=True)(
+            jnp.asarray(y))
+        return float(loss), np.asarray(idx), np.asarray(grad)
+
+    lg, ig, gg = run("gemm")
+    ld, idn, gd = run("dense")
+    np.testing.assert_array_equal(ig, idn)
+    np.testing.assert_allclose(lg, ld, rtol=1e-5)
+    np.testing.assert_allclose(gg, gd, rtol=1e-4, atol=1e-6)
+
+
 def test_unpermute_restores_order():
     rng = np.random.RandomState(2)
     x = rng.randn(4, 3, 8).astype(np.float32)
