@@ -204,8 +204,24 @@ def pit_si_snr_loss(target_wav: jnp.ndarray, estimate_wav: jnp.ndarray,
     onehot = np.zeros((n_perm, n, n), dtype=np.float32)
     onehot[np.arange(n_perm)[:, None], np.arange(n)[None, :], perms] = 1.0
 
-    cross = si_snr(target_wav[:, :, None], estimate_wav[:, None],
-                   eps)                                   # [B, N, N]
+    # Pairwise SI-SNR in Gram form: with zero-mean t_i, e_j and
+    # d_ij = <t_i, e_j>, the projection norms are ||proj||^2 = d^2/||t||^2
+    # and ||noise||^2 = ||e||^2 - d^2/||t||^2 — so the whole [N, N] cross
+    # matrix needs ONE batched [N, L] @ [L, N] GEMM plus per-signal powers;
+    # no [B, N, N, L] broadcast tensors (they dominate fwd+bwd HBM traffic
+    # of the uPIT objective at waveform length L).
+    t = target_wav - jnp.mean(target_wav, axis=-1, keepdims=True)
+    e = estimate_wav - jnp.mean(estimate_wav, axis=-1, keepdims=True)
+    d = jnp.einsum("bil,bjl->bij", t, e,
+                   preferred_element_type=jnp.float32)     # [B, N, N]
+    t_pwr = jnp.sum(jnp.square(t), axis=-1)                # [B, N]
+    e_pwr = jnp.sum(jnp.square(e), axis=-1)                # [B, N]
+    proj_pwr = jnp.square(d) / (t_pwr[:, :, None] + eps)
+    # the Gram form can go epsilon-negative when e is a near-exact scaled
+    # copy of t (the elementwise form is a sum of squares, >= 0); clamp
+    noise_pwr = jnp.maximum(e_pwr[:, None, :] - proj_pwr, 0.0)
+    cross = 10.0 * jnp.log10(
+        proj_pwr / (noise_pwr + eps) + eps)                # [B, N, N]
     score_sets = jnp.einsum(
         "bij,pij->bp", cross, jnp.asarray(onehot)) / n    # [B, P]
     perm_idx = jnp.argmax(score_sets, axis=1)

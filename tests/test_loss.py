@@ -181,6 +181,38 @@ def test_pit_si_snr_matches_brute_force():
     np.testing.assert_allclose(float(loss), -best.mean(), rtol=1e-4)
 
 
+def test_pit_si_snr_gram_gradients_match_elementwise():
+    """pit_si_snr_loss's Gram-form cross matrix (pairwise dots GEMM, no
+    [B,N,N,L] broadcasts) must match the elementwise-projection
+    formulation in value AND gradient."""
+    import jax
+    from math import factorial as fact
+
+    rng = np.random.RandomState(9)
+    b, n, ln = 4, 3, 96
+    t = rng.randn(b, n, ln).astype(np.float32)
+    e = rng.randn(b, n, ln).astype(np.float32)
+
+    def elementwise(ej):
+        onehot = np.zeros((fact(n), n, n), dtype=np.float32)
+        perms = L.permutations_array(n)
+        onehot[np.arange(fact(n))[:, None],
+               np.arange(n)[None, :], perms] = 1.0
+        cross = L.si_snr(jnp.asarray(t)[:, :, None], ej[:, None], 1e-8)
+        scores = jnp.einsum("bij,pij->bp", cross, jnp.asarray(onehot)) / n
+        idx = jnp.argmax(scores, axis=1)
+        return -jnp.mean(jnp.take_along_axis(scores, idx[:, None], axis=1))
+
+    def gram(ej):
+        return L.pit_si_snr_loss(jnp.asarray(t), ej)[0]
+
+    lg, gg = jax.value_and_grad(gram)(jnp.asarray(e))
+    le, ge = jax.value_and_grad(elementwise)(jnp.asarray(e))
+    np.testing.assert_allclose(float(lg), float(le), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(ge),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_pit_si_snr_recovers_permutation_and_scale():
     """Scaled + permuted copies of the targets score near-perfect SI-SNR
     and the chosen permutation un-permutes them back."""
