@@ -418,6 +418,96 @@ class DaNet:
         return out[:, :t]
 
     # ------------------------------------------------------------------
+    def separate_stream(self, params, mix_ri: jnp.ndarray,
+                        chunk_frames: int = 64,
+                        warmup_frames: int = 128) -> jnp.ndarray:
+        """Causal ONLINE separation with carried RNN state:
+        [T, F, 2] -> [N, T, F, 2].
+
+        Real-time inference mode for the causal (unidirectional) encoders
+        (lstm-orig, gru-v1) — not possible in the reference, whose graph
+        consumes whole utterances (main.py:215-219).  Frames after a
+        warmup window are processed in fixed-size chunks with the
+        encoders' (c, h) state carried across chunk boundaries, so chunked
+        streaming reproduces the full-sequence recurrence EXACTLY (tested:
+        output is invariant to chunk_frames) and per-chunk latency is
+        constant regardless of stream length.
+
+        Streaming semantics for the non-causal statistics, frozen from the
+        warmup window (the standard online adaptation):
+
+          * input mean-centering (reference modules.py:150-151) and the
+            output head's centering (modules.py:181-184) use the warmup
+            window's means;
+          * attractors are estimated ONCE on the warmup embedding
+            (inference estimator) and reused for every later chunk —
+            DaNet's attractors are utterance-level speaker anchors, so
+            this is the intended deployment of the anchored/k-means
+            estimators (DaNet paper §2.3).
+
+        Use separate_long for offline long-form input (batched chunks,
+        higher MXU utilization, permutation re-alignment); use this for
+        latency-bound live streams.
+        """
+        from danet_tpu.models.encoders import GruEncoder, LstmEncoder
+        hp = self.hp
+        if not isinstance(self.encoder, (LstmEncoder, GruEncoder)):
+            raise ValueError(
+                "separate_stream requires a causal encoder (lstm-orig, "
+                "gru-v1); got ENCODER_TYPE=%r. Bidirectional/attention "
+                "encoders need future context — use separate_long."
+                % hp.ENCODER_TYPE)
+        t, f = mix_ri.shape[0], mix_ri.shape[1]
+        w = int(min(warmup_frames, t))
+        assert chunk_frames >= 1
+        n_chunks = -(-(t - w) // chunk_frames) if t > w else 0
+        t_pad = w + n_chunks * chunk_frames
+        mix_p = jnp.pad(mix_ri, [(0, t_pad - t), (0, 0), (0, 0)])[None]
+        mix_pwr, logmag, phase_unit = self._mix_features(mix_p)
+        cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
+        enc, n = self.encoder, hp.MAX_N_SIGNAL
+
+        # ---- warmup: state, frozen stats, attractors ----
+        mu_in = jnp.mean(logmag[:, :w], axis=(1, 2), keepdims=True)
+        state = enc.stream_state_init(1, dtype=jnp.asarray(0.0, cdt).dtype)
+        h_w, state = enc.stream_hidden(
+            params["encoder"], (logmag[:, :w] - mu_in).astype(cdt), state)
+        mu_head = jnp.mean(h_w, axis=(1, 2), keepdims=True)
+        embed_w = enc.stream_head(params["encoder"], h_w, mu_head)
+        attractors = self.infer_estimator.apply(
+            self._infer_est_params(params), embed_w,
+            mix_pwr=mix_pwr[:, :w])
+
+        def sep_chunk(embed, pwr_c, phase_c):
+            ef = embed.reshape(1, -1, embed.shape[-1])
+            sep_pwr = self.separator.apply(
+                params["separator"], pwr_c, attractors, ef)
+            return sep_pwr[..., None] * phase_c[:, None]   # [1,N,Tc,F,2]
+
+        out_w = sep_chunk(embed_w, mix_pwr[:, :w], phase_unit[:, :w])
+        if n_chunks == 0:
+            return out_w[0, :, :t]
+
+        # ---- post-warmup chunks: lax.scan carrying the RNN state ----
+        def to_chunks(x):
+            return x[:, w:].reshape(
+                (1, n_chunks, chunk_frames) + x.shape[2:]).swapaxes(0, 1)
+
+        def step(state, inp):
+            logmag_c, pwr_c, phase_c = inp
+            h, state = enc.stream_hidden(
+                params["encoder"], (logmag_c - mu_in).astype(cdt), state)
+            embed = enc.stream_head(params["encoder"], h, mu_head)
+            return state, sep_chunk(embed, pwr_c, phase_c)
+
+        _, outs = jax.lax.scan(
+            step, state,
+            (to_chunks(logmag), to_chunks(mix_pwr), to_chunks(phase_unit)))
+        # [C, 1, N, Tc, F, 2] -> [N, C*Tc, F, 2]
+        rest = jnp.moveaxis(outs[:, 0], 1, 0).reshape(n, -1, f, 2)
+        return jnp.concatenate([out_w[0], rest], axis=1)[:, :t]
+
+    # ------------------------------------------------------------------
     def separate_wav(self, params, wav: jnp.ndarray) -> jnp.ndarray:
         """Fused streaming inference: waveform batch [B, L] -> separated
         waveforms [B, N, L'].

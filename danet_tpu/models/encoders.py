@@ -75,11 +75,18 @@ class _LstmHead:
             w_scale=1.85, bias=False)
 
     @staticmethod
-    def apply(params, hp, x):
-        x = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+    def apply_centered(params, hp, x, mu):
+        """Head with an explicit centering statistic (streaming inference
+        freezes mu from the warmup window; offline passes the batch mean)."""
+        x = x - mu
         out = nn.linear_apply(params, x)
         b, t = x.shape[0], x.shape[1]
         return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+
+    @staticmethod
+    def apply(params, hp, x):
+        return _LstmHead.apply_centered(
+            params, hp, x, jnp.mean(x, axis=(1, 2), keepdims=True))
 
 
 @hparams.register_encoder("lstm-orig")
@@ -114,6 +121,32 @@ class LstmEncoder(Encoder):
             if tap:
                 tap("lstm%d_h" % i, x)
         return _LstmHead.apply(params["output"], hp, x)
+
+    # --- causal streaming hooks (DaNet.separate_stream) -----------------
+    def stream_state_init(self, batch: int, dtype=jnp.float32):
+        """Zero per-layer (c, h) carry — the state at a fresh utterance."""
+        z = jnp.zeros((batch, self.HDIM), dtype)
+        return [(z, z) for _ in range(self.N_LAYERS)]
+
+    def stream_hidden(self, params, x, state):
+        """Centered input chunk [B, Tc, F] -> (hidden seq [B, Tc, H],
+        new state).  Exact continuation: feeding chunks back-to-back
+        reproduces the full-sequence scan bit-for-bit (XLA scan path,
+        which exposes the final carry)."""
+        act = _candidate_activation(self.hp)
+        new_state = []
+        for i in range(self.N_LAYERS):
+            c0, h0 = state[i]
+            x, (c, h) = rnn.lstm_apply(
+                params[f"lstm{i}"], x, act, c0=c0, h0=h0,
+                backend="xla", return_state=True)
+            new_state.append((c, h))
+        return x, new_state
+
+    def stream_head(self, params, h, mu):
+        """Output head with a frozen centering statistic (see
+        _LstmHead.apply_centered)."""
+        return _LstmHead.apply_centered(params["output"], self.hp, h, mu)
 
 
 @hparams.register_encoder("bilstm-orig")
@@ -518,6 +551,22 @@ class GruEncoder(Encoder):
                 if tap:
                     tap("gru%d_h" % i, x)
         return _LstmHead.apply(params["output"], hp, x)
+
+    # --- causal streaming hooks (DaNet.separate_stream) -----------------
+    def stream_state_init(self, batch: int, dtype=jnp.float32):
+        z = jnp.zeros((batch, self.HDIM), dtype)
+        return [z for _ in range(self.N_LAYERS)]
+
+    def stream_hidden(self, params, x, state):
+        new_state = []
+        for i in range(self.N_LAYERS):
+            x, c = rnn.gru_apply(params[f"gru{i}"], x, c0=state[i],
+                                 backend="xla", return_state=True)
+            new_state.append(c)
+        return x, new_state
+
+    def stream_head(self, params, h, mu):
+        return _LstmHead.apply_centered(params["output"], self.hp, h, mu)
 
 
 @hparams.register_encoder("conv-bilstm-v1")

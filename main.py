@@ -59,6 +59,15 @@ def build_argparser():
                         help="batch size, overrides hparams.BATCH_SIZE")
     parser.add_argument("--seed", type=int, default=0,
                         help="PRNG seed for init/dropout")
+    parser.add_argument("--stream", action="store_true",
+                        help='"demo" mode: causal ONLINE separation with '
+                             "carried RNN state (lstm-orig/gru-v1 encoders"
+                             "; DaNet.separate_stream)")
+    parser.add_argument("--stream-chunk", type=int, default=64,
+                        help="--stream: frames per streaming chunk")
+    parser.add_argument("--stream-warmup", type=int, default=128,
+                        help="--stream: warmup frames for attractor/"
+                             "centering estimation")
     return parser
 
 
@@ -113,7 +122,15 @@ def run_demo(args):
 
     mix_ri = audio.to_ri(raw_mixture[None])           # [1, T, F, 2]
     chunk = int(getattr(hparams, "DEMO_CHUNK_FRAMES", 0) or 0)
-    if chunk and mix_ri.shape[1] > chunk:
+    if args.stream:
+        # causal online path: fixed per-chunk latency, RNN state carried
+        # across chunks, attractors frozen from the warmup window
+        import jax as _jax
+        sep_ri = np.asarray(_jax.jit(
+            lambda p, x: g_model.separate_stream(
+                p, x, args.stream_chunk, args.stream_warmup))(
+            g_state["params"], mix_ri[0]))[None]
+    elif chunk and mix_ri.shape[1] > chunk:
         # streaming long-form path: chunked separation with cross-chunk
         # source alignment and crossfade (DaNet.separate_long)
         import jax as _jax

@@ -61,6 +61,20 @@ def test_cli_demo_mode_writes_separated_wavs(workdir):
     assert len(seps) == 2, (out, seps)
 
 
+def test_cli_demo_stream_mode(tmp_path):
+    """--stream: causal online separation through the CLI (carried RNN
+    state; lstm-orig)."""
+    cwd = str(tmp_path)
+    cfg = os.path.join(cwd, "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"ENCODER_TYPE": "lstm-orig", "BATCH_SIZE": 4,
+                   "MAX_TRAIN_LEN": 32}, f)
+    out = _run(["-m", "demo", "-ds", "toy", "-c", cfg, "--stream",
+                "--stream-chunk", "16", "--stream-warmup", "32"], cwd)
+    seps = [f for f in os.listdir(cwd) if "_separated_" in f]
+    assert len(seps) == 2, (out, seps)
+
+
 def test_cli_debug_mode_writes_mat(workdir):
     import scipy.io
     cfg = os.path.join(workdir, "cfg.json")

@@ -448,3 +448,42 @@ def test_attn_backend_resolution(fresh_hparams):
         assert attn.attn_backend_default(512) == "flash"
         assert attn.attn_backend_default(128) == "xla"   # too short
         assert attn.attn_backend_default(300) == "xla"   # not aligned
+
+
+@pytest.mark.parametrize("enc", ["lstm-orig", "gru-v1"])
+def test_separate_stream_chunk_invariance(fresh_hparams, enc):
+    """Causal streaming separation: carried RNN state makes the output
+    EXACTLY invariant to the chunk size (state continuation reproduces the
+    full-sequence scan); warmup stats/attractors are frozen identically."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = enc
+    hp.BATCH_SIZE = 1
+    hp.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    t = 40
+    mix = jnp.asarray(np.random.RandomState(3).randn(
+        t, hp.FEATURE_SIZE, 2).astype(np.float32))
+    out_big = model.separate_stream(params, mix, chunk_frames=24,
+                                    warmup_frames=16)
+    out_small = model.separate_stream(params, mix, chunk_frames=4,
+                                      warmup_frames=16)
+    assert out_big.shape == (hp.MAX_N_SIGNAL, t, hp.FEATURE_SIZE, 2)
+    np.testing.assert_allclose(np.asarray(out_small), np.asarray(out_big),
+                               atol=2e-5, rtol=1e-4)
+    # padding path: T not divisible by the chunk size
+    out_pad = model.separate_stream(params, mix, chunk_frames=7,
+                                    warmup_frames=16)
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_big),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_separate_stream_rejects_noncausal(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "bilstm-orig"
+    hp.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    mix = jnp.zeros((8, hp.FEATURE_SIZE, 2))
+    with pytest.raises(ValueError, match="causal"):
+        model.separate_stream(params, mix)
