@@ -449,14 +449,18 @@ class DaNet:
         higher MXU utilization, permutation re-alignment); use this for
         latency-bound live streams.
         """
-        from danet_tpu.models.encoders import GruEncoder, LstmEncoder
+        from danet_tpu.models.encoders import (GruEncoder, LstmEncoder,
+                                               TcnEncoder)
         hp = self.hp
-        if not isinstance(self.encoder, (LstmEncoder, GruEncoder)):
+        ok = isinstance(self.encoder, (LstmEncoder, GruEncoder)) or (
+            isinstance(self.encoder, TcnEncoder)
+            and bool(getattr(hp, "TCN_CAUSAL", False)))
+        if not ok:
             raise ValueError(
                 "separate_stream requires a causal encoder (lstm-orig, "
-                "gru-v1); got ENCODER_TYPE=%r. Bidirectional/attention "
-                "encoders need future context — use separate_long."
-                % hp.ENCODER_TYPE)
+                "gru-v1, or tcn-v1 with TCN_CAUSAL=true); got "
+                "ENCODER_TYPE=%r. Bidirectional/attention encoders need "
+                "future context — use separate_long." % hp.ENCODER_TYPE)
         t, f = mix_ri.shape[0], mix_ri.shape[1]
         w = int(min(warmup_frames, t))
         assert chunk_frames >= 1

@@ -569,6 +569,147 @@ class GruEncoder(Encoder):
         return _LstmHead.apply_centered(params["output"], self.hp, h, mu)
 
 
+@hparams.register_encoder("tcn-v1")
+class TcnEncoder(Encoder):
+    """Temporal convolutional encoder (Conv-TasNet-style TCN; new family,
+    not in the reference — its only conv architecture is the conv-bilstm
+    hybrid, modules.py:263-379).
+
+    A stack of residual blocks, each: channelwise LayerNorm -> 1x1 linear
+    (D->H) -> leaky-relu -> depthwise dilated conv over T -> LayerNorm ->
+    leaky-relu -> 1x1 linear (H->D), with dilations 1,2,4,...,2^(X-1)
+    repeated R times (Luo & Mesgarani 2019's separator module, applied
+    here as a DaNet embedding encoder).  Every stage is a batched GEMM or
+    a cheap depthwise conv — no sequential T dependency, so the MXU stays
+    busy like the attention encoder while the receptive field stays
+    finite (1 + R*(K-1)*(2^X - 1) frames).
+
+    TCN_CAUSAL=true left-pads the depthwise convs, making the encoder
+    causal end-to-end: DaNet.separate_stream then streams it EXACTLY with
+    a carried per-block tail buffer (constant memory per chunk).
+    Config: TCN_DIM, TCN_HIDDEN, TCN_KERNEL, TCN_BLOCKS (X), TCN_REPEATS
+    (R), TCN_CAUSAL.
+    """
+
+    def _dims(self):
+        hp = self.hp
+
+        def get(key, default):
+            v = getattr(hp, key, None)
+            return default if v is None else int(v)
+
+        return (get("TCN_DIM", 256), get("TCN_HIDDEN", 512),
+                get("TCN_KERNEL", 3), get("TCN_BLOCKS", 4),
+                get("TCN_REPEATS", 3),
+                bool(getattr(hp, "TCN_CAUSAL", False)))
+
+    def _n_blocks(self):
+        _, _, _, x_blocks, repeats, _ = self._dims()
+        return x_blocks * repeats
+
+    def _dilation(self, i):
+        _, _, _, x_blocks, _, _ = self._dims()
+        return 2 ** (i % x_blocks)
+
+    def init(self, rng):
+        hp = self.hp
+        d, h, k, x_blocks, repeats, _ = self._dims()
+        n_blocks = x_blocks * repeats
+        keys = jax.random.split(rng, n_blocks + 2)
+        params = {
+            "bottleneck": nn.linear_init(keys[0], hp.FEATURE_SIZE, d),
+            "output": _LstmHead.init(keys[1], hp, d),
+        }
+        for i in range(n_blocks):
+            ks = jax.random.split(keys[2 + i], 3)
+            params[f"block{i}"] = {
+                "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+                "in": nn.linear_init(ks[0], d, h),
+                "dconv": nn.conv1d_depthwise_init(ks[1], h, k),
+                "ln2": {"g": jnp.ones((h,)), "b": jnp.zeros((h,))},
+                "out": nn.linear_init(ks[2], h, d),
+            }
+        return params
+
+    def _block(self, blk, h_seq, dilation, causal, alpha, tail=None):
+        """One residual block.  With ``tail`` (streaming), the depthwise
+        conv runs VALID over [tail | chunk] and the new tail is returned."""
+        y = AttentionEncoder._ln(blk["ln1"], h_seq)
+        y = nn.leaky_relu(nn.linear_apply(blk["in"], y), alpha)
+        if tail is not None:
+            ycat = jnp.concatenate([tail, y], axis=1)
+            span = tail.shape[1]
+            new_tail = ycat[:, ycat.shape[1] - span:]
+            # causal VALID conv over the tail-extended chunk == the
+            # full-sequence causal conv restricted to these frames
+            # (f32 conv like conv1d_depthwise_apply)
+            w = blk["dconv"]["w"]
+            yc = jax.lax.conv_general_dilated(
+                jnp.swapaxes(ycat, 1, 2).astype(jnp.float32), w,
+                window_strides=(1,), padding=[(0, 0)],
+                rhs_dilation=(dilation,),
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                feature_group_count=w.shape[0])
+            yc = (yc + blk["dconv"]["b"][None, :, None]).astype(y.dtype)
+            y = jnp.swapaxes(yc, 1, 2)
+        else:
+            new_tail = None
+            y = nn.conv1d_depthwise_apply(
+                blk["dconv"], y, dilation=dilation, causal=causal)
+        y = nn.leaky_relu(AttentionEncoder._ln(blk["ln2"], y), alpha)
+        y = nn.linear_apply(blk["out"], y)
+        return h_seq + y, new_tail
+
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
+        hp = self.hp
+        _, _, _, _, _, causal = self._dims()
+        alpha = hp.RELU_LEAKAGE
+        n_blocks = self._n_blocks()
+        keep = hp.DROPOUT_KEEP_PROB if train else 1.0
+        drop_keys = (jax.random.split(rng, n_blocks)
+                     if (rng is not None and keep < 1.0) else
+                     [None] * n_blocks)
+        x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        h = nn.linear_apply(params["bottleneck"], x)
+        for i in range(n_blocks):
+            layer = _maybe_remat(hp, lambda p, v: self._block(
+                p, v, self._dilation(i), causal, alpha)[0])
+            h = layer(params[f"block{i}"], h)
+            if drop_keys[i] is not None:
+                h = nn.dropout(drop_keys[i], h, keep)
+            if tap:
+                tap("block%d_h" % i, h)
+        return _LstmHead.apply(params["output"], hp, h)
+
+    # --- causal streaming hooks (DaNet.separate_stream) -----------------
+    def stream_state_init(self, batch: int, dtype=jnp.float32):
+        """Per-block tail buffers of the depthwise convs' inputs — the
+        zeros match the causal left-padding at a fresh stream."""
+        _, h, k, _, _, causal = self._dims()
+        if not causal:
+            raise ValueError(
+                "tcn-v1 streams only with TCN_CAUSAL=true (non-causal "
+                "depthwise convs need future frames)")
+        return [jnp.zeros((batch, (k - 1) * self._dilation(i), h), dtype)
+                for i in range(self._n_blocks())]
+
+    def stream_hidden(self, params, x, state):
+        """Centered chunk [B, Tc, F] -> (hidden [B, Tc, D], new tails)."""
+        hp = self.hp
+        alpha = hp.RELU_LEAKAGE
+        h = nn.linear_apply(params["bottleneck"], x)
+        new_state = []
+        for i in range(self._n_blocks()):
+            h, tail = self._block(
+                params[f"block{i}"], h, self._dilation(i), True, alpha,
+                tail=state[i])
+            new_state.append(tail)
+        return h, new_state
+
+    def stream_head(self, params, h, mu):
+        return _LstmHead.apply_centered(params["output"], self.hp, h, mu)
+
+
 @hparams.register_encoder("conv-bilstm-v1")
 class ConvBiLstmEncoder(Encoder):
     """U-Net-ish CNN + BiLSTM hybrid (reference modules.py:263-379).

@@ -107,6 +107,47 @@ def conv2d_apply(params, x: jnp.ndarray) -> jnp.ndarray:
     return y + params["b"].astype(x.dtype)[None, :, None, None]
 
 
+def conv1d_depthwise_init(rng, channels: int, ksize: int,
+                          w_scale: Optional[float] = None,
+                          dtype=jnp.float32):
+    """Params for a depthwise (per-channel) 1-D conv over the time axis —
+    the TCN block's temporal mixer (no cross-channel contraction; the
+    surrounding 1x1 linears do channel mixing on the MXU)."""
+    if w_scale is None:
+        w_scale = float(np.sqrt(6.0 / (2 * ksize)))  # fan_in = fan_out = K
+    return {
+        "w": uniform_init(rng, (channels, 1, ksize), w_scale, dtype),
+        "b": jnp.zeros((channels,), dtype=dtype),
+    }
+
+
+def conv1d_depthwise_apply(params, x: jnp.ndarray, dilation: int = 1,
+                           causal: bool = False) -> jnp.ndarray:
+    """Depthwise dilated conv over axis 1 of [B, T, C] -> [B, T, C].
+
+    ``causal=True`` left-pads with (K-1)*dilation zeros so output frame t
+    sees only inputs <= t (streaming-exact: a carried tail of the same
+    length continues the convolution bit-for-bit); otherwise the padding
+    splits symmetrically ('SAME' with dilation).
+
+    Runs in f32 regardless of the activation dtype: a depthwise conv is
+    K MACs per output element — bandwidth-bound, so f32 costs nothing on
+    the MXU path, and mixed bf16/f32 conv operands break the VJP's
+    transpose-conv dtype agreement.
+    """
+    k = params["w"].shape[-1]
+    span = (k - 1) * dilation
+    pad = [(span, 0)] if causal else [(span // 2, span - span // 2)]
+    xt = jnp.swapaxes(x, 1, 2).astype(jnp.float32)   # [B, C, T]
+    y = jax.lax.conv_general_dilated(
+        xt, params["w"], window_strides=(1,), padding=pad,
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=params["w"].shape[0])
+    y = (y + params["b"][None, :, None]).astype(x.dtype)
+    return jnp.swapaxes(y, 1, 2)
+
+
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 max pool, NCHW."""
     return jax.lax.reduce_window(

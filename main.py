@@ -61,8 +61,8 @@ def build_argparser():
                         help="PRNG seed for init/dropout")
     parser.add_argument("--stream", action="store_true",
                         help='"demo" mode: causal ONLINE separation with '
-                             "carried RNN state (lstm-orig/gru-v1 encoders"
-                             "; DaNet.separate_stream)")
+                             "carried encoder state (lstm-orig/gru-v1/"
+                             "causal tcn-v1; DaNet.separate_stream)")
     parser.add_argument("--stream-chunk", type=int, default=64,
                         help="--stream: frames per streaming chunk")
     parser.add_argument("--stream-warmup", type=int, default=128,

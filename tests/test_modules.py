@@ -17,7 +17,7 @@ def _src(hp, n=N, t=T, seed=0):
 
 
 @pytest.mark.parametrize("enc", ["toy", "lstm-orig", "bilstm-orig",
-                                 "conv-bilstm-v1"])
+                                 "conv-bilstm-v1", "tcn-v1"])
 def test_encoder_shapes(fresh_hparams, enc):
     hp = fresh_hparams
     hp.ENCODER_TYPE = enc
@@ -351,7 +351,55 @@ def test_attention_encoder_end_to_end(fresh_hparams):
     assert float(l1) != float(l2)
 
 
-def test_attention_padding_invariance(fresh_hparams):
+def _small_tcn(hp):
+    hp.TCN_DIM = 32
+    hp.TCN_HIDDEN = 48
+    hp.TCN_BLOCKS = 3
+    hp.TCN_REPEATS = 2
+
+
+def test_tcn_encoder_end_to_end(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "tcn-v1"
+    _small_tcn(hp)
+    hp.BATCH_SIZE = B
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = _src(hp)
+    loss, aux = jax.jit(model.train_loss)(params, src, None)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    gsum = sum(float(jnp.abs(x).sum())
+               for x in jax.tree_util.tree_leaves(g["encoder"]))
+    assert np.isfinite(gsum) and gsum > 0
+    # dropout path draws per-block masks
+    hp.DROPOUT_KEEP_PROB = 0.8
+    l1, _ = model.train_loss(params, src, jax.random.PRNGKey(1))
+    l2, _ = model.train_loss(params, src, jax.random.PRNGKey(2))
+    assert float(l1) != float(l2)
+
+
+def test_tcn_stream_hidden_chunk_continuation(fresh_hparams):
+    """Causal TCN streaming: splitting a sequence into chunks with carried
+    tail buffers reproduces the one-shot causal forward exactly."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "tcn-v1"
+    _small_tcn(hp)
+    hp.TCN_CAUSAL = True
+    enc = hp.get_encoder()(hp, "e")
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(5).randn(
+        2, 40, hp.FEATURE_SIZE).astype(np.float32))
+    full, _ = enc.stream_hidden(
+        params, x, enc.stream_state_init(2))
+    state = enc.stream_state_init(2)
+    outs = []
+    for lo, hi in ((0, 13), (13, 26), (26, 40)):  # uneven chunking
+        h, state = enc.stream_hidden(params, x[:, lo:hi], state)
+        outs.append(h)
+    chunked = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
     """Zero-padded frames must not change real frames' embeddings."""
     hp = fresh_hparams
     hp.ENCODER_TYPE = "attn-v1"
@@ -450,14 +498,18 @@ def test_attn_backend_resolution(fresh_hparams):
         assert attn.attn_backend_default(300) == "xla"   # not aligned
 
 
-@pytest.mark.parametrize("enc", ["lstm-orig", "gru-v1"])
+@pytest.mark.parametrize("enc", ["lstm-orig", "gru-v1", "tcn-v1"])
 def test_separate_stream_chunk_invariance(fresh_hparams, enc):
-    """Causal streaming separation: carried RNN state makes the output
-    EXACTLY invariant to the chunk size (state continuation reproduces the
-    full-sequence scan); warmup stats/attractors are frozen identically."""
+    """Causal streaming separation: carried encoder state (RNN carry, or
+    TCN conv-tail buffers) makes the output EXACTLY invariant to the chunk
+    size (state continuation reproduces the full-sequence forward);
+    warmup stats/attractors are frozen identically."""
     hp = fresh_hparams
     hp.ENCODER_TYPE = enc
     hp.BATCH_SIZE = 1
+    if enc == "tcn-v1":
+        _small_tcn(hp)
+        hp.TCN_CAUSAL = True
     hp.digest()
     model = DaNet()
     params = model.init(jax.random.PRNGKey(0))
@@ -485,5 +537,13 @@ def test_separate_stream_rejects_noncausal(fresh_hparams):
     model = DaNet()
     params = model.init(jax.random.PRNGKey(0))
     mix = jnp.zeros((8, hp.FEATURE_SIZE, 2))
+    with pytest.raises(ValueError, match="causal"):
+        model.separate_stream(params, mix)
+    # tcn-v1 without TCN_CAUSAL is non-causal (SAME-padded convs)
+    hp.ENCODER_TYPE = "tcn-v1"
+    _small_tcn(hp)
+    hp.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="causal"):
         model.separate_stream(params, mix)
