@@ -662,7 +662,7 @@ class TcnEncoder(Encoder):
 
     def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
-        _, _, _, _, _, causal = self._dims()
+        _, _, k, _, _, causal = self._dims()
         alpha = hp.RELU_LEAKAGE
         n_blocks = self._n_blocks()
         keep = hp.DROPOUT_KEEP_PROB if train else 1.0
@@ -670,6 +670,32 @@ class TcnEncoder(Encoder):
                      if (rng is not None and keep < 1.0) else
                      [None] * n_blocks)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+        if n_seq > 1:
+            # trainer-reachable sequence parallelism — EXACT for the TCN:
+            # each block's conv needs only (K-1)*dilation context frames,
+            # exchanged as halos over the ICI (seq_parallel.tcn_stack_sp)
+            from danet_tpu.parallel import active_mesh
+            from danet_tpu.parallel.seq_parallel import tcn_stack_sp
+            mesh = active_mesh()
+            if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
+                raise ValueError(
+                    "MESH_SEQ=%d but the active mesh has no matching "
+                    "'seq' axis (%r) — build the Trainer mesh via "
+                    "mesh_from_hparams" % (n_seq, dict(mesh.shape)))
+            if x.shape[1] % n_seq:
+                raise ValueError(
+                    "MESH_SEQ=%d must divide the frame count T=%d"
+                    % (n_seq, x.shape[1]))
+            body = {key: v for key, v in params.items() if key != "output"}
+            h = tcn_stack_sp(
+                body, x, mesh,
+                dilations=[self._dilation(i) for i in range(n_blocks)],
+                kernel=k, causal=causal, alpha=alpha,
+                drop_keys=(list(drop_keys)
+                           if drop_keys[0] is not None else None),
+                keep_prob=keep)
+            return _LstmHead.apply(params["output"], hp, h)
         h = nn.linear_apply(params["bottleneck"], x)
         for i in range(n_blocks):
             layer = _maybe_remat(hp, lambda p, v: self._block(

@@ -146,6 +146,109 @@ def gru_stack_sp(params_list, x, mesh, halo: int = 32,
     return run(params_list, x, keys_in)
 
 
+def tcn_stack_sp(params, x, mesh, dilations, kernel: int, causal: bool,
+                 alpha: float, seq_axis: str = "seq",
+                 data_axis: str = "data",
+                 drop_keys=None, keep_prob: float = 1.0):
+    """EXACT sequence-parallel TCN stack (tcn-v1 encoder).
+
+    Unlike the recurrent halo scheme above (boundary-approximate, error
+    decaying in the halo), a dilated conv needs only a FINITE context of
+    (K-1)*dilation frames per block — so exchanging exactly that halo of
+    the conv input with the neighbour devices reproduces the dense
+    computation bit-for-bit: the ppermute zero-fill at the ring edges IS
+    the zero padding the global conv applies at the sequence edges.
+    Comms: one (causal) or two (non-causal) edge-slice ppermutes per
+    block over the ICI.
+
+    Args:
+        params: {"bottleneck": linear, "block{i}": TCN block dicts} (the
+            TcnEncoder param tree minus the output head)
+        x: GLOBAL centered input [B, T, F]; T must divide by the seq axis
+            and each chunk must cover the largest (K-1)*dilation span
+        dilations: per-block dilation list (len = number of blocks)
+        kernel, causal, alpha: TcnEncoder block hyperparameters
+        drop_keys/keep_prob: optional per-block dropout (masks
+            decorrelated across mesh positions)
+    Returns:
+        hidden [B, T, D] (global, T-sharded internally); apply the output
+        head outside (pointwise — GSPMD handles its global mean).
+    """
+    from danet_tpu.ops import nn
+    s = mesh.shape[seq_axis]
+    t = x.shape[1]
+    assert t % s == 0, "T must divide across the seq axis"
+    chunk = t // s
+    max_span = max((kernel - 1) * d for d in dilations)
+    assert chunk >= max_span, (
+        "chunk %d < largest conv span %d — lower MESH_SEQ or the "
+        "TCN_BLOCKS dilation ceiling" % (chunk, max_span))
+    d_axis = _mesh_data_axis(mesh, x.shape[0], data_axis)
+    x_spec = P(d_axis, seq_axis, None)
+    n_blocks = len(dilations)
+    if drop_keys is None:
+        drop_keys = [None] * n_blocks
+    key_mask = [k is not None for k in drop_keys]
+    keys_in = [k for k in drop_keys if k is not None]
+
+    def _ln(p, v):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.var(v, axis=-1, keepdims=True)
+        vn = (v - mu) * jax.lax.rsqrt(var + 1e-6)
+        return vn * p["g"].astype(v.dtype) + p["b"].astype(v.dtype)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), x_spec, P()),
+        out_specs=x_spec)
+    def run(params, x_loc, keys_in):
+        coord = jax.lax.axis_index(seq_axis)
+        if d_axis is not None:
+            coord = coord * jax.lax.psum(1, d_axis) \
+                + jax.lax.axis_index(d_axis)
+        kiter = iter(keys_in)
+        h = nn.linear_apply(params["bottleneck"], x_loc)
+        for i, dil in enumerate(dilations):
+            blk = params[f"block{i}"]
+            y = _ln(blk["ln1"], h)
+            y = nn.leaky_relu(nn.linear_apply(blk["in"], y), alpha)
+            span = (kernel - 1) * dil
+            parts = []
+            if causal:
+                if span > 0:
+                    parts.append(_shift_from_left(y[:, -span:], seq_axis))
+                parts.append(y)
+            else:
+                lspan, rspan = span // 2, span - span // 2
+                if lspan > 0:
+                    parts.append(_shift_from_left(y[:, -lspan:], seq_axis))
+                parts.append(y)
+                if rspan > 0:
+                    parts.append(_shift_from_right(y[:, :rspan], seq_axis))
+            ycat = jnp.concatenate(parts, axis=1) if len(parts) > 1 else y
+            # VALID depthwise conv in f32 (same dtype policy as
+            # ops.nn.conv1d_depthwise_apply)
+            w = blk["dconv"]["w"]
+            yc = jax.lax.conv_general_dilated(
+                jnp.swapaxes(ycat, 1, 2).astype(jnp.float32), w,
+                window_strides=(1,), padding=[(0, 0)],
+                rhs_dilation=(dil,),
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                feature_group_count=w.shape[0])
+            yc = (yc + blk["dconv"]["b"][None, :, None]).astype(y.dtype)
+            y = jnp.swapaxes(yc, 1, 2)
+            y = nn.leaky_relu(_ln(blk["ln2"], y), alpha)
+            y = nn.linear_apply(blk["out"], y)
+            h = h + y
+            if key_mask[i]:
+                from danet_tpu.ops.nn import dropout
+                h = dropout(jax.random.fold_in(next(kiter), coord),
+                            h, keep_prob)
+        return h
+
+    return run(params, x, keys_in)
+
+
 def _mesh_data_axis(mesh, batch: int, data_axis):
     """'data' when the mesh carries it and the batch divides over it."""
     if data_axis and data_axis in mesh.shape \
