@@ -22,8 +22,11 @@ batch (the scan carries no cross-batch state, so no reset_state() step).
 """
 from __future__ import annotations
 
+import contextlib
 import os
+import signal
 import sys
+import threading
 from collections import OrderedDict
 from math import isnan
 from typing import Optional
@@ -162,6 +165,7 @@ class Trainer:
         self.name = name
         self.save_dir = save_dir
         self.optimizer = optim_lib.make_optimizer(self.hp)
+        self._preempt = False
         self.mesh = mesh if mesh is not None else mesh_from_hparams(self.hp)
         # model code (pipeline/expert shard_map paths) reaches the mesh
         # through the active-mesh registry
@@ -285,12 +289,25 @@ class Trainer:
         tensor-parallel parameter placement (replicating every shard)."""
         state = ckpt_lib.load_checkpoint(path, state)
         state["params"] = shard_params(self.mesh, state["params"])
-        # opt_state placement mirrors a fresh init on the sharded params
+        # opt_state placement mirrors a fresh init on the sharded params.
+        # Scalar/statistic leaves of jit(init) can come back UNCOMMITTED on
+        # the default device when the mesh covers only a subset of the
+        # local devices (e.g. a small-batch data axis on a many-device
+        # host); committing them there via device_put would then conflict
+        # with the mesh-spanning params in the next train step — replicate
+        # such leaves over the mesh instead.
         ref_opt = jax.jit(self.optimizer.init)(state["params"])
+        mesh_ids = {d.id for d in self.mesh.devices.flat}
+        rep = replicated(self.mesh)
+
+        def _place(ref, x):
+            sh = getattr(ref, "sharding", None)
+            if sh is not None and {d.id for d in sh.device_set} == mesh_ids:
+                return jax.device_put(np.asarray(x), sh)
+            return jax.device_put(np.asarray(x), rep)
+
         state["opt_state"] = jax.tree_util.tree_map(
-            lambda ref, x: (jax.device_put(np.asarray(x), ref.sharding)
-                            if hasattr(ref, "sharding") else x),
-            ref_opt, state["opt_state"])
+            _place, ref_opt, state["opt_state"])
         return state
 
     # ------------------------------------------------------------------
@@ -299,6 +316,52 @@ class Trainer:
               rng=None, writer: Optional[MetricsWriter] = None,
               save_best: bool = False, lr: Optional[float] = None,
               data_seed: int = 0) -> dict:
+        """Train loop with preemption-safe shutdown: SIGTERM/SIGINT during
+        training checkpoints to ``saves/<name>_preempt`` at the next step
+        boundary and returns the state cleanly (the production story for
+        preemptible TPU fleets; the reference dies checkpoint-less,
+        main.py:402-510).  A resume from the preempt checkpoint restarts
+        the interrupted epoch from its beginning with the mid-epoch
+        params — some batches of that epoch are seen twice, the standard
+        preemption-recovery tradeoff.  A second signal restores the
+        default handler so a third one can force-kill a hung step."""
+        with self._preempt_signals():
+            return self._train_impl(
+                n_epoch, dataset, save_on_epoch, valid_on_epoch, state,
+                rng, writer, save_best, lr, data_seed)
+
+    @contextlib.contextmanager
+    def _preempt_signals(self):
+        self._preempt = False
+        installed = {}
+
+        def handler(signum, frame):
+            if self._preempt:  # second signal: next one force-kills
+                for sig, h in installed.items():
+                    signal.signal(sig, h)
+            self._preempt = True
+            sys.stdout.write(
+                "\n[signal %d: checkpointing at the next step boundary]\n"
+                % signum)
+            sys.stdout.flush()
+
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                try:
+                    installed[sig] = signal.signal(sig, handler)
+                except (ValueError, OSError):  # pragma: no cover
+                    pass
+        try:
+            yield
+        finally:
+            for sig, h in installed.items():
+                signal.signal(sig, h)
+
+    def _train_impl(self, n_epoch: int, dataset, save_on_epoch: bool = True,
+                    valid_on_epoch: bool = True, state: Optional[dict] = None,
+                    rng=None, writer: Optional[MetricsWriter] = None,
+                    save_best: bool = False, lr: Optional[float] = None,
+                    data_seed: int = 0) -> dict:
         hp = self.hp
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         if state is None:
@@ -402,7 +465,19 @@ class Trainer:
                     profiling = False
                 sys.stdout.write(":")
                 sys.stdout.flush()
+                if self._preempt:
+                    break
             flush_pending()
+            if self._preempt:
+                path = os.path.join(self.save_dir,
+                                    "%s_preempt" % self.name)
+                self.save_params(state, path)
+                sys.stdout.write(
+                    "\n[preempted: saved %s at step %d (epoch %d "
+                    "incomplete); resume with -i to continue]\n"
+                    % (path, state["step"], epoch + 1))
+                sys.stdout.flush()
+                return state
             if i_batch < 0:
                 raise RuntimeError(
                     "dataset yielded no training batches for batch size %d"

@@ -136,3 +136,51 @@ def test_cli_parallel_configs_train(cfg, tmp_path):
                           "--xla_force_host_platform_device_count=8"})
     assert "Epoch 1/1" in out
     assert "nan" not in out.split("Epoch 1/1")[1].lower()
+
+
+def test_cli_preemption_checkpoint(tmp_path):
+    """SIGTERM during training checkpoints to saves/<name>_preempt and
+    exits cleanly; resuming from it continues the run (preemption-safe
+    training — Trainer._preempt_signals)."""
+    import signal
+    import time
+
+    cwd = str(tmp_path)
+    cfg = os.path.join(cwd, "cfg.json")
+    with open(cfg, "w") as f:
+        json.dump({"BATCH_SIZE": 2, "MAX_TRAIN_LEN": 16}, f)
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "main.py"),
+         "-m", "train", "-ds", "toy", "-ne", "500", "-c", cfg,
+         "-n", "preemptme", "--no-valid-on-epoch"],
+        cwd=cwd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    # wait for training to actually produce steps (":" glyphs / an epoch
+    # line), then preempt it
+    deadline = time.time() + 600
+    started = False
+    while time.time() < deadline:
+        if os.path.exists(os.path.join(cwd, "saves")) \
+                and any("preemptme_e" in f
+                        for f in os.listdir(os.path.join(cwd, "saves"))):
+            started = True
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(2)
+    assert started, "training never reached an epoch save"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out
+    assert "preempted: saved" in out, out
+    ckpt = os.path.join(cwd, "saves", "preemptme_preempt")
+    assert os.path.isdir(ckpt), out
+
+    # resume from the preempt checkpoint for one more epoch
+    out2 = _run(["-m", "train", "-ds", "toy", "-ne", "1", "-c", cfg,
+                 "-n", "preemptme2", "-i", ckpt,
+                 "--no-valid-on-epoch", "--no-save-on-epoch"], cwd)
+    assert "Epoch" in out2
