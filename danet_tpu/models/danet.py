@@ -512,6 +512,111 @@ class DaNet:
         return jnp.concatenate([out_w[0], rest], axis=1)[:, :t]
 
     # ------------------------------------------------------------------
+    # Waveform-level causal streaming: fixed-size wav chunks in, separated
+    # wav chunks out, ALL state explicit — the real-time serving pipeline
+    # (AOT-exportable; serve.export_streamer).  Spectral-level streaming
+    # with implicit chunking is separate_stream above.
+    # ------------------------------------------------------------------
+    def _stream_sep_frames(self, params, mix_ri, logmag, mu_in, mu_head,
+                           attractors, enc_state):
+        """Shared per-chunk spectral pipeline: frames -> separated ri."""
+        cdt = getattr(self.hp, "COMPUTE_DTYPE", "float32")
+        mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
+        phase_unit = mix_ri / (mix_pwr[..., None] + self.hp.EPS)
+        h, enc_state = self.encoder.stream_hidden(
+            params["encoder"], (logmag - mu_in).astype(cdt), enc_state)
+        embed = self.encoder.stream_head(params["encoder"], h, mu_head)
+        ef = embed.reshape(embed.shape[0], -1, embed.shape[-1])
+        sep_pwr = self.separator.apply(
+            params["separator"], mix_pwr, attractors, ef)
+        return sep_pwr[..., None] * phase_unit[:, None], mix_pwr, enc_state
+
+    def stream_init(self, params, wav_warmup: jnp.ndarray):
+        """Start a causal waveform stream: [B, Lw] -> (sep [B, N, Lw],
+        state).
+
+        Runs the warmup window through the causal encoder (lstm-orig,
+        gru-v1, or tcn-v1 with TCN_CAUSAL — same gate as separate_stream),
+        freezes the non-causal statistics from it (input/head centering
+        means, attractors via the inference estimator), and emits the
+        warmup audio.  Lw must be a multiple of FFT_STRIDE.
+
+        The returned ``state`` pytree carries EVERYTHING between chunks:
+        encoder recurrent state / conv tails, the STFT input tail, the
+        iSTFT overlap-add tail, and the frozen statistics — so
+        ``stream_step`` is a pure function (state, chunk) -> (state', out)
+        and AOT-exports with jax.export (serve.export_streamer).  Output
+        audio lags input by FFT_SIZE - FFT_STRIDE samples (minimal
+        overlap-add latency; ops/dsp.py streaming convention).
+        """
+        from danet_tpu.models.encoders import GruEncoder, LstmEncoder, \
+            TcnEncoder
+        from danet_tpu.ops import dsp
+        hp = self.hp
+        ok = isinstance(self.encoder, (LstmEncoder, GruEncoder)) or (
+            isinstance(self.encoder, TcnEncoder)
+            and bool(getattr(hp, "TCN_CAUSAL", False)))
+        if not ok:
+            raise ValueError(
+                "stream_init requires a causal encoder (lstm-orig, "
+                "gru-v1, or tcn-v1 with TCN_CAUSAL=true); got "
+                "ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
+        fft, stride = hp.FFT_SIZE, hp.FFT_STRIDE
+        p = fft - stride
+        b = wav_warmup.shape[0]
+        n = hp.MAX_N_SIGNAL
+        cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
+        window = hp.FFT_WND_ARRAY
+
+        frames, stft_tail = dsp.stream_frames(
+            jnp.zeros((b, p), wav_warmup.dtype), wav_warmup, fft, stride)
+        mix_ri = dsp.stft_frames_ri(frames, window)       # [B, W, F, 2]
+        mix_pwr = jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1))
+        logmag = jnp.log1p(mix_pwr)
+        mu_in = jnp.mean(logmag, axis=(1, 2), keepdims=True)
+        enc_state0 = self.encoder.stream_state_init(
+            b, dtype=jnp.asarray(0.0, cdt).dtype)
+        h, enc_state = self.encoder.stream_hidden(
+            params["encoder"], (logmag - mu_in).astype(cdt), enc_state0)
+        mu_head = jnp.mean(h, axis=(1, 2), keepdims=True)
+        embed = self.encoder.stream_head(params["encoder"], h, mu_head)
+        attractors = self.infer_estimator.apply(
+            self._infer_est_params(params), embed, mix_pwr=mix_pwr)
+
+        phase_unit = mix_ri / (mix_pwr[..., None] + hp.EPS)
+        ef = embed.reshape(b, -1, embed.shape[-1])
+        sep_pwr = self.separator.apply(
+            params["separator"], mix_pwr, attractors, ef)
+        sep_ri = sep_pwr[..., None] * phase_unit[:, None]
+        out, ola_tail = dsp.istft_stream_ri(
+            sep_ri, stride, window, jnp.zeros((b, n, p), jnp.float32))
+        state = {"enc": enc_state, "stft_tail": stft_tail,
+                 "ola_tail": ola_tail, "mu_in": mu_in, "mu_head": mu_head,
+                 "attractors": attractors}
+        return out, state
+
+    def stream_step(self, params, state: dict,
+                    wav_chunk: jnp.ndarray):
+        """One causal streaming step: (state, [B, Lc]) -> ([B, N, Lc],
+        state').  Lc must be a multiple of FFT_STRIDE; output is
+        chunk-size-invariant (tested) and lags input by
+        FFT_SIZE - FFT_STRIDE samples."""
+        from danet_tpu.ops import dsp
+        hp = self.hp
+        window = hp.FFT_WND_ARRAY
+        frames, stft_tail = dsp.stream_frames(
+            state["stft_tail"], wav_chunk, hp.FFT_SIZE, hp.FFT_STRIDE)
+        mix_ri = dsp.stft_frames_ri(frames, window)
+        logmag = jnp.log1p(jnp.sqrt(jnp.sum(jnp.square(mix_ri), axis=-1)))
+        sep_ri, _, enc_state = self._stream_sep_frames(
+            params, mix_ri, logmag, state["mu_in"], state["mu_head"],
+            state["attractors"], state["enc"])
+        out, ola_tail = dsp.istft_stream_ri(
+            sep_ri, hp.FFT_STRIDE, window, state["ola_tail"])
+        return out, dict(state, enc=enc_state, stft_tail=stft_tail,
+                         ola_tail=ola_tail)
+
+    # ------------------------------------------------------------------
     def separate_wav(self, params, wav: jnp.ndarray) -> jnp.ndarray:
         """Fused streaming inference: waveform batch [B, L] -> separated
         waveforms [B, N, L'].

@@ -172,6 +172,107 @@ def _istft_core(re: jnp.ndarray, im: jnp.ndarray, stride: int,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Streaming STFT / iSTFT: fixed-size chunks with carried boundary state.
+#
+# Convention (differs from the scipy-offline framing above, by design): the
+# stream is conceptually left-padded with ``fft_size - stride`` zeros and
+# frame i covers padded samples [i*stride, i*stride + fft_size) — every new
+# ``stride`` input samples yield exactly ONE new frame whose window ENDS at
+# the newest sample (no lookahead).  Correspondingly the emitted output lags
+# the input by ``fft_size - stride`` samples, the minimal OLA latency.  With
+# this lead-in every emitted sample's window**2 normalizer is the full
+# stride-periodic steady-state sum, so no ramp handling is needed anywhere.
+# ---------------------------------------------------------------------------
+
+def stream_frames(wav_tail: jnp.ndarray, wav_chunk: jnp.ndarray,
+                  fft_size: int, stride: int):
+    """Frame a chunk with the carried input tail.
+
+    Args:
+        wav_tail: [..., fft_size - stride] previous samples (zeros at
+            stream start — the conceptual lead-in padding).
+        wav_chunk: [..., K*stride] new samples.
+    Returns:
+        (frames [..., K, fft_size], new_tail [..., fft_size - stride]).
+    """
+    p = fft_size - stride
+    assert wav_tail.shape[-1] == p, (wav_tail.shape, p)
+    assert wav_chunk.shape[-1] % stride == 0, \
+        "chunk length must be a multiple of the stride"
+    x = jnp.concatenate([wav_tail, wav_chunk], axis=-1)
+    k = wav_chunk.shape[-1] // stride
+    idx = (np.arange(k)[:, None] * stride
+           + np.arange(fft_size)[None, :])
+    return x[..., idx], x[..., x.shape[-1] - p:]
+
+
+def stft_frames_ri(frames: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
+    """Windowed DFT of pre-framed samples [..., K, fft_size] -> ri
+    [..., K, F, 2] (same scaling as stft_ri)."""
+    fft_size = frames.shape[-1]
+    dtype = str(window.dtype)
+    cos_b, sin_b = _dft_basis(fft_size, dtype)
+    scale = 1.0 / float(np.sum(window))
+    frames = frames.astype(dtype)
+    re = jnp.matmul(frames, jnp.asarray(window[:, None] * cos_b * scale),
+                    preferred_element_type=frames.dtype)
+    im = jnp.matmul(frames, jnp.asarray(window[:, None] * sin_b * scale),
+                    preferred_element_type=frames.dtype)
+    return jnp.stack([re, im], axis=-1)
+
+
+def ola_periodic_denom(window: np.ndarray, stride: int) -> np.ndarray:
+    """[stride] steady-state window**2 overlap-add normalizer:
+    denom[j] = sum over offsets o == j (mod stride), o < fft_size of
+    w^2[o]."""
+    w2 = np.asarray(window, dtype=np.float64) ** 2
+    fft_size = w2.shape[0]
+    denom = np.zeros(stride, dtype=np.float64)
+    for o in range(fft_size):
+        denom[o % stride] += w2[o]
+    return denom.astype(window.dtype)
+
+
+def istft_stream_ri(spectra_ri: jnp.ndarray, stride: int,
+                    window: np.ndarray, ola_tail: jnp.ndarray):
+    """Streaming inverse STFT of K frames with carried overlap-add tail.
+
+    Args:
+        spectra_ri: [..., K, F, 2] frame spectra (stream_frames framing).
+        ola_tail: [..., fft_size - stride] accumulated (un-normalized)
+            overlap-add numerator carried from the previous chunk (zeros
+            at stream start).
+    Returns:
+        (out [..., K*stride] normalized emitted samples,
+         new_tail [..., fft_size - stride]).
+    """
+    fft_size = (spectra_ri.shape[-2] - 1) * 2
+    p = fft_size - stride
+    dtype = str(window.dtype)
+    k = spectra_ri.shape[-3]
+    cos_b, sin_b = _idft_basis(fft_size, dtype)
+    re = spectra_ri[..., 0].astype(dtype)
+    im = spectra_ri[..., 1].astype(dtype)
+    frames = (jnp.matmul(re, jnp.asarray(cos_b),
+                         preferred_element_type=re.dtype)
+              + jnp.matmul(im, jnp.asarray(sin_b),
+                           preferred_element_type=im.dtype))
+    frames = frames * jnp.asarray(window)            # [..., K, fft]
+
+    idx = (np.arange(k)[:, None] * stride
+           + np.arange(fft_size)[None, :])           # [K, fft]
+    buf = jnp.zeros(frames.shape[:-2] + (k * stride + p,),
+                    dtype=frames.dtype)
+    buf = buf.at[..., idx.reshape(-1)].add(
+        frames.reshape(frames.shape[:-2] + (-1,)))
+    buf = buf.at[..., :p].add(ola_tail.astype(frames.dtype))
+
+    denom = np.tile(ola_periodic_denom(window, stride), k)
+    out = buf[..., :k * stride] / jnp.asarray(denom)
+    return out, buf[..., k * stride:]
+
+
 def istft(spectra: jnp.ndarray, stride: int, window: np.ndarray,
           length: int | None = None) -> jnp.ndarray:
     """Inverse STFT via iDFT matmul + scatter overlap-add.

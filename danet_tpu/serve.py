@@ -198,6 +198,139 @@ def load_separator(directory: str) -> SeparatorBundle:
 
 
 # ---------------------------------------------------------------------------
+# Streaming (stateful) serving: real-time causal separation as two AOT
+# programs — warmup (wav -> sep + state) and step (state, chunk -> sep,
+# state').  All state is an explicit pytree (DaNet.stream_init/stream_step),
+# so jax.export captures the full pipeline: STFT input tail, encoder
+# recurrent/conv state, overlap-add tail, frozen warmup statistics.
+# ---------------------------------------------------------------------------
+
+STREAM_WARMUP_FILE = "stream_warmup.jaxexport"
+STREAM_STEP_FILE = "stream_step.jaxexport"
+
+
+def export_streamer(model, params, out_dir: str, chunk_samples: int,
+                    warmup_samples: int, batch: int = 1,
+                    platforms: Optional[Sequence[str]] = None) -> dict:
+    """Export the causal streaming pipeline as a two-program artifact.
+
+    Requires a causal encoder (lstm-orig, gru-v1, tcn-v1+TCN_CAUSAL —
+    DaNet.stream_init's gate).  ``chunk_samples``/``warmup_samples`` must
+    be multiples of FFT_STRIDE; the step program has a fixed per-call
+    input size (constant latency — the point of streaming serving).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    hp = model.hp
+    stride = int(hp.FFT_STRIDE)
+    if chunk_samples % stride or warmup_samples % stride:
+        raise ValueError(
+            "chunk_samples/warmup_samples must be multiples of "
+            "FFT_STRIDE=%d" % stride)
+    if platforms is not None:
+        platforms = tuple(str(p) for p in platforms)
+    os.makedirs(out_dir, exist_ok=True)
+    params = jax.tree.map(jnp.asarray, jax.device_get(params))
+
+    def warmup_fn(wav):
+        return model.stream_init(params, wav)
+
+    def step_fn(state, chunk):
+        return model.stream_step(params, state, chunk)
+
+    wspec = jax.ShapeDtypeStruct((batch, warmup_samples), jnp.float32)
+    cspec = jax.ShapeDtypeStruct((batch, chunk_samples), jnp.float32)
+    _, state_spec = jax.eval_shape(warmup_fn, wspec)
+
+    exp_w = jexport.export(jax.jit(warmup_fn), platforms=platforms)(wspec)
+    exp_s = jexport.export(jax.jit(step_fn), platforms=platforms)(
+        state_spec, cspec)
+    with open(os.path.join(out_dir, STREAM_WARMUP_FILE), "wb") as f:
+        f.write(exp_w.serialize())
+    with open(os.path.join(out_dir, STREAM_STEP_FILE), "wb") as f:
+        f.write(exp_s.serialize())
+
+    from jax import export as _je
+    manifest = {
+        "format": "danet-tpu-serve-stream-v1",
+        "chunk_samples": int(chunk_samples),
+        "warmup_samples": int(warmup_samples),
+        "batch": int(batch),
+        "latency_samples": int(hp.FFT_SIZE - stride),
+        "platforms": list(platforms) if platforms is not None
+        else [_je.default_export_platform()],
+        "n_signal": int(hp.MAX_N_SIGNAL),
+        "smprate": int(hp.SMPRATE),
+        "fft_size": int(hp.FFT_SIZE),
+        "fft_stride": stride,
+        "encoder": str(hp.ENCODER_TYPE),
+        "infer_estimator": str(hp.INFER_ESTIMATOR_METHOD),
+        "separator": str(hp.SEPARATOR_TYPE),
+    }
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+class StreamerBundle:
+    """Loaded streaming artifact: hold the state, feed fixed-size chunks.
+
+    Usage::
+
+        s = load_streamer(dir)
+        sep0 = s.start(wav[:warmup])          # [B, N, warmup]
+        for chunk in chunks(wav, s.chunk_samples):
+            sep = s.feed(chunk)               # [B, N, chunk]
+
+    Output audio lags input by ``manifest['latency_samples']`` samples.
+    """
+
+    def __init__(self, directory: str):
+        with open(os.path.join(directory, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        if self.manifest.get("format") != "danet-tpu-serve-stream-v1":
+            raise ValueError("not a danet-tpu streaming artifact: %r"
+                             % (directory,))
+        from jax import export as jexport
+        with open(os.path.join(directory, STREAM_WARMUP_FILE), "rb") as f:
+            self._warmup = jexport.deserialize(f.read())
+        with open(os.path.join(directory, STREAM_STEP_FILE), "rb") as f:
+            self._step = jexport.deserialize(f.read())
+        self._state = None
+
+    @property
+    def chunk_samples(self) -> int:
+        return int(self.manifest["chunk_samples"])
+
+    @property
+    def warmup_samples(self) -> int:
+        return int(self.manifest["warmup_samples"])
+
+    def start(self, wav_warmup: np.ndarray) -> np.ndarray:
+        wav_warmup = np.asarray(wav_warmup, dtype=np.float32)
+        if wav_warmup.ndim == 1:
+            wav_warmup = wav_warmup[None]
+        out, state = self._warmup.call(wav_warmup)
+        self._state = state
+        return np.asarray(out)
+
+    def feed(self, chunk: np.ndarray) -> np.ndarray:
+        if self._state is None:
+            raise RuntimeError("call start(warmup) before feed(chunk)")
+        chunk = np.asarray(chunk, dtype=np.float32)
+        if chunk.ndim == 1:
+            chunk = chunk[None]
+        out, self._state = self._step.call(self._state, chunk)
+        return np.asarray(out)
+
+
+def load_streamer(directory: str) -> StreamerBundle:
+    return StreamerBundle(directory)
+
+
+# ---------------------------------------------------------------------------
 # CLI: python -m danet_tpu.serve {export,run} ...
 # ---------------------------------------------------------------------------
 
@@ -223,6 +356,29 @@ def _main():
     rn.add_argument("-d", "--artifact-dir", required=True)
     rn.add_argument("-if", "--input-file", required=True)
     rn.add_argument("-o", "--output-prefix", default="separated")
+
+    exs = sub.add_parser(
+        "export-stream",
+        help="export the causal streaming pipeline (stateful two-program "
+             "artifact; requires a causal encoder)")
+    exs.add_argument("-c", "--hparams-file", default=None)
+    exs.add_argument("-i", "--input-pfile", required=True)
+    exs.add_argument("-o", "--out-dir", required=True)
+    exs.add_argument("--chunk", type=int, default=4096,
+                     help="step-program chunk size in samples "
+                          "(multiple of FFT_STRIDE)")
+    exs.add_argument("--warmup", type=int, default=16384,
+                     help="warmup-program window in samples")
+    exs.add_argument("--batch", type=int, default=1)
+    exs.add_argument("--platforms", default=None)
+
+    rs = sub.add_parser(
+        "run-stream",
+        help="separate a WAV by simulated streaming through a stream "
+             "artifact")
+    rs.add_argument("-d", "--artifact-dir", required=True)
+    rs.add_argument("-if", "--input-file", required=True)
+    rs.add_argument("-o", "--output-prefix", default="separated")
     args = ap.parse_args()
 
     if args.cmd == "export":
@@ -248,6 +404,50 @@ def _main():
             [int(x) for x in args.lengths.split(",")],
             batch=args.batch, platforms=platforms)
         print(json.dumps(manifest, indent=2, sort_keys=True))
+    elif args.cmd == "export-stream":
+        import jax
+        from danet_tpu.hparams import hparams
+        import danet_tpu  # noqa: F401 (registries)
+        from danet_tpu.models import DaNet
+        from danet_tpu.train import checkpoint as ckpt_lib
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        hparams.load_json(os.path.join(repo, "default.json"))
+        if args.hparams_file:
+            hparams.load_json(args.hparams_file)
+        hparams.digest()
+        model = DaNet()
+        params = model.init(jax.random.PRNGKey(0))
+        state = ckpt_lib.load_checkpoint(
+            args.input_pfile, {"params": params}, partial=True)
+        platforms = (args.platforms.split(",")
+                     if args.platforms else None)
+        manifest = export_streamer(
+            model, state["params"], args.out_dir,
+            chunk_samples=args.chunk, warmup_samples=args.warmup,
+            batch=args.batch, platforms=platforms)
+        print(json.dumps(manifest, indent=2, sort_keys=True))
+    elif args.cmd == "run-stream":
+        from danet_tpu.data import audio
+        bundle = load_streamer(args.artifact_dir)
+        wav = audio.load_wav_raw(args.input_file,
+                                 bundle.manifest["smprate"])
+        warm, chunk = bundle.warmup_samples, bundle.chunk_samples
+        total = max(len(wav), warm)
+        n_chunks = -(-(total - warm) // chunk)
+        padded = np.zeros(warm + n_chunks * chunk, dtype=np.float32)
+        padded[:len(wav)] = wav
+        parts = [bundle.start(padded[:warm])]
+        for i in range(n_chunks):
+            lo = warm + i * chunk
+            parts.append(bundle.feed(padded[lo:lo + chunk]))
+        out = np.concatenate(parts, axis=-1)[0]
+        scale = max(float(np.max(np.abs(out))), 1.0)
+        for i, src in enumerate(out):
+            path = "%s_%d.wav" % (args.output_prefix, i)
+            audio.save_wav_raw(path, src, bundle.manifest["smprate"],
+                               scale=scale)
+            print("wrote", path)
     else:
         from danet_tpu.data import audio
         bundle = load_separator(args.artifact_dir)

@@ -197,3 +197,100 @@ def test_export_kmeans_inference_estimator(tmp_path):
         lambda w: model.separate_wav(params, w))(wav[None]))[0]
     np.testing.assert_allclose(got, want[:, :got.shape[1]],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_export_streamer_roundtrip(tmp_path):
+    """Streaming artifact: warmup+step programs reproduce the live
+    stream_init/stream_step pipeline exactly, state threading included."""
+    import danet_tpu  # noqa: F401
+    from danet_tpu.models import DaNet
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hparams.load_json(os.path.join(repo, "default.json"))
+    hparams.ENCODER_TYPE = "tcn-v1"
+    hparams.TCN_CAUSAL = True
+    hparams.TCN_DIM = 16
+    hparams.TCN_HIDDEN = 24
+    hparams.TCN_BLOCKS = 2
+    hparams.TCN_REPEATS = 1
+    hparams.BATCH_SIZE = 1
+    hparams.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+
+    stride = hparams.FFT_STRIDE
+    warm_n, chunk_n = 8 * stride, 4 * stride
+    out_dir = str(tmp_path / "stream")
+    manifest = serve.export_streamer(
+        model, params, out_dir, chunk_samples=chunk_n,
+        warmup_samples=warm_n, batch=1)
+    assert manifest["latency_samples"] == hparams.FFT_SIZE - stride
+
+    rng = np.random.RandomState(0)
+    warm = rng.randn(1, warm_n).astype(np.float32) * 0.1
+    chunks = [rng.randn(1, chunk_n).astype(np.float32) * 0.1
+              for _ in range(3)]
+
+    bundle = serve.load_streamer(out_dir)
+    got = [bundle.start(warm)] + [bundle.feed(c) for c in chunks]
+
+    out, state = model.stream_init(params, warm)
+    want = [np.asarray(out)]
+    for c in chunks:
+        out, state = model.stream_step(params, state, c)
+        want.append(np.asarray(out))
+
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+    # stream must be started before feeding
+    fresh = serve.load_streamer(out_dir)
+    with pytest.raises(RuntimeError, match="start"):
+        fresh.feed(chunks[0])
+
+
+def test_stream_chunk_invariance_wav_level(tmp_path):
+    """Waveform-level streaming output is invariant to the chunking (all
+    state — STFT tail, encoder carry, OLA tail — threads exactly)."""
+    import jax.numpy as jnp
+    import danet_tpu  # noqa: F401
+    from danet_tpu.models import DaNet
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hparams.load_json(os.path.join(repo, "default.json"))
+    hparams.ENCODER_TYPE = "tcn-v1"
+    hparams.TCN_CAUSAL = True
+    hparams.TCN_DIM = 16
+    hparams.TCN_HIDDEN = 24
+    hparams.TCN_BLOCKS = 2
+    hparams.TCN_REPEATS = 1
+    hparams.BATCH_SIZE = 1
+    hparams.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    stride = hparams.FFT_STRIDE
+    wav = np.random.RandomState(3).randn(1, 24 * stride).astype(
+        np.float32) * 0.1
+    warm, rest = wav[:, :8 * stride], wav[:, 8 * stride:]
+
+    _, st = model.stream_init(params, jnp.asarray(warm))
+    big, _ = model.stream_step(params, st, jnp.asarray(rest))
+    parts, st2 = [], st
+    for i in range(0, rest.shape[1], 2 * stride):
+        o, st2 = model.stream_step(
+            params, st2, jnp.asarray(rest[:, i:i + 2 * stride]))
+        parts.append(np.asarray(o))
+    np.testing.assert_allclose(
+        np.concatenate(parts, axis=-1), np.asarray(big),
+        atol=1e-6, rtol=1e-5)
+
+
+def test_stream_init_rejects_noncausal():
+    import danet_tpu  # noqa: F401
+    from danet_tpu.models import DaNet
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hparams.load_json(os.path.join(repo, "default.json"))
+    hparams.ENCODER_TYPE = "bilstm-orig"
+    hparams.BATCH_SIZE = 1
+    hparams.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="causal"):
+        model.stream_init(params, np.zeros((1, 512), np.float32))
