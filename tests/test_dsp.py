@@ -149,3 +149,50 @@ def test_istft_ri_matches_complex():
     ri = np.stack([z.real, z.imag], -1).astype(np.float32)
     y_ri = np.asarray(dsp.istft_ri(jnp.asarray(ri), 64, w))
     np.testing.assert_allclose(y_ri, y_c, atol=1e-5)
+
+
+def test_streaming_stft_istft_roundtrip():
+    """Streaming STFT -> iSTFT with carried tails reconstructs the input
+    exactly (lagged by fft-stride samples), independent of the chunking
+    (ops/dsp.py streaming convention; the serving stream pipeline's DSP)."""
+    fft, stride = 256, 64
+    w = _window()
+    p = fft - stride
+    rng = np.random.RandomState(11)
+    wav = rng.randn(1, 48 * stride).astype(np.float32)
+    scale = float(np.sum(w))  # undo analysis 1/sum(w) for pure round-trip
+
+    def run(chunk_frames):
+        tail = jnp.zeros((1, p), jnp.float32)
+        ola = jnp.zeros((1, p), jnp.float32)
+        outs = []
+        step = chunk_frames * stride
+        for i in range(0, wav.shape[1], step):
+            frames, tail = dsp.stream_frames(
+                tail, jnp.asarray(wav[:, i:i + step]), fft, stride)
+            spec = dsp.stft_frames_ri(frames, w)
+            o, ola = dsp.istft_stream_ri(spec * scale, stride, w, ola)
+            outs.append(np.asarray(o))
+        return np.concatenate(outs, axis=-1)
+
+    big = run(16)
+    # reconstruction: output lags input by p samples
+    np.testing.assert_allclose(big[:, p:], wav[:, :big.shape[1] - p],
+                               atol=2e-5, rtol=1e-5)
+    # chunk invariance
+    np.testing.assert_allclose(run(4), big, atol=1e-6)
+
+
+def test_ola_periodic_denom():
+    """Steady-state window^2 normalizer equals the brute-force overlap sum
+    at interior positions."""
+    fft, stride = 256, 64
+    w = _window()
+    denom = dsp.ola_periodic_denom(w, stride)
+    n_frames = 40
+    wsum = np.zeros(n_frames * stride + fft)
+    for i in range(n_frames):
+        wsum[i * stride:i * stride + fft] += np.asarray(w) ** 2
+    interior = wsum[fft:fft + 4 * stride]
+    np.testing.assert_allclose(
+        np.tile(denom, 4), interior, rtol=1e-6)
