@@ -564,6 +564,11 @@ class DaNet:
         fft, stride = hp.FFT_SIZE, hp.FFT_STRIDE
         p = fft - stride
         b = wav_warmup.shape[0]
+        if wav_warmup.shape[-1] < stride:
+            raise ValueError(
+                "warmup window must cover at least one frame "
+                "(>= FFT_STRIDE=%d samples, got %d)"
+                % (stride, wav_warmup.shape[-1]))
         n = hp.MAX_N_SIGNAL
         cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
         window = hp.FFT_WND_ARRAY
