@@ -31,6 +31,7 @@ BATCH = 32
 N_SIGNAL = 2
 T = 128
 FORCE_BACKEND = None  # set to 'xla' to bypass the Pallas kernel
+ENCODER = "bilstm-orig"  # flagship default; --encoder overrides (dev use)
 
 
 def build_step():
@@ -44,7 +45,7 @@ def build_step():
 
     hparams.load_json(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "default.json"))
-    hparams.ENCODER_TYPE = "bilstm-orig"
+    hparams.ENCODER_TYPE = ENCODER
     hparams.BATCH_SIZE = BATCH
     # Shipping TPU training config (configs/tpu.json): Pallas full-scan
     # LSTM kernel (auto on TPU) + bf16 compute with f32 master params.
@@ -127,7 +128,9 @@ def measure(n_warmup: int = 3, n_iters: int = 50):
 
 
 def main():
-    global FORCE_BACKEND
+    global FORCE_BACKEND, ENCODER
+    if "--encoder" in sys.argv:
+        ENCODER = sys.argv[sys.argv.index("--encoder") + 1]
     if "--cpu-baseline" in sys.argv:
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"
