@@ -736,6 +736,139 @@ class TcnEncoder(Encoder):
         return _LstmHead.apply_centered(params["output"], self.hp, h, mu)
 
 
+@hparams.register_encoder("dprnn-v1")
+class DprnnEncoder(Encoder):
+    """Dual-path RNN encoder (new family, not in the reference — its
+    recurrent encoders are plain 4-deep stacks, modules.py:140-260).
+
+    Luo, Chen & Yoshioka, "Dual-Path RNN: efficient long sequence modeling
+    for time-domain single-channel speech separation" (ICASSP 2020),
+    applied here as a DaNet embedding encoder over STFT frames.  The frame
+    axis is segmented into S half-overlapping chunks of P frames; each of
+    R blocks runs (a) an intra-chunk BiLSTM over P, batched over B*S —
+    short scans with a huge effective batch, so every per-step gate GEMM
+    stays MXU-sized — then (b) an inter-chunk (Bi)LSTM over S, batched
+    over B*P.  Full-sequence receptive field therefore costs O(P + T/P)
+    sequential scan steps instead of the O(T) of a plain (Bi)LSTM stack —
+    the dual-path trick is exactly a sequential-dependency reduction,
+    which is what the TPU's scan-bound RNN path wants.  Each path:
+    RNN -> linear -> LayerNorm -> residual; chunks merge by
+    count-normalized overlap-add; shared centered head to [B, T, F, E].
+
+    DPRNN_INTER_CAUSAL=true makes the inter-chunk RNN unidirectional (the
+    paper's online variant: latency = one chunk).
+    Config: DPRNN_DIM (D), DPRNN_HIDDEN (H per direction), DPRNN_CHUNK
+    (P), DPRNN_BLOCKS (R), DPRNN_INTER_CAUSAL.
+    """
+
+    def _dims(self):
+        hp = self.hp
+
+        def get(key, default):
+            v = getattr(hp, key, None)
+            return default if v is None else int(v)
+
+        return (get("DPRNN_DIM", 128), get("DPRNN_HIDDEN", 128),
+                get("DPRNN_CHUNK", 64), get("DPRNN_BLOCKS", 4),
+                bool(getattr(hp, "DPRNN_INTER_CAUSAL", False)))
+
+    def init(self, rng):
+        hp = self.hp
+        d, h, _, n_blocks, inter_causal = self._dims()
+        keys = jax.random.split(rng, n_blocks + 2)
+        gate_bias = (0.0, 0.0, 1.0, 0.0)  # standard forget-bias-1 init
+        params = {
+            "bottleneck": nn.linear_init(keys[0], hp.FEATURE_SIZE, d),
+            "output": _LstmHead.init(keys[1], hp, d),
+        }
+        for i in range(n_blocks):
+            ks = jax.random.split(keys[2 + i], 4)
+            if inter_causal:
+                inter = rnn.lstm_init(ks[2], d, h, gate_bias=gate_bias)
+                inter_odim = h
+            else:
+                inter = rnn.bilstm_init(ks[2], d, h, gate_bias=gate_bias)
+                inter_odim = 2 * h
+            params[f"block{i}"] = {
+                "intra": rnn.bilstm_init(ks[0], d, h, gate_bias=gate_bias),
+                "intra_proj": nn.linear_init(ks[1], 2 * h, d),
+                "intra_ln": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+                "inter": inter,
+                "inter_proj": nn.linear_init(ks[3], inter_odim, d),
+                "inter_ln": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+            }
+        return params
+
+    @staticmethod
+    def _segment(x, p):
+        """[B, T, D] -> chunks [B, S, P, D] with hop P//2, plus the
+        static (gather_idx, total_padded, T) needed to merge back."""
+        import numpy as _np
+        b, t, d = x.shape
+        hop = max(p // 2, 1)
+        n_chunks = max(-(-(t - p) // hop), 0) + 1
+        total = (n_chunks - 1) * hop + p
+        x = jnp.pad(x, ((0, 0), (0, total - t), (0, 0)))
+        idx = (_np.arange(n_chunks)[:, None] * hop
+               + _np.arange(p)[None, :])           # [S, P]
+        return x[:, idx], (jnp.asarray(idx), total, t)
+
+    @staticmethod
+    def _merge(chunks, seg_info):
+        """Count-normalized overlap-add back to [B, T, D]."""
+        idx, total, t = seg_info
+        b, s, p, d = chunks.shape
+        acc = jnp.zeros((b, total, d), chunks.dtype)
+        acc = acc.at[:, idx].add(chunks)
+        cnt = jnp.zeros((total,), chunks.dtype).at[idx].add(
+            jnp.ones((s, p), chunks.dtype))
+        return (acc / cnt[None, :, None])[:, :t]
+
+    def _block(self, blk, chunks, inter_causal, backend,
+               dkey=None, keep=1.0):
+        b, s, p, d = chunks.shape
+        # intra-chunk path: BiLSTM over P, batched over B*S
+        y = rnn.bilstm_apply(blk["intra"], chunks.reshape(b * s, p, d),
+                             "tanh", backend=backend)
+        y = nn.linear_apply(blk["intra_proj"], y).reshape(b, s, p, d)
+        y = AttentionEncoder._ln(blk["intra_ln"], y)
+        if dkey is not None:
+            y = nn.dropout(dkey[0], y, keep)
+        chunks = chunks + y
+        # inter-chunk path: (Bi)LSTM over S, batched over B*P
+        y = jnp.transpose(chunks, (0, 2, 1, 3)).reshape(b * p, s, d)
+        if inter_causal:
+            y = rnn.lstm_apply(blk["inter"], y, "tanh", backend=backend)
+        else:
+            y = rnn.bilstm_apply(blk["inter"], y, "tanh", backend=backend)
+        y = nn.linear_apply(blk["inter_proj"], y)
+        y = jnp.transpose(y.reshape(b, p, s, d), (0, 2, 1, 3))
+        y = AttentionEncoder._ln(blk["inter_ln"], y)
+        if dkey is not None:
+            y = nn.dropout(dkey[1], y, keep)
+        return chunks + y
+
+    def apply(self, params, log_spectra, train=False, rng=None, tap=None):
+        hp = self.hp
+        d, _, p, n_blocks, inter_causal = self._dims()
+        backend = _backend(hp)
+        keep = hp.DROPOUT_KEEP_PROB if train else 1.0
+        drop_keys = (jax.random.split(rng, 2 * n_blocks).reshape(
+            n_blocks, 2, -1) if (rng is not None and keep < 1.0) else
+            [None] * n_blocks)
+        x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        h = nn.linear_apply(params["bottleneck"], x)
+        chunks, seg_info = self._segment(h, min(p, h.shape[1]))
+        for i in range(n_blocks):
+            layer = _maybe_remat(hp, lambda blk, c, k: self._block(
+                blk, c, inter_causal, backend, dkey=k, keep=keep))
+            chunks = layer(params[f"block{i}"], chunks, drop_keys[i])
+            if tap:
+                tap("block%d_chunks" % i, chunks)
+        merged = self._merge(chunks, seg_info)
+        return _LstmHead.apply(params["output"], hp, merged)
+
+
 @hparams.register_encoder("conv-bilstm-v1")
 class ConvBiLstmEncoder(Encoder):
     """U-Net-ish CNN + BiLSTM hybrid (reference modules.py:263-379).

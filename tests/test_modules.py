@@ -17,7 +17,7 @@ def _src(hp, n=N, t=T, seed=0):
 
 
 @pytest.mark.parametrize("enc", ["toy", "lstm-orig", "bilstm-orig",
-                                 "conv-bilstm-v1", "tcn-v1"])
+                                 "conv-bilstm-v1", "tcn-v1", "dprnn-v1"])
 def test_encoder_shapes(fresh_hparams, enc):
     hp = fresh_hparams
     hp.ENCODER_TYPE = enc
@@ -400,6 +400,61 @@ def test_tcn_stream_hidden_chunk_continuation(fresh_hparams):
     chunked = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
                                atol=1e-5, rtol=1e-5)
+
+
+def _small_dprnn(hp):
+    hp.DPRNN_DIM = 24
+    hp.DPRNN_HIDDEN = 16
+    hp.DPRNN_CHUNK = 8
+    hp.DPRNN_BLOCKS = 2
+
+
+def test_dprnn_segment_merge_roundtrip(fresh_hparams):
+    """Count-normalized overlap-add inverts the half-overlap segmentation
+    exactly, including when T is not a multiple of the hop."""
+    from danet_tpu.models.encoders import DprnnEncoder
+    for t in (16, 19, 8, 5):
+        x = jnp.asarray(np.random.RandomState(t).randn(
+            3, t, 6).astype(np.float32))
+        chunks, seg = DprnnEncoder._segment(x, min(8, t))
+        back = DprnnEncoder._merge(chunks, seg)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   atol=1e-6)
+
+
+def test_dprnn_encoder_end_to_end(fresh_hparams):
+    """dprnn-v1 trains through the full DaNet objective; the online
+    (inter-causal) variant differs from the offline one."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "dprnn-v1"
+    _small_dprnn(hp)
+    hp.BATCH_SIZE = B
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = _src(hp)
+    loss, aux = jax.jit(model.train_loss)(params, src, None)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    gsum = sum(float(jnp.abs(x).sum())
+               for x in jax.tree_util.tree_leaves(g["encoder"]))
+    assert np.isfinite(gsum) and gsum > 0
+    # dropout draws per-path masks
+    hp.DROPOUT_KEEP_PROB = 0.8
+    l1, _ = model.train_loss(params, src, jax.random.PRNGKey(1))
+    l2, _ = model.train_loss(params, src, jax.random.PRNGKey(2))
+    assert float(l1) != float(l2)
+    # online variant: unidirectional inter-chunk LSTM (different params)
+    hp.DPRNN_INTER_CAUSAL = True
+    enc = hp.get_encoder()(hp, "e")
+    p2 = enc.init(jax.random.PRNGKey(0))
+    assert p2["block0"]["inter"]["wx"].shape[0] == hp.DPRNN_DIM
+    out = enc.apply(p2, jnp.asarray(np.random.RandomState(1).randn(
+        B, T, hp.FEATURE_SIZE).astype(np.float32)))
+    assert out.shape == (B, T, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attention_padding_invariance(fresh_hparams):
     """Zero-padded frames must not change real frames' embeddings."""
     hp = fresh_hparams
     hp.ENCODER_TYPE = "attn-v1"
