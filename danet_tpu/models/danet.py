@@ -418,6 +418,30 @@ class DaNet:
         return out[:, :t]
 
     # ------------------------------------------------------------------
+    def _stream_capable(self) -> bool:
+        """True when the configured encoder supports exact causal
+        streaming (shared gate of separate_stream / stream_init)."""
+        from danet_tpu.models.encoders import (DprnnEncoder, GruEncoder,
+                                               LstmEncoder, TcnEncoder)
+        hp = self.hp
+        if isinstance(self.encoder, (LstmEncoder, GruEncoder)):
+            return True
+        if isinstance(self.encoder, TcnEncoder):
+            return bool(getattr(hp, "TCN_CAUSAL", False))
+        if isinstance(self.encoder, DprnnEncoder):
+            # online variant: causal inter-chunk RNN + non-overlapping
+            # segments (stream_state_init re-validates with a message)
+            d = self.encoder._dims()
+            return bool(getattr(hp, "DPRNN_INTER_CAUSAL", False)) and (
+                d[2] == d[3])
+        return False
+
+    def _stream_granularity(self) -> int:
+        """Frames per streaming advance unit (1 unless the encoder is
+        segment-granular, e.g. dprnn-v1's DPRNN_CHUNK)."""
+        fn = getattr(self.encoder, "stream_granularity", None)
+        return int(fn()) if fn is not None else 1
+
     def separate_stream(self, params, mix_ri: jnp.ndarray,
                         chunk_frames: int = 64,
                         warmup_frames: int = 128) -> jnp.ndarray:
@@ -449,21 +473,28 @@ class DaNet:
         higher MXU utilization, permutation re-alignment); use this for
         latency-bound live streams.
         """
-        from danet_tpu.models.encoders import (GruEncoder, LstmEncoder,
-                                               TcnEncoder)
         hp = self.hp
-        ok = isinstance(self.encoder, (LstmEncoder, GruEncoder)) or (
-            isinstance(self.encoder, TcnEncoder)
-            and bool(getattr(hp, "TCN_CAUSAL", False)))
-        if not ok:
+        if not self._stream_capable():
             raise ValueError(
                 "separate_stream requires a causal encoder (lstm-orig, "
-                "gru-v1, or tcn-v1 with TCN_CAUSAL=true); got "
-                "ENCODER_TYPE=%r. Bidirectional/attention encoders need "
-                "future context — use separate_long." % hp.ENCODER_TYPE)
+                "gru-v1, tcn-v1 with TCN_CAUSAL=true, or dprnn-v1 with "
+                "DPRNN_INTER_CAUSAL=true and DPRNN_HOP == DPRNN_CHUNK); "
+                "got ENCODER_TYPE=%r. Bidirectional/attention encoders "
+                "need future context — use separate_long."
+                % hp.ENCODER_TYPE)
+        g = self._stream_granularity()
         t, f = mix_ri.shape[0], mix_ri.shape[1]
         w = int(min(warmup_frames, t))
+        w = max(w - w % g, g)  # segment-granular encoders advance in g
+        if w > t:
+            raise ValueError(
+                "stream too short: the encoder advances in %d-frame "
+                "segments but the stream has only %d frames" % (g, t))
         assert chunk_frames >= 1
+        if chunk_frames % g:
+            raise ValueError(
+                "chunk_frames=%d must be a multiple of the encoder's "
+                "stream granularity %d (DPRNN_CHUNK)" % (chunk_frames, g))
         n_chunks = -(-(t - w) // chunk_frames) if t > w else 0
         t_pad = w + n_chunks * chunk_frames
         mix_p = jnp.pad(mix_ri, [(0, t_pad - t), (0, 0), (0, 0)])[None]
@@ -549,18 +580,14 @@ class DaNet:
         audio lags input by FFT_SIZE - FFT_STRIDE samples (minimal
         overlap-add latency; ops/dsp.py streaming convention).
         """
-        from danet_tpu.models.encoders import GruEncoder, LstmEncoder, \
-            TcnEncoder
         from danet_tpu.ops import dsp
         hp = self.hp
-        ok = isinstance(self.encoder, (LstmEncoder, GruEncoder)) or (
-            isinstance(self.encoder, TcnEncoder)
-            and bool(getattr(hp, "TCN_CAUSAL", False)))
-        if not ok:
+        if not self._stream_capable():
             raise ValueError(
                 "stream_init requires a causal encoder (lstm-orig, "
-                "gru-v1, or tcn-v1 with TCN_CAUSAL=true); got "
-                "ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
+                "gru-v1, tcn-v1 with TCN_CAUSAL=true, or dprnn-v1 with "
+                "DPRNN_INTER_CAUSAL=true and DPRNN_HOP == DPRNN_CHUNK); "
+                "got ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
         fft, stride = hp.FFT_SIZE, hp.FFT_STRIDE
         p = fft - stride
         b = wav_warmup.shape[0]
@@ -569,6 +596,14 @@ class DaNet:
                 "warmup window must cover at least one frame "
                 "(>= FFT_STRIDE=%d samples, got %d)"
                 % (stride, wav_warmup.shape[-1]))
+        g = self._stream_granularity()
+        if g > 1 and (wav_warmup.shape[-1] // stride) % g:
+            raise ValueError(
+                "the encoder advances in %d-frame segments: the warmup "
+                "window must be a multiple of %d samples "
+                "(FFT_STRIDE * granularity; got %d samples = %d frames)"
+                % (g, g * stride, wav_warmup.shape[-1],
+                   wav_warmup.shape[-1] // stride))
         n = hp.MAX_N_SIGNAL
         cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
         window = hp.FFT_WND_ARRAY

@@ -756,9 +756,15 @@ class DprnnEncoder(Encoder):
     count-normalized overlap-add; shared centered head to [B, T, F, E].
 
     DPRNN_INTER_CAUSAL=true makes the inter-chunk RNN unidirectional (the
-    paper's online variant: latency = one chunk).
+    paper's online variant: latency = one chunk).  With additionally
+    DPRNN_HOP == DPRNN_CHUNK (non-overlapping segments) the encoder is
+    causal at segment granularity and DaNet.separate_stream streams it
+    EXACTLY: the per-position inter-chunk (c, h) state is carried across
+    stream chunks, so chunked online inference reproduces the offline
+    forward bit-for-bit at one-segment latency.
     Config: DPRNN_DIM (D), DPRNN_HIDDEN (H per direction), DPRNN_CHUNK
-    (P), DPRNN_BLOCKS (R), DPRNN_INTER_CAUSAL.
+    (P), DPRNN_HOP (segment hop, default P//2), DPRNN_BLOCKS (R),
+    DPRNN_INTER_CAUSAL.
     """
 
     def _dims(self):
@@ -768,13 +774,19 @@ class DprnnEncoder(Encoder):
             v = getattr(hp, key, None)
             return default if v is None else int(v)
 
+        p = get("DPRNN_CHUNK", 64)
+        hop = get("DPRNN_HOP", max(p // 2, 1))
+        if not 1 <= hop <= p:
+            raise ValueError(
+                "DPRNN_HOP must be in [1, DPRNN_CHUNK]; got hop=%d P=%d"
+                % (hop, p))
         return (get("DPRNN_DIM", 128), get("DPRNN_HIDDEN", 128),
-                get("DPRNN_CHUNK", 64), get("DPRNN_BLOCKS", 4),
-                bool(getattr(hp, "DPRNN_INTER_CAUSAL", False)))
+                p, hop, get("DPRNN_BLOCKS", 4),
+                bool(getattr(self.hp, "DPRNN_INTER_CAUSAL", False)))
 
     def init(self, rng):
         hp = self.hp
-        d, h, _, n_blocks, inter_causal = self._dims()
+        d, h, _, _, n_blocks, inter_causal = self._dims()
         keys = jax.random.split(rng, n_blocks + 2)
         gate_bias = (0.0, 0.0, 1.0, 0.0)  # standard forget-bias-1 init
         params = {
@@ -800,12 +812,13 @@ class DprnnEncoder(Encoder):
         return params
 
     @staticmethod
-    def _segment(x, p):
-        """[B, T, D] -> chunks [B, S, P, D] with hop P//2, plus the
-        static (gather_idx, total_padded, T) needed to merge back."""
+    def _segment(x, p, hop=None):
+        """[B, T, D] -> chunks [B, S, P, D] with the given hop (default
+        P//2), plus the static (gather_idx, total_padded, T) needed to
+        merge back."""
         import numpy as _np
         b, t, d = x.shape
-        hop = max(p // 2, 1)
+        hop = max(p // 2, 1) if hop is None else min(hop, p)
         n_chunks = max(-(-(t - p) // hop), 0) + 1
         total = (n_chunks - 1) * hop + p
         x = jnp.pad(x, ((0, 0), (0, total - t), (0, 0)))
@@ -825,7 +838,10 @@ class DprnnEncoder(Encoder):
         return (acc / cnt[None, :, None])[:, :t]
 
     def _block(self, blk, chunks, inter_causal, backend,
-               dkey=None, keep=1.0):
+               dkey=None, keep=1.0, inter_state=None):
+        """One dual-path block.  With ``inter_state`` (streaming), the
+        causal inter-chunk LSTM resumes from the carried per-position
+        (c, h) and the new carry is returned."""
         b, s, p, d = chunks.shape
         # intra-chunk path: BiLSTM over P, batched over B*S
         y = rnn.bilstm_apply(blk["intra"], chunks.reshape(b * s, p, d),
@@ -837,7 +853,13 @@ class DprnnEncoder(Encoder):
         chunks = chunks + y
         # inter-chunk path: (Bi)LSTM over S, batched over B*P
         y = jnp.transpose(chunks, (0, 2, 1, 3)).reshape(b * p, s, d)
-        if inter_causal:
+        new_state = None
+        if inter_state is not None:
+            c0, h0 = inter_state
+            y, new_state = rnn.lstm_apply(
+                blk["inter"], y, "tanh", c0=c0, h0=h0,
+                backend="xla", return_state=True)
+        elif inter_causal:
             y = rnn.lstm_apply(blk["inter"], y, "tanh", backend=backend)
         else:
             y = rnn.bilstm_apply(blk["inter"], y, "tanh", backend=backend)
@@ -846,11 +868,11 @@ class DprnnEncoder(Encoder):
         y = AttentionEncoder._ln(blk["inter_ln"], y)
         if dkey is not None:
             y = nn.dropout(dkey[1], y, keep)
-        return chunks + y
+        return chunks + y, new_state
 
     def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         hp = self.hp
-        d, _, p, n_blocks, inter_causal = self._dims()
+        d, _, p, hop, n_blocks, inter_causal = self._dims()
         backend = _backend(hp)
         keep = hp.DROPOUT_KEEP_PROB if train else 1.0
         drop_keys = (jax.random.split(rng, 2 * n_blocks).reshape(
@@ -858,15 +880,59 @@ class DprnnEncoder(Encoder):
             [None] * n_blocks)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         h = nn.linear_apply(params["bottleneck"], x)
-        chunks, seg_info = self._segment(h, min(p, h.shape[1]))
+        p_eff = min(p, h.shape[1])
+        chunks, seg_info = self._segment(
+            h, p_eff, hop if p_eff == p else None)
         for i in range(n_blocks):
             layer = _maybe_remat(hp, lambda blk, c, k: self._block(
-                blk, c, inter_causal, backend, dkey=k, keep=keep))
+                blk, c, inter_causal, backend, dkey=k, keep=keep)[0])
             chunks = layer(params[f"block{i}"], chunks, drop_keys[i])
             if tap:
                 tap("block%d_chunks" % i, chunks)
         merged = self._merge(chunks, seg_info)
         return _LstmHead.apply(params["output"], hp, merged)
+
+    # --- causal streaming hooks (DaNet.separate_stream) -----------------
+    def stream_granularity(self) -> int:
+        """Streaming advances in whole segments: chunk/warmup sizes must
+        be multiples of DPRNN_CHUNK."""
+        return self._dims()[2]
+
+    def stream_state_init(self, batch: int, dtype=jnp.float32):
+        """Per-block per-position (c, h) carries of the causal inter-chunk
+        LSTM — zeros match the offline scan's zero initial state."""
+        _, h, p, hop, n_blocks, inter_causal = self._dims()
+        if not inter_causal or hop != p:
+            raise ValueError(
+                "dprnn-v1 streams only with DPRNN_INTER_CAUSAL=true and "
+                "DPRNN_HOP == DPRNN_CHUNK (non-overlapping causal "
+                "segments; got hop=%d P=%d)" % (hop, p))
+        z = jnp.zeros((batch * p, h), dtype)
+        return [(z, z) for _ in range(n_blocks)]
+
+    def stream_hidden(self, params, x, state):
+        """Pre-centered chunk [B, Tc, F] (Tc a multiple of DPRNN_CHUNK)
+        -> (merged hidden [B, Tc, D], new inter-chunk carries).  Exact
+        continuation: back-to-back chunks reproduce the offline
+        non-overlapping causal forward bit-for-bit."""
+        d, _, p, _, n_blocks, _ = self._dims()
+        b, tc = x.shape[0], x.shape[1]
+        if tc % p:
+            raise ValueError(
+                "dprnn-v1 stream chunks must be multiples of "
+                "DPRNN_CHUNK=%d (got %d frames)" % (p, tc))
+        h = nn.linear_apply(params["bottleneck"], x)
+        chunks = h.reshape(b, tc // p, p, d)
+        new_state = []
+        for i in range(n_blocks):
+            chunks, st = self._block(
+                params[f"block{i}"], chunks, True, "xla",
+                inter_state=state[i])
+            new_state.append(st)
+        return chunks.reshape(b, tc, d), new_state
+
+    def stream_head(self, params, h, mu):
+        return _LstmHead.apply_centered(params["output"], self.hp, h, mu)
 
 
 @hparams.register_encoder("conv-bilstm-v1")

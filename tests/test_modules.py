@@ -454,6 +454,66 @@ def test_dprnn_encoder_end_to_end(fresh_hparams):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_dprnn_stream_hidden_chunk_continuation(fresh_hparams):
+    """Online DPRNN (causal inter-chunk RNN, non-overlapping segments):
+    chunked streaming with carried inter state reproduces the one-shot
+    forward; separate_stream output is chunk-size invariant."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "dprnn-v1"
+    _small_dprnn(hp)
+    hp.DPRNN_HOP = hp.DPRNN_CHUNK
+    hp.DPRNN_INTER_CAUSAL = True
+    enc = hp.get_encoder()(hp, "e")
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(5).randn(
+        2, 48, hp.FEATURE_SIZE).astype(np.float32))
+    full, _ = enc.stream_hidden(params, x, enc.stream_state_init(2))
+    state = enc.stream_state_init(2)
+    outs = []
+    for lo, hi in ((0, 16), (16, 24), (24, 48)):  # segment-aligned chunks
+        h, state = enc.stream_hidden(params, x[:, lo:hi], state)
+        outs.append(h)
+    chunked = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
+    # unaligned chunks are rejected
+    with pytest.raises(ValueError):
+        enc.stream_hidden(params, x[:, :12], enc.stream_state_init(2))
+
+    from danet_tpu.models import DaNet
+    model = DaNet()
+    p = model.init(jax.random.PRNGKey(1))
+    mix = jnp.asarray(np.random.RandomState(7).randn(
+        40, hp.FEATURE_SIZE, 2).astype(np.float32))
+    out8 = model.separate_stream(p, mix, chunk_frames=8, warmup_frames=16)
+    out16 = model.separate_stream(p, mix, chunk_frames=16,
+                                  warmup_frames=16)
+    assert out8.shape == (2, 40, hp.FEATURE_SIZE, 2)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out16),
+                               atol=1e-5)
+    # misaligned chunk_frames is rejected up front
+    with pytest.raises(ValueError):
+        model.separate_stream(p, mix, chunk_frames=12, warmup_frames=16)
+
+
+def test_dprnn_stream_requires_online_config(fresh_hparams):
+    """Offline DPRNN configs (overlapping segments or bidirectional
+    inter-chunk RNN) cannot stream."""
+    from danet_tpu.models import DaNet
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "dprnn-v1"
+    _small_dprnn(hp)
+    model = DaNet()
+    p = model.init(jax.random.PRNGKey(0))
+    mix = jnp.asarray(np.random.RandomState(0).randn(
+        24, hp.FEATURE_SIZE, 2).astype(np.float32))
+    with pytest.raises(ValueError):
+        model.separate_stream(p, mix, chunk_frames=8, warmup_frames=8)
+    hp.DPRNN_INTER_CAUSAL = True  # still overlapping: hop != chunk
+    with pytest.raises(ValueError):
+        DaNet().separate_stream(p, mix, chunk_frames=8, warmup_frames=8)
+
+
 def test_attention_padding_invariance(fresh_hparams):
     """Zero-padded frames must not change real frames' embeddings."""
     hp = fresh_hparams
