@@ -34,6 +34,39 @@ def save_checkpoint(path: str, state: dict) -> None:
     ckptr.wait_until_finished()
 
 
+def _keystr(kp) -> str:
+    return jax.tree_util.keystr(kp)
+
+
+def _raise_mismatch(path, template, ckptr, orig) -> None:
+    """A template restore failed — diagnose WHY with a user-actionable
+    message (Orbax's own mismatch formatter crashes on array leaves:
+    `truth value of an array is ambiguous`).  Compares the raw saved tree
+    against the template leaf-by-leaf; falls back to re-raising the
+    original error when nothing structural differs."""
+    try:
+        raw = ckptr.restore(path)
+    except Exception:
+        raise orig
+    w_paths = jax.tree_util.tree_flatten_with_path(template)[0]
+    g_leaves = jax.tree_util.tree_leaves(raw)
+    if len(w_paths) != len(g_leaves):
+        raise ValueError(
+            "checkpoint %s holds %d leaves but the expected state has %d "
+            "— different architecture/config? (e.g. a different "
+            "ENCODER_TYPE or encoder dims than the checkpoint was "
+            "trained with)" % (path, len(g_leaves), len(w_paths))
+        ) from orig
+    for (kp, w_leaf), g_leaf in zip(w_paths, g_leaves):
+        if np.shape(w_leaf) != np.shape(g_leaf):
+            raise ValueError(
+                "checkpoint %s%s has shape %s but the expected state has "
+                "%s — different architecture/config?"
+                % (path, _keystr(kp), np.shape(g_leaf), np.shape(w_leaf))
+            ) from orig
+    raise orig
+
+
 def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
     """Restore a train-state pytree; template supplies structure/shapes.
 
@@ -79,7 +112,10 @@ def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
                         "(different FLOATX/COMPUTE_DTYPE config?)"
                         % (path, key, g_dtype, w_dtype))
     else:
-        state = ckptr.restore(path, template)
+        try:
+            state = ckptr.restore(path, template)
+        except Exception as e:  # noqa: BLE001 — diagnose, then re-raise
+            _raise_mismatch(path, template, ckptr, e)
     # counters round-trip as 0-d arrays; hand back python ints so consumers
     # (JSONL metrics writer, epoch arithmetic) see the template's types
     for key in ("step", "epoch"):
