@@ -879,6 +879,33 @@ class DprnnEncoder(Encoder):
             n_blocks, 2, -1) if (rng is not None and keep < 1.0) else
             [None] * n_blocks)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
+        n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+        if n_seq > 1:
+            # trainer-reachable sequence parallelism — EXACT for the
+            # non-overlapping DPRNN: segments shard over 'seq' (the intra
+            # path is segment-local) and the inter-chunk scan re-shards
+            # positionwise via all_to_all (seq_parallel.dprnn_stack_sp)
+            if hop != p:
+                raise ValueError(
+                    "MESH_SEQ>1 with dprnn-v1 requires DPRNN_HOP == "
+                    "DPRNN_CHUNK (non-overlapping segments; exact SP); "
+                    "got hop=%d P=%d" % (hop, p))
+            from danet_tpu.parallel import active_mesh
+            from danet_tpu.parallel.seq_parallel import dprnn_stack_sp
+            mesh = active_mesh()
+            if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
+                raise ValueError(
+                    "MESH_SEQ=%d but the active mesh has no matching "
+                    "'seq' axis (%r) — build the Trainer mesh via "
+                    "mesh_from_hparams" % (n_seq, dict(mesh.shape)))
+            body = {k: v for k, v in params.items() if k != "output"}
+            merged = dprnn_stack_sp(
+                body, x, mesh, p, n_blocks, inter_causal,
+                backend=backend,
+                drop_keys=(list(jax.random.split(rng, n_blocks))
+                           if (rng is not None and keep < 1.0) else None),
+                keep_prob=keep)
+            return _LstmHead.apply(params["output"], hp, merged)
         h = nn.linear_apply(params["bottleneck"], x)
         p_eff = min(p, h.shape[1])
         chunks, seg_info = self._segment(

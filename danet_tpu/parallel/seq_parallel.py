@@ -316,3 +316,116 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
         return y
 
     return run(params_list, x, keys_in)
+
+
+def dprnn_stack_sp(params, x, mesh, p: int, n_blocks: int,
+                   inter_causal: bool, backend: str = "auto",
+                   seq_axis: str = "seq", data_axis: str = "data",
+                   drop_keys=None, keep_prob: float = 1.0):
+    """EXACT sequence-parallel dual-path RNN stack (dprnn-v1 encoder
+    with DPRNN_HOP == DPRNN_CHUNK, i.e. non-overlapping segments).
+
+    Two structural facts make DPRNN sequence parallelism exact with no
+    halos and no approximation:
+
+      * the intra-chunk BiLSTM touches only frames INSIDE one P-frame
+        segment — segments shard cleanly over the seq axis;
+      * the inter-chunk RNN is INDEPENDENT across intra positions — so a
+        Ulysses-style ``all_to_all`` re-shards [B, S_local, P, D] into
+        [B, S, P_local, D], the inter scan runs over the FULL segment
+        axis locally on 1/s of the positions, and a second all_to_all
+        restores segment sharding.
+
+    Comms: two all-to-alls per block over the ICI.  Requires
+    T % (P * s) == 0 (whole segments per device) and P % s == 0 (the
+    position split).
+
+    Args:
+        params: {"bottleneck": linear, "block{i}": dual-path block dicts}
+            (the DprnnEncoder param tree minus the output head)
+        x: GLOBAL centered input [B, T, F]
+        p: DPRNN_CHUNK (= DPRNN_HOP) segment length in frames
+        inter_causal: unidirectional inter-chunk LSTM (the online variant)
+        drop_keys: optional per-block (intra_key, inter_key) pairs; masks
+            are decorrelated across mesh positions
+    Returns:
+        hidden [B, T, D] (global, T-sharded internally); apply the output
+        head outside (pointwise — GSPMD handles its global mean).
+    """
+    from danet_tpu.ops import nn
+    s = mesh.shape[seq_axis]
+    b, t, _ = x.shape
+    assert t % (p * s) == 0, (
+        "T=%d must split into whole %d-frame segments per seq-axis "
+        "device (s=%d): pick MAX_TRAIN_LEN / TIME_BUCKET so that "
+        "T %% (DPRNN_CHUNK * MESH_SEQ) == 0" % (t, p, s))
+    assert p % s == 0, (
+        "DPRNN_CHUNK=%d must divide by MESH_SEQ=%d (the inter-chunk "
+        "all_to_all splits the position axis)" % (p, s))
+    d_axis = _mesh_data_axis(mesh, b, data_axis)
+    x_spec = P(d_axis, seq_axis, None)
+    if drop_keys is None:
+        drop_keys = [None] * n_blocks
+    key_mask = [k is not None for k in drop_keys]
+    keys_in = [k for k in drop_keys if k is not None]
+
+    def _ln(pp, v):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        var = jnp.var(v, axis=-1, keepdims=True)
+        vn = (v - mu) * jax.lax.rsqrt(var + 1e-6)
+        return vn * pp["g"].astype(v.dtype) + pp["b"].astype(v.dtype)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), x_spec, P()),
+        out_specs=x_spec)
+    def run(params, x_loc, keys_in):
+        coord = jax.lax.axis_index(seq_axis)
+        if d_axis is not None:
+            coord = coord * jax.lax.psum(1, d_axis) \
+                + jax.lax.axis_index(d_axis)
+        kiter = iter(keys_in)
+        h = nn.linear_apply(params["bottleneck"], x_loc)
+        bl, d = h.shape[0], h.shape[-1]
+        s_loc = h.shape[1] // p
+        chunks = h.reshape(bl, s_loc, p, d)
+        for i in range(n_blocks):
+            blk = params[f"block{i}"]
+            dkey = (jax.random.split(
+                jax.random.fold_in(next(kiter), coord))
+                if key_mask[i] else None)
+            # intra-chunk path: segment-local, exact under the sharding
+            y = rnn.bilstm_apply(
+                blk["intra"], chunks.reshape(bl * s_loc, p, d), "tanh",
+                backend=backend)
+            y = nn.linear_apply(blk["intra_proj"], y).reshape(
+                bl, s_loc, p, d)
+            y = _ln(blk["intra_ln"], y)
+            if dkey is not None:
+                y = nn.dropout(dkey[0], y, keep_prob)
+            chunks = chunks + y
+            # inter-chunk path: all_to_all to position sharding, full-S
+            # scan on local positions, all_to_all back
+            yp = jax.lax.all_to_all(
+                chunks, seq_axis, split_axis=2, concat_axis=1, tiled=True)
+            s_glob, p_loc = yp.shape[1], yp.shape[2]
+            yq = jnp.transpose(yp, (0, 2, 1, 3)).reshape(
+                bl * p_loc, s_glob, d)
+            if inter_causal:
+                yq = rnn.lstm_apply(blk["inter"], yq, "tanh",
+                                    backend=backend)
+            else:
+                yq = rnn.bilstm_apply(blk["inter"], yq, "tanh",
+                                      backend=backend)
+            yq = nn.linear_apply(blk["inter_proj"], yq)
+            yq = jnp.transpose(
+                yq.reshape(bl, p_loc, s_glob, d), (0, 2, 1, 3))
+            yq = jax.lax.all_to_all(
+                yq, seq_axis, split_axis=1, concat_axis=2, tiled=True)
+            y = _ln(blk["inter_ln"], yq)
+            if dkey is not None:
+                y = nn.dropout(dkey[1], y, keep_prob)
+            chunks = chunks + y
+        return chunks.reshape(bl, s_loc * p, d)
+
+    return run(params, x, keys_in)

@@ -852,6 +852,87 @@ def test_tcn_stack_sp_exact(fresh_hparams, causal):
     np.testing.assert_allclose(sp, dense, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("inter_causal", [False, True])
+def test_dprnn_stack_sp_exact(fresh_hparams, inter_causal):
+    """Sequence-parallel DPRNN == dense DPRNN EXACTLY (non-overlapping
+    segments shard cleanly; the inter-chunk scan re-shards positionwise
+    via all_to_all — no halos, no approximation)."""
+    from jax.sharding import Mesh
+    from danet_tpu.models.encoders import _LstmHead
+    from danet_tpu.parallel.seq_parallel import dprnn_stack_sp
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "dprnn-v1"
+    hp.DPRNN_DIM = 16
+    hp.DPRNN_HIDDEN = 12
+    hp.DPRNN_CHUNK = 8
+    hp.DPRNN_HOP = 8
+    hp.DPRNN_BLOCKS = 2
+    hp.DPRNN_INTER_CAUSAL = inter_causal
+    hp.digest()
+    enc = hp.get_encoder()(hp, "e")
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(1).randn(
+        2, 64, hp.FEATURE_SIZE).astype(np.float32))
+    dense = np.asarray(enc.apply(params, x))
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("seq",))
+    xc = x - jnp.mean(x, axis=(1, 2), keepdims=True)
+    body = {k: v for k, v in params.items() if k != "output"}
+    h = dprnn_stack_sp(body, xc, mesh, 8, 2, inter_causal)
+    sp = np.asarray(_LstmHead.apply(params["output"], hp, h))
+    np.testing.assert_allclose(sp, dense, atol=5e-5, rtol=1e-4)
+
+
+def test_trainer_seq_parallel_dprnn_step(fresh_hparams):
+    """A Trainer train step with MESH_SEQ=2 (dp=2 x sp=2, dprnn-v1)
+    matches the single-device step numerically; overlapping-segment
+    configs are rejected up front."""
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "dprnn-v1"
+    hp.DPRNN_DIM = 16
+    hp.DPRNN_HIDDEN = 12
+    hp.DPRNN_CHUNK = 8
+    hp.DPRNN_HOP = 8
+    hp.DPRNN_BLOCKS = 2
+    hp.BATCH_SIZE = 4
+    hp.DROPOUT_KEEP_PROB = 1.0
+    hp.digest()
+    rngnp = np.random.RandomState(0)
+    flat = rngnp.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 16,
+                      hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    def one_step(n_seq, n_data):
+        hp.MESH_SEQ, hp.MESH_DATA = n_seq, n_data
+        trainer = Trainer(DaNet(), name="spd%d" % n_seq)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        src = trainer._put_batch(batch)
+        state["params"], state["opt_state"], m = trainer._train_step(
+            state["params"], state["opt_state"], src, jax.random.PRNGKey(1))
+        return float(m["loss"]), jax.device_get(state["params"])
+
+    loss_sp, params_sp = one_step(2, 2)
+    loss_ref, params_ref = one_step(1, 1)
+    np.testing.assert_allclose(loss_sp, loss_ref, rtol=1e-5)
+    # atol 2e-4: Adam's g/(sqrt(g^2)+eps) at step 1 amplifies the f32
+    # reduction-order noise the all_to_all introduces in the head grad
+    for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                    jax.tree_util.tree_leaves(params_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)
+    # overlapping segments (the offline default hop=P//2) cannot SP
+    hp.MESH_SEQ, hp.MESH_DATA = 2, 2
+    hp.DPRNN_HOP = 4
+    trainer = Trainer(DaNet(), name="spd_bad")
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="DPRNN_HOP == DPRNN_CHUNK"):
+        trainer._train_step(state["params"], state["opt_state"],
+                            trainer._put_batch(batch), jax.random.PRNGKey(1))
+
+
 def test_trainer_seq_parallel_tcn_step(fresh_hparams):
     """A Trainer train step with MESH_SEQ=2 (dp=2 x sp=2, tcn-v1) matches
     the single-device step numerically — conv SP is exact."""
