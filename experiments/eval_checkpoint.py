@@ -36,6 +36,10 @@ def main():
                     help="skip the BSS-eval solve (faster)")
     ap.add_argument("--kmeans-iter", type=int, default=None,
                     help="override KMEANS_ITER for the kmeans estimator")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="extra hparam overrides (JSON-typed values); must "
+                         "match the training run's architecture overrides")
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
@@ -50,6 +54,14 @@ def main():
     hparams.EVAL_SDR = not args.no_sdr
     if args.kmeans_iter is not None:
         hparams.KMEANS_ITER = args.kmeans_iter
+    import json as _json
+    for kv in args.overrides:
+        key, _, val = kv.partition("=")
+        try:
+            val = _json.loads(val)
+        except ValueError:
+            pass  # bare string value
+        setattr(hparams, key, val)
     hparams.digest()
 
     from danet_tpu.models import DaNet

@@ -49,6 +49,11 @@ def main():
                     help="inference estimator (anchor, kmeans); with "
                          "ANCHOR_AUX_LOSS the aux gradient flows through "
                          "it (kmeans = unrolled k-means training)")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VALUE", dest="overrides",
+                    help="extra hparam overrides (JSON-typed values), "
+                         "e.g. --set TCN_BLOCKS=5 — applied last, before "
+                         "digest")
     args = ap.parse_args()
 
     repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
@@ -68,6 +73,14 @@ def main():
     hparams.SYNTH_BATCHES = args.batches
     hparams.METRICS_EVERY = 10
     hparams.SUMMARY_TITLE = "synth extended"
+    import json as _json
+    for kv in args.overrides:
+        key, _, val = kv.partition("=")
+        try:
+            val = _json.loads(val)
+        except ValueError:
+            pass  # bare string value
+        setattr(hparams, key, val)
     hparams.digest()
 
     from danet_tpu.models import DaNet
