@@ -199,19 +199,35 @@ def test_export_kmeans_inference_estimator(tmp_path):
                                rtol=1e-5, atol=1e-6)
 
 
-def test_export_streamer_roundtrip(tmp_path):
+def _small_causal_config(encoder: str) -> None:
+    if encoder == "tcn-v1":
+        hparams.ENCODER_TYPE = "tcn-v1"
+        hparams.TCN_CAUSAL = True
+        hparams.TCN_DIM = 16
+        hparams.TCN_HIDDEN = 24
+        hparams.TCN_BLOCKS = 2
+        hparams.TCN_REPEATS = 1
+    else:
+        hparams.ENCODER_TYPE = "dprnn-v1"
+        hparams.DPRNN_DIM = 16
+        hparams.DPRNN_HIDDEN = 12
+        hparams.DPRNN_CHUNK = 4
+        hparams.DPRNN_HOP = 4
+        hparams.DPRNN_BLOCKS = 2
+        hparams.DPRNN_INTER_CAUSAL = True
+
+
+@pytest.mark.parametrize("encoder", ["tcn-v1", "dprnn-v1"])
+def test_export_streamer_roundtrip(tmp_path, encoder):
     """Streaming artifact: warmup+step programs reproduce the live
-    stream_init/stream_step pipeline exactly, state threading included."""
+    stream_init/stream_step pipeline exactly, state threading included
+    (conv-tail buffers for the causal TCN, per-position inter-chunk
+    carries for the online DPRNN)."""
     import danet_tpu  # noqa: F401
     from danet_tpu.models import DaNet
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hparams.load_json(os.path.join(repo, "default.json"))
-    hparams.ENCODER_TYPE = "tcn-v1"
-    hparams.TCN_CAUSAL = True
-    hparams.TCN_DIM = 16
-    hparams.TCN_HIDDEN = 24
-    hparams.TCN_BLOCKS = 2
-    hparams.TCN_REPEATS = 1
+    _small_causal_config(encoder)
     hparams.BATCH_SIZE = 1
     hparams.digest()
     model = DaNet()
