@@ -442,6 +442,13 @@ def test_effective_bucket_seq_alignment(fresh_hparams):
     assert effective_bucket(hp) == 8     # unbucketed -> pad to n_seq
     hp.MESH_SEQ = 1
     assert effective_bucket(hp) is None
+    # segment-granular encoder: pad unit widens to DPRNN_CHUNK * MESH_SEQ
+    hp.ENCODER_TYPE = "dprnn-v1"
+    hp.DPRNN_CHUNK = 8
+    hp.MESH_SEQ, hp.TIME_BUCKET = 2, 12
+    assert effective_bucket(hp) == 48    # lcm(12, 8*2)
+    hp.TIME_BUCKET = None
+    assert effective_bucket(hp) == 16    # unbucketed -> P * n_seq
 
 
 def test_trainer_seq_parallel_attention_step(fresh_hparams):
