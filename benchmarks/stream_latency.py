@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 CONFIGS = {
     "lstm-orig": {},
+    "gru-v1": {},
     "tcn-v1": {"TCN_CAUSAL": True},
     "dprnn-v1": {"DPRNN_INTER_CAUSAL": True, "DPRNN_HOP": 64,
                  "DPRNN_CHUNK": 64},
@@ -40,6 +41,8 @@ def bench_encoder(encoder: str, overrides: dict, chunk_frames: int,
 
     hparams.load_json(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "default.json"))
+    # default.json carries every CONFIGS key, so reloading it resets any
+    # override a previous encoder's bench applied to the shared singleton
     hparams.ENCODER_TYPE = encoder
     hparams.BATCH_SIZE = 1
     for k, v in overrides.items():
@@ -86,7 +89,10 @@ def main():
     ap.add_argument("--encoders", default=",".join(CONFIGS))
     args = ap.parse_args()
     for enc in args.encoders.split(","):
-        bench_encoder(enc, CONFIGS[enc], args.chunk_frames, args.chunks)
+        enc = enc.strip()
+        if enc:
+            bench_encoder(enc, CONFIGS.get(enc, {}), args.chunk_frames,
+                          args.chunks)
 
 
 if __name__ == "__main__":

@@ -157,4 +157,30 @@ class Hyperparameter:
             self.DATASET_TYPE if name is None else name]
 
 
+def apply_overrides(hp, pairs) -> None:
+    """Apply CLI ``--set KEY=VALUE`` overrides (shared by the experiment
+    drivers so training and eval parse overrides identically).
+
+    Values are JSON-typed (``--set TCN_BLOCKS=5`` -> int 5,
+    ``--set TCN_CAUSAL=true`` -> bool) with a bare-string fallback.
+    A missing '=' is an error; a key the loaded config does not already
+    carry gets a loud stderr warning (likely a typo — a misspelled
+    architecture override would otherwise silently train the default
+    architecture, since encoders getattr their dims with defaults)."""
+    import sys as _sys
+    for kv in pairs:
+        key, eq, val = kv.partition("=")
+        if not eq:
+            raise ValueError(
+                "--set expects KEY=VALUE, got %r" % (kv,))
+        try:
+            val = json.loads(val)
+        except ValueError:
+            pass  # bare string value
+        if not hasattr(hp, key):
+            print("WARNING: --set %s: key not present in the loaded "
+                  "config (new key, or a typo?)" % key, file=_sys.stderr)
+        hp.load({key: val})
+
+
 hparams = Hyperparameter()

@@ -43,6 +43,14 @@ class Encoder(ModelModule):
     def apply(self, params, log_spectra, train=False, rng=None, tap=None):
         raise NotImplementedError()
 
+    def sp_granularity(self) -> int:
+        """Frame multiple the T axis must pad to under sequence
+        parallelism (MESH_SEQ > 1), PER DEVICE CHUNK.  Segment-granular
+        encoders override this (dprnn-v1 returns DPRNN_CHUNK) so the
+        trainer's time-bucket padding (train/trainer.py::effective_bucket)
+        sizes batches correctly without hardcoding encoder defaults."""
+        return 1
+
     def apply_debug(self, params, log_spectra):
         """(embed, fetches): forward pass + dict of internal activations
         for the debug-mode .mat dump (reference main.py:387-397).

@@ -347,10 +347,7 @@ class AttentionEncoder(Encoder):
 
     @staticmethod
     def _ln(p, x):
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        xn = (x - mu) * jax.lax.rsqrt(var + 1e-6)
-        return xn * p["g"].astype(x.dtype) + p["b"].astype(x.dtype)
+        return nn.layer_norm(p, x)
 
     @staticmethod
     def _posenc(t, d, dtype):
@@ -761,7 +758,9 @@ class DprnnEncoder(Encoder):
     causal at segment granularity and DaNet.separate_stream streams it
     EXACTLY: the per-position inter-chunk (c, h) state is carried across
     stream chunks, so chunked online inference reproduces the offline
-    forward bit-for-bit at one-segment latency.
+    forward at one-segment latency (exactly on the XLA scan path that
+    streaming pins; the offline 'auto' backend may pick the fused Pallas
+    kernels, which differ at floating-point rounding level).
     Config: DPRNN_DIM (D), DPRNN_HIDDEN (H per direction), DPRNN_CHUNK
     (P), DPRNN_HOP (segment hop, default P//2), DPRNN_BLOCKS (R),
     DPRNN_INTER_CAUSAL.
@@ -919,6 +918,10 @@ class DprnnEncoder(Encoder):
         merged = self._merge(chunks, seg_info)
         return _LstmHead.apply(params["output"], hp, merged)
 
+    def sp_granularity(self) -> int:
+        """Sequence parallelism shards whole DPRNN_CHUNK segments."""
+        return self._dims()[2]
+
     # --- causal streaming hooks (DaNet.separate_stream) -----------------
     def stream_granularity(self) -> int:
         """Streaming advances in whole segments: chunk/warmup sizes must
@@ -941,7 +944,8 @@ class DprnnEncoder(Encoder):
         """Pre-centered chunk [B, Tc, F] (Tc a multiple of DPRNN_CHUNK)
         -> (merged hidden [B, Tc, D], new inter-chunk carries).  Exact
         continuation: back-to-back chunks reproduce the offline
-        non-overlapping causal forward bit-for-bit."""
+        non-overlapping causal forward (bit-for-bit on the XLA scan
+        path this method pins; see the class docstring)."""
         d, _, p, _, n_blocks, _ = self._dims()
         b, tc = x.shape[0], x.shape[1]
         if tc % p:

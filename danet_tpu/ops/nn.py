@@ -60,6 +60,19 @@ def linear_apply(params, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def layer_norm(params, x: jnp.ndarray) -> jnp.ndarray:
+    """LayerNorm over the trailing axis with {'g','b'} params.
+
+    THE shared definition (epsilon included) for the attention/TCN/DPRNN
+    blocks AND their sequence-parallel counterparts in
+    parallel/seq_parallel.py — the SP-vs-dense EXACT parity guarantees
+    depend on both paths using identical math."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+    return xn * params["g"].astype(x.dtype) + params["b"].astype(x.dtype)
+
+
 def leaky_relu(x: jnp.ndarray, alpha: float = 0.0) -> jnp.ndarray:
     """max(x*alpha, x) — reference ops.py:93-107."""
     if alpha == 0.0:

@@ -191,11 +191,7 @@ def tcn_stack_sp(params, x, mesh, dilations, kernel: int, causal: bool,
     key_mask = [k is not None for k in drop_keys]
     keys_in = [k for k in drop_keys if k is not None]
 
-    def _ln(p, v):
-        mu = jnp.mean(v, axis=-1, keepdims=True)
-        var = jnp.var(v, axis=-1, keepdims=True)
-        vn = (v - mu) * jax.lax.rsqrt(var + 1e-6)
-        return vn * p["g"].astype(v.dtype) + p["b"].astype(v.dtype)
+    from danet_tpu.ops.nn import layer_norm as _ln
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -369,11 +365,7 @@ def dprnn_stack_sp(params, x, mesh, p: int, n_blocks: int,
     key_mask = [k is not None for k in drop_keys]
     keys_in = [k for k in drop_keys if k is not None]
 
-    def _ln(pp, v):
-        mu = jnp.mean(v, axis=-1, keepdims=True)
-        var = jnp.var(v, axis=-1, keepdims=True)
-        vn = (v - mu) * jax.lax.rsqrt(var + 1e-6)
-        return vn * pp["g"].astype(v.dtype) + pp["b"].astype(v.dtype)
+    from danet_tpu.ops.nn import layer_norm as _ln
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -116,17 +116,19 @@ def effective_bucket(hp):
     """TIME_BUCKET adjusted for sequence parallelism: under MESH_SEQ > 1
     every padded T must divide over the 'seq' axis, so the bucket rounds
     up to lcm(TIME_BUCKET, MESH_SEQ) (or just MESH_SEQ when unbucketed).
-    Segment-granular encoders widen the unit further: the dprnn-v1 SP
-    scheme shards whole DPRNN_CHUNK segments per device, so the bucket
-    must divide by DPRNN_CHUNK * MESH_SEQ."""
+    Segment-granular encoders widen the unit further via the
+    Encoder.sp_granularity hook (e.g. dprnn-v1 SP shards whole
+    DPRNN_CHUNK segments per device, so the bucket must divide by
+    DPRNN_CHUNK * MESH_SEQ)."""
     bucket = getattr(hp, "TIME_BUCKET", None)
     n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
     if n_seq > 1:
         from math import gcd
-        unit = n_seq
-        if str(getattr(hp, "ENCODER_TYPE", "")) == "dprnn-v1":
-            p = int(getattr(hp, "DPRNN_CHUNK", None) or 64)
-            unit = p * n_seq
+        try:
+            g = int(hp.get_encoder()(hp, "bucket_probe").sp_granularity())
+        except Exception:
+            g = 1  # unregistered/misconfigured encoder: fail later, loudly
+        unit = max(g, 1) * n_seq
         b = int(bucket or 1)
         bucket = b * unit // gcd(b, unit)
     return bucket

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import jax  # noqa: E402
 
+from danet_tpu.hparams import apply_overrides  # noqa: E402
 from danet_tpu.hparams import hparams  # noqa: E402
 import danet_tpu  # noqa: F401,E402 (populates registries)
 
@@ -54,14 +55,7 @@ def main():
     hparams.EVAL_SDR = not args.no_sdr
     if args.kmeans_iter is not None:
         hparams.KMEANS_ITER = args.kmeans_iter
-    import json as _json
-    for kv in args.overrides:
-        key, _, val = kv.partition("=")
-        try:
-            val = _json.loads(val)
-        except ValueError:
-            pass  # bare string value
-        setattr(hparams, key, val)
+    apply_overrides(hparams, args.overrides)
     hparams.digest()
 
     from danet_tpu.models import DaNet

@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import jax  # noqa: E402
 
+from danet_tpu.hparams import apply_overrides  # noqa: E402
 from danet_tpu.hparams import hparams  # noqa: E402
 import danet_tpu  # noqa: F401,E402 (populates registries)
 
@@ -73,14 +74,7 @@ def main():
     hparams.SYNTH_BATCHES = args.batches
     hparams.METRICS_EVERY = 10
     hparams.SUMMARY_TITLE = "synth extended"
-    import json as _json
-    for kv in args.overrides:
-        key, _, val = kv.partition("=")
-        try:
-            val = _json.loads(val)
-        except ValueError:
-            pass  # bare string value
-        setattr(hparams, key, val)
+    apply_overrides(hparams, args.overrides)
     hparams.digest()
 
     from danet_tpu.models import DaNet
