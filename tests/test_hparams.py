@@ -70,3 +70,21 @@ def test_custom_registration(fresh_hparams):
 
     assert fresh_hparams.get_encoder("test-custom-enc") is MyEnc
     del Hyperparameter.encoder_registry["test-custom-enc"]
+
+
+def test_apply_overrides(fresh_hparams, capsys):
+    """CLI --set plumbing: JSON typing, missing '=' rejected, unknown
+    keys warn, key-regex/scalar validation still applies."""
+    from danet_tpu.hparams import apply_overrides
+    hp = fresh_hparams
+    apply_overrides(hp, ["TCN_BLOCKS=5", "TCN_CAUSAL=true",
+                         "SUMMARY_TITLE=plain string"])
+    assert hp.TCN_BLOCKS == 5 and hp.TCN_CAUSAL is True
+    assert hp.SUMMARY_TITLE == "plain string"
+    with pytest.raises(ValueError, match="KEY=VALUE"):
+        apply_overrides(hp, ["TCN_BLOCKS"])
+    with pytest.raises(NameError):          # key regex (lowercase)
+        apply_overrides(hp, ["tcn_blocks=5"])
+    capsys.readouterr()
+    apply_overrides(hp, ["TCN_BLOCK=5"])    # typo'd key: loud warning
+    assert "TCN_BLOCK" in capsys.readouterr().err
