@@ -33,6 +33,19 @@ def adam_ozer(learn_rate, grad_clip=None, **kwargs):
     return _with_clip_and_lr(optax.adam, learn_rate, grad_clip)
 
 
+@hparams.register_optimizer("adamw")
+def adamw_ozer(learn_rate, grad_clip=None, **kwargs):
+    """Adam with decoupled weight decay (not in the reference — its
+    REG_TYPE L2 regularizer was inert; WEIGHT_DECAY is the modern
+    production equivalent, default 1e-4)."""
+    wd = float(getattr(hparams, "WEIGHT_DECAY", None) or 1e-4)
+
+    def factory(learning_rate):
+        return optax.adamw(learning_rate, weight_decay=wd)
+
+    return _with_clip_and_lr(factory, learn_rate, grad_clip)
+
+
 def make_optimizer(hp=None):
     """Build the configured optimizer with the reference's clip semantics."""
     hp = hp if hp is not None else hparams

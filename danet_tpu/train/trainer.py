@@ -394,6 +394,7 @@ class Trainer:
             print("Set learning rate to %f" % lr)
         else:
             print("Learning rate: %f" % self.get_learn_rate(state))
+        base_lr = self.get_learn_rate(state)  # cosine anneals from here
         bucket = effective_bucket(hp)
 
         # device profiling (absent in the reference — SURVEY.md §5): trace
@@ -502,6 +503,16 @@ class Trainer:
                     best_loss_time += 1
             elif hp.LR_DECAY_TYPE == "fixed":
                 best_loss_time += 1
+            elif hp.LR_DECAY_TYPE == "cosine":
+                # cosine anneal over THIS invocation's epochs, from the
+                # entry LR down to LR * LR_DECAY (not in the reference;
+                # the production-standard schedule for fixed-length runs)
+                import math
+                frac = (epoch - epoch0 + 1) / max(n_epoch, 1)
+                floor_lr = base_lr * hp.LR_DECAY
+                new_lr = floor_lr + 0.5 * (base_lr - floor_lr) * (
+                    1.0 + math.cos(math.pi * min(frac, 1.0)))
+                self.set_learn_rate(state, new_lr)
             elif hp.LR_DECAY_TYPE is None:
                 pass
             else:
