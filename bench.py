@@ -16,7 +16,6 @@ re-measure; the committed constant below is from that measurement).
 """
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time

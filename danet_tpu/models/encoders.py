@@ -40,6 +40,27 @@ def _maybe_remat(hp, fn):
     return jax.checkpoint(fn) if getattr(hp, "REMAT", False) else fn
 
 
+def _route_mesh(axis: str, n: int):
+    """The active mesh when it carries ``axis`` at size ``n``, else None.
+
+    Model code engages a MESH_* strategy only when the active mesh
+    actually provides the axis.  The Trainer builds its mesh via
+    mesh_from_hparams (which always carries the configured axes), so
+    training routes as configured — and DaNet._check_parallel_support
+    still rejects encoders that cannot route a configured strategy at
+    all.  Inference surfaces on a smaller host (demo, serving export,
+    separate_wav) run the SAME training config densely instead of
+    demanding the multi-device training mesh."""
+    from danet_tpu.parallel import active_mesh
+    try:
+        mesh = active_mesh()
+    except Exception:
+        return None  # e.g. mesh_from_hparams on a host with too few devices
+    if axis in mesh.shape and mesh.shape[axis] == n:
+        return mesh
+    return None
+
+
 @hparams.register_encoder("toy")
 class ToyEncoder(Encoder):
     """3-layer MLP for debugging (reference modules.py:96-116)."""
@@ -179,20 +200,23 @@ class BiLstmEncoder(Encoder):
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         n_pipe = int(getattr(hp, "MESH_PIPE", 1) or 1)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
-        if n_pipe > 1:
+        pipe_mesh = _route_mesh("pipe", n_pipe) if n_pipe > 1 else None
+        seq_mesh = (_route_mesh("seq", n_seq)
+                    if n_seq > 1 and pipe_mesh is None else None)
+        if pipe_mesh is not None:
             # trainer-reachable pipeline parallelism: the stack runs
             # GPipe-microbatched over the mesh's 'pipe' axis (exact +
             # differentiable; parallel/pipeline.py)
             x = self._apply_pipelined(
-                params, x, n_pipe, act, keep,
+                params, x, pipe_mesh, n_pipe, act, keep,
                 rng if (rng is not None and keep < 1.0) else None)
-        elif n_seq > 1:
+        elif seq_mesh is not None:
             # trainer-reachable sequence parallelism: chunked scans with
             # halo state warmup over the mesh's 'seq' axis (differentiable;
             # boundary-approximate with halo-decaying error;
             # parallel/seq_parallel.py)
             x = self._apply_sp(
-                params, x, n_seq, act, keep,
+                params, x, seq_mesh, n_seq, act, keep,
                 rng if (rng is not None and keep < 1.0) else None)
         else:
             drop_keys = (jax.random.split(rng, self.N_LAYERS)
@@ -240,16 +264,9 @@ class BiLstmEncoder(Encoder):
             n *= mesh.shape.get(a, 1)
         return mesh if batch % n == 0 else None
 
-    def _apply_sp(self, params, x, n_seq, act, keep, rng):
-        from danet_tpu.parallel import active_mesh
+    def _apply_sp(self, params, x, mesh, n_seq, act, keep, rng):
         from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
         hp = self.hp
-        mesh = active_mesh()
-        if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
-            raise ValueError(
-                "MESH_SEQ=%d but the active mesh has no matching 'seq' "
-                "axis (%r) — build the Trainer mesh via mesh_from_hparams"
-                % (n_seq, dict(mesh.shape)))
         t = x.shape[1]
         if t % n_seq:
             raise ValueError(
@@ -261,18 +278,12 @@ class BiLstmEncoder(Encoder):
                      if rng is not None else None)
         return bilstm_stack_sp(
             layers, x, mesh, halo=halo, candidate_activation=act,
-            backend=_backend(hp), drop_keys=drop_keys, keep_prob=keep)
+            backend=_backend(hp), drop_keys=drop_keys, keep_prob=keep,
+            remat=bool(getattr(hp, "REMAT", False)))
 
-    def _apply_pipelined(self, params, x, n_pipe, act, keep, rng):
-        from danet_tpu.parallel import active_mesh
+    def _apply_pipelined(self, params, x, mesh, n_pipe, act, keep, rng):
         from danet_tpu.parallel.pipeline import bilstm_stack_pipelined
         hp = self.hp
-        mesh = active_mesh()
-        if "pipe" not in mesh.shape or mesh.shape["pipe"] != n_pipe:
-            raise ValueError(
-                "MESH_PIPE=%d but the active mesh has no matching 'pipe' "
-                "axis (%r) — build the Trainer mesh via mesh_from_hparams"
-                % (n_pipe, dict(mesh.shape)))
         layers = [params[f"lstm{i}"] for i in range(self.N_LAYERS)]
         b = x.shape[0]
         n_micro = int(getattr(hp, "PIPE_MICROBATCHES", 0) or 0)
@@ -284,7 +295,8 @@ class BiLstmEncoder(Encoder):
                 n_micro -= 1
         return bilstm_stack_pipelined(
             layers, x, mesh, n_micro=n_micro, candidate_activation=act,
-            backend=_backend(hp), dropout_rng=rng, keep_prob=keep)
+            backend=_backend(hp), dropout_rng=rng, keep_prob=keep,
+            remat=bool(getattr(hp, "REMAT", False)))
 
 
 @hparams.register_encoder("attn-v1")
@@ -370,14 +382,7 @@ class AttentionEncoder(Encoder):
         attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         return nn.ee("bhqk,bkhd->bqhd", attn, v)
 
-    def _sp_attn_fn(self, n_seq):
-        from danet_tpu.parallel import active_mesh
-        mesh = active_mesh()
-        if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
-            raise ValueError(
-                "MESH_SEQ=%d but the active mesh has no matching 'seq' "
-                "axis (%r) — build the Trainer mesh via mesh_from_hparams"
-                % (n_seq, dict(mesh.shape)))
+    def _sp_attn_fn(self, mesh):
         kind = str(getattr(self.hp, "SP_ATTN", None) or "ring")
         if kind == "ulysses":
             from danet_tpu.parallel.ulysses import (
@@ -404,12 +409,14 @@ class AttentionEncoder(Encoder):
                      if (rng is not None and keep < 1.0) else
                      [None] * n_layers)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
-        if attn_fn is None and n_seq > 1:
+        seq_mesh = (_route_mesh("seq", n_seq)
+                    if attn_fn is None and n_seq > 1 else None)
+        if seq_mesh is not None:
             # trainer-reachable sequence parallelism: EXACT T-sharded
             # attention over the mesh's 'seq' axis; SP_ATTN picks the
             # collective pattern ('ring' K/V rotation or 'ulysses'
             # all-to-all head sharding)
-            attn_fn = self._sp_attn_fn(n_seq)
+            attn_fn = self._sp_attn_fn(seq_mesh)
         elif attn_fn is None:
             # ATTN_BACKEND: dense einsum attention, or the Pallas flash
             # kernel for block-aligned long sequences on TPU
@@ -478,17 +485,12 @@ class MoEAttentionEncoder(AttentionEncoder):
     def _mlp(self, blk, y):
         from danet_tpu.parallel.expert import moe_mlp, moe_mlp_ep
         n_ep = int(getattr(self.hp, "MESH_EXPERT", 1) or 1)
-        if n_ep > 1:
+        mesh = _route_mesh("expert", n_ep) if n_ep > 1 else None
+        if mesh is not None:
             # trainer-reachable expert parallelism: expert groups shard
             # one-per-device over the mesh's 'expert' axis (exact,
-            # all-to-all-free; parallel/expert.py)
-            from danet_tpu.parallel import active_mesh
-            mesh = active_mesh()
-            if "expert" not in mesh.shape or mesh.shape["expert"] != n_ep:
-                raise ValueError(
-                    "MESH_EXPERT=%d but the active mesh has no matching "
-                    "'expert' axis (%r) — build the Trainer mesh via "
-                    "mesh_from_hparams" % (n_ep, dict(mesh.shape)))
+            # all-to-all-free; parallel/expert.py); dense dispatch when
+            # the active mesh has no expert axis (inference hosts)
             return moe_mlp_ep(blk["moe"], y, mesh)
         return moe_mlp(blk["moe"], y)
 
@@ -522,16 +524,12 @@ class GruEncoder(Encoder):
         hp = self.hp
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
-        if n_seq > 1:
+        mesh = _route_mesh("seq", n_seq) if n_seq > 1 else None
+        if mesh is not None:
             # trainer-reachable sequence parallelism (halo scheme,
-            # parallel/seq_parallel.gru_stack_sp)
-            from danet_tpu.parallel import active_mesh
+            # parallel/seq_parallel.gru_stack_sp); dense on meshes
+            # without a seq axis (inference hosts)
             from danet_tpu.parallel.seq_parallel import gru_stack_sp
-            mesh = active_mesh()
-            if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
-                raise ValueError(
-                    "MESH_SEQ=%d but the active mesh has no matching "
-                    "'seq' axis (%r)" % (n_seq, dict(mesh.shape)))
             t = x.shape[1]
             if t % n_seq:
                 raise ValueError(
@@ -540,7 +538,8 @@ class GruEncoder(Encoder):
             halo = min(int(getattr(hp, "SP_HALO", 0) or 32), t // n_seq)
             layers = [params[f"gru{i}"] for i in range(self.N_LAYERS)]
             x = gru_stack_sp(layers, x, mesh, halo=halo,
-                             backend=_backend(hp))
+                             backend=_backend(hp),
+                             remat=bool(getattr(hp, "REMAT", False)))
         else:
             for i in range(self.N_LAYERS):
                 x = rnn.gru_apply(params[f"gru{i}"], x,
@@ -668,18 +667,13 @@ class TcnEncoder(Encoder):
                      [None] * n_blocks)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
-        if n_seq > 1:
+        mesh = _route_mesh("seq", n_seq) if n_seq > 1 else None
+        if mesh is not None:
             # trainer-reachable sequence parallelism — EXACT for the TCN:
             # each block's conv needs only (K-1)*dilation context frames,
-            # exchanged as halos over the ICI (seq_parallel.tcn_stack_sp)
-            from danet_tpu.parallel import active_mesh
+            # exchanged as halos over the ICI (seq_parallel.tcn_stack_sp);
+            # dense on meshes without a seq axis (inference hosts)
             from danet_tpu.parallel.seq_parallel import tcn_stack_sp
-            mesh = active_mesh()
-            if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
-                raise ValueError(
-                    "MESH_SEQ=%d but the active mesh has no matching "
-                    "'seq' axis (%r) — build the Trainer mesh via "
-                    "mesh_from_hparams" % (n_seq, dict(mesh.shape)))
             if x.shape[1] % n_seq:
                 raise ValueError(
                     "MESH_SEQ=%d must divide the frame count T=%d"
@@ -691,7 +685,8 @@ class TcnEncoder(Encoder):
                 kernel=k, causal=causal, alpha=alpha,
                 drop_keys=(list(drop_keys)
                            if drop_keys[0] is not None else None),
-                keep_prob=keep)
+                keep_prob=keep,
+                remat=bool(getattr(hp, "REMAT", False)))
             return _LstmHead.apply(params["output"], hp, h)
         h = nn.linear_apply(params["bottleneck"], x)
         for i in range(n_blocks):
@@ -879,31 +874,27 @@ class DprnnEncoder(Encoder):
             [None] * n_blocks)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
-        if n_seq > 1:
+        mesh = _route_mesh("seq", n_seq) if n_seq > 1 else None
+        if mesh is not None:
             # trainer-reachable sequence parallelism — EXACT for the
             # non-overlapping DPRNN: segments shard over 'seq' (the intra
             # path is segment-local) and the inter-chunk scan re-shards
-            # positionwise via all_to_all (seq_parallel.dprnn_stack_sp)
+            # positionwise via all_to_all (seq_parallel.dprnn_stack_sp);
+            # dense on meshes without a seq axis (inference hosts)
             if hop != p:
                 raise ValueError(
                     "MESH_SEQ>1 with dprnn-v1 requires DPRNN_HOP == "
                     "DPRNN_CHUNK (non-overlapping segments; exact SP); "
                     "got hop=%d P=%d" % (hop, p))
-            from danet_tpu.parallel import active_mesh
             from danet_tpu.parallel.seq_parallel import dprnn_stack_sp
-            mesh = active_mesh()
-            if "seq" not in mesh.shape or mesh.shape["seq"] != n_seq:
-                raise ValueError(
-                    "MESH_SEQ=%d but the active mesh has no matching "
-                    "'seq' axis (%r) — build the Trainer mesh via "
-                    "mesh_from_hparams" % (n_seq, dict(mesh.shape)))
             body = {k: v for k, v in params.items() if k != "output"}
             merged = dprnn_stack_sp(
                 body, x, mesh, p, n_blocks, inter_causal,
                 backend=backend,
                 drop_keys=(list(jax.random.split(rng, n_blocks))
                            if (rng is not None and keep < 1.0) else None),
-                keep_prob=keep)
+                keep_prob=keep,
+                remat=bool(getattr(hp, "REMAT", False)))
             return _LstmHead.apply(params["output"], hp, merged)
         h = nn.linear_apply(params["bottleneck"], x)
         p_eff = min(p, h.shape[1])

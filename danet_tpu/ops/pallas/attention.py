@@ -49,7 +49,17 @@ def attn_backend_default(t: int) -> str:
     """'flash' on TPU platforms for block-aligned long sequences, 'xla'
     (dense) otherwise.  128 is the kernel's minimum block size; below
     ~256 frames the dense path is faster (single-block kernel overhead,
-    and T=128 logits are tiny)."""
+    and T=128 logits are tiny).
+
+    Under tensor parallelism (MESH_MODEL > 1) 'auto' resolves to the
+    dense einsum path: the flash kernel is an opaque pallas_call with no
+    GSPMD partitioning rule, so selecting it would silently all-gather
+    the head-sharded QKV and run attention replicated on every model
+    shard — the same failure mode ops/rnn.py::lstm_backend_default
+    guards for the LSTM kernel."""
+    from danet_tpu.hparams import hparams
+    if int(getattr(hparams, "MESH_MODEL", 1) or 1) > 1:
+        return "xla"
     if t >= 256 and t % 128 == 0 and \
             jax.default_backend() in ("tpu", "axon"):
         return "flash"

@@ -71,7 +71,8 @@ def bilstm_stack_pipelined(params_list, x, mesh, n_micro: int = 4,
                            pipe_axis: str = "pipe",
                            candidate_activation: str = "tanh",
                            backend: str = "xla", stacked=None,
-                           dropout_rng=None, keep_prob: float = 1.0):
+                           dropout_rng=None, keep_prob: float = 1.0,
+                           remat: bool = False):
     """Run a BiLSTM stack pipelined over `pipe_axis`.
 
     Args:
@@ -135,6 +136,15 @@ def bilstm_stack_pipelined(params_list, x, mesh, n_micro: int = 4,
         stage = jax.lax.axis_index(pipe_axis)
         perm = [(i, i + 1) for i in range(s - 1)]
 
+        def apply_layer(layer, z, key):
+            return rnn.bilstm_apply(
+                layer, z, candidate_activation, dropout_rng=key,
+                keep_prob=keep_prob, backend=backend)
+
+        # REMAT: recompute layer activations in the backward pass (same
+        # policy the sequential encoder branch applies per layer)
+        apply_fn = jax.checkpoint(apply_layer) if remat else apply_layer
+
         def stage_apply(z, tick):
             for li in range(per_stage):
                 layer = jax.tree_util.tree_map(
@@ -149,9 +159,7 @@ def bilstm_stack_pipelined(params_list, x, mesh, n_micro: int = 4,
                     if data_axis:
                         key = jax.random.fold_in(
                             key, jax.lax.axis_index(data_axis))
-                z = rnn.bilstm_apply(
-                    layer, z, candidate_activation, dropout_rng=key,
-                    keep_prob=keep_prob, backend=backend)
+                z = apply_fn(layer, z, key)
             return z
 
         n_ticks = n_micro + s - 1

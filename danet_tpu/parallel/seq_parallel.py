@@ -109,7 +109,8 @@ def _gru_layer_local(p, x_loc, halo: int, axis_name: str, backend: str,
 def gru_stack_sp(params_list, x, mesh, halo: int = 32,
                  seq_axis: str = "seq", backend: str = "auto",
                  data_axis: str = "data",
-                 drop_keys=None, keep_prob: float = 1.0):
+                 drop_keys=None, keep_prob: float = 1.0,
+                 remat: bool = False):
     """Sequence-parallel stack of unidirectional GRU layers (gru-v1
     encoder) — same contract as bilstm_stack_sp."""
     s = mesh.shape[seq_axis]
@@ -136,7 +137,9 @@ def gru_stack_sp(params_list, x, mesh, halo: int = 32,
         kiter = iter(keys_in)
         y = x_loc
         for p, has_key in zip(params_list, key_mask):
-            y = _gru_layer_local(p, y, halo, seq_axis, backend, vary)
+            layer = _maybe_ckpt(lambda pp, v: _gru_layer_local(
+                pp, v, halo, seq_axis, backend, vary), remat)
+            y = layer(p, y)
             if has_key:
                 from danet_tpu.ops.nn import dropout
                 y = dropout(jax.random.fold_in(next(kiter), coord),
@@ -149,7 +152,8 @@ def gru_stack_sp(params_list, x, mesh, halo: int = 32,
 def tcn_stack_sp(params, x, mesh, dilations, kernel: int, causal: bool,
                  alpha: float, seq_axis: str = "seq",
                  data_axis: str = "data",
-                 drop_keys=None, keep_prob: float = 1.0):
+                 drop_keys=None, keep_prob: float = 1.0,
+                 remat: bool = False):
     """EXACT sequence-parallel TCN stack (tcn-v1 encoder).
 
     Unlike the recurrent halo scheme above (boundary-approximate, error
@@ -204,8 +208,8 @@ def tcn_stack_sp(params, x, mesh, dilations, kernel: int, causal: bool,
                 + jax.lax.axis_index(d_axis)
         kiter = iter(keys_in)
         h = nn.linear_apply(params["bottleneck"], x_loc)
-        for i, dil in enumerate(dilations):
-            blk = params[f"block{i}"]
+
+        def one_block(blk, h, dil):
             y = _ln(blk["ln1"], h)
             y = nn.leaky_relu(nn.linear_apply(blk["in"], y), alpha)
             span = (kernel - 1) * dil
@@ -235,7 +239,12 @@ def tcn_stack_sp(params, x, mesh, dilations, kernel: int, causal: bool,
             y = jnp.swapaxes(yc, 1, 2)
             y = nn.leaky_relu(_ln(blk["ln2"], y), alpha)
             y = nn.linear_apply(blk["out"], y)
-            h = h + y
+            return h + y
+
+        for i, dil in enumerate(dilations):
+            block = _maybe_ckpt(
+                lambda b, v, d=dil: one_block(b, v, d), remat)
+            h = block(params[f"block{i}"], h)
             if key_mask[i]:
                 from danet_tpu.ops.nn import dropout
                 h = dropout(jax.random.fold_in(next(kiter), coord),
@@ -253,12 +262,24 @@ def _mesh_data_axis(mesh, batch: int, data_axis):
     return None
 
 
+def _maybe_ckpt(fn, remat: bool):
+    """REMAT support inside the SP shard_maps: recompute a layer's
+    activations in the backward pass instead of storing them (same
+    policy the sequential encoder branches apply via _maybe_remat —
+    without this, enabling sequence parallelism would silently DROP the
+    rematerialization a memory-sized config depends on).  Collectives
+    inside the layer (ppermute halos, all_to_all) replay on the
+    recompute, which XLA supports under shard_map."""
+    return jax.checkpoint(fn) if remat else fn
+
+
 def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
                     seq_axis: str = "seq",
                     candidate_activation: str = "tanh",
                     backend: str = "auto",
                     data_axis: str = "data",
-                    drop_keys=None, keep_prob: float = 1.0):
+                    drop_keys=None, keep_prob: float = 1.0,
+                    remat: bool = False):
     """Run a stack of BiLSTM layers sequence-parallel over `seq_axis`.
 
     Args:
@@ -302,9 +323,10 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
         vary = (seq_axis,) if d_axis is None else (seq_axis, d_axis)
         y = x_loc
         for p, has_key in zip(params_list, key_mask):
-            y = _bilstm_layer_local(
-                p, y, halo, seq_axis, candidate_activation, backend,
-                vary_axes=vary)
+            layer = _maybe_ckpt(lambda pp, v: _bilstm_layer_local(
+                pp, v, halo, seq_axis, candidate_activation, backend,
+                vary_axes=vary), remat)
+            y = layer(p, y)
             if has_key:
                 from danet_tpu.ops.nn import dropout
                 y = dropout(jax.random.fold_in(next(kiter), coord),
@@ -317,7 +339,8 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
 def dprnn_stack_sp(params, x, mesh, p: int, n_blocks: int,
                    inter_causal: bool, backend: str = "auto",
                    seq_axis: str = "seq", data_axis: str = "data",
-                   drop_keys=None, keep_prob: float = 1.0):
+                   drop_keys=None, keep_prob: float = 1.0,
+                   remat: bool = False):
     """EXACT sequence-parallel dual-path RNN stack (dprnn-v1 encoder
     with DPRNN_HOP == DPRNN_CHUNK, i.e. non-overlapping segments).
 
@@ -381,11 +404,7 @@ def dprnn_stack_sp(params, x, mesh, p: int, n_blocks: int,
         bl, d = h.shape[0], h.shape[-1]
         s_loc = h.shape[1] // p
         chunks = h.reshape(bl, s_loc, p, d)
-        for i in range(n_blocks):
-            blk = params[f"block{i}"]
-            dkey = (jax.random.split(
-                jax.random.fold_in(next(kiter), coord))
-                if key_mask[i] else None)
+        def one_block(blk, chunks, dkey):
             # intra-chunk path: segment-local, exact under the sharding
             y = rnn.bilstm_apply(
                 blk["intra"], chunks.reshape(bl * s_loc, p, d), "tanh",
@@ -417,7 +436,14 @@ def dprnn_stack_sp(params, x, mesh, p: int, n_blocks: int,
             y = _ln(blk["inter_ln"], yq)
             if dkey is not None:
                 y = nn.dropout(dkey[1], y, keep_prob)
-            chunks = chunks + y
+            return chunks + y
+
+        block = _maybe_ckpt(one_block, remat)
+        for i in range(n_blocks):
+            dkey = (jax.random.split(
+                jax.random.fold_in(next(kiter), coord))
+                if key_mask[i] else None)
+            chunks = block(params[f"block{i}"], chunks, dkey)
         return chunks.reshape(bl, s_loc * p, d)
 
     return run(params, x, keys_in)

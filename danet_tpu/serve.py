@@ -105,6 +105,19 @@ def export_separator(model, params, out_dir: str,
             "platform); export on a TPU host for the Pallas kernels"
             % jax.default_backend())
 
+    # Exported artifacts are single-program: drop any training-time
+    # MESH_* strategy from the (copied) config so the encoder routes
+    # densely instead of baking multi-device shard_map collectives into
+    # the artifact.  (The encoders also fall back densely on their own
+    # when the active mesh lacks the axis; this makes it explicit.)
+    if any(int(getattr(hp, k, 1) or 1) > 1 for k in
+           ("MESH_MODEL", "MESH_PIPE", "MESH_EXPERT", "MESH_SEQ")):
+        import copy
+        hp = copy.copy(hp)
+        hp.MESH_DATA = hp.MESH_MODEL = 1
+        hp.MESH_PIPE = hp.MESH_EXPERT = hp.MESH_SEQ = 1
+        model = type(model)(hp, name=model.name)
+
     os.makedirs(out_dir, exist_ok=True)
     # bake parameters in as program constants; normalize to unsharded jax
     # arrays (numpy leaves would break traced indexing inside modules)
@@ -441,7 +454,9 @@ def _main():
         for i in range(n_chunks):
             lo = warm + i * chunk
             parts.append(bundle.feed(padded[lo:lo + chunk]))
-        out = np.concatenate(parts, axis=-1)[0]
+        # trim the zero-pad tail back to the request length (same contract
+        # as SeparatorBundle.separate for the batch path)
+        out = np.concatenate(parts, axis=-1)[0][..., :len(wav)]
         scale = max(float(np.max(np.abs(out))), 1.0)
         for i, src in enumerate(out):
             path = "%s_%d.wav" % (args.output_prefix, i)

@@ -248,12 +248,30 @@ class Trainer:
                 err.throw()  # host-side raise with the NaN's source location
                 return out
 
-            self._train_step = train_step_checked
+            self._train_step = self._with_mesh(train_step_checked)
         else:
-            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self._valid_step = jax.jit(valid_step)
-        self._separate = jax.jit(model.separate)
-        self._separate_wav = jax.jit(model.separate_wav)
+            self._train_step = self._with_mesh(
+                jax.jit(train_step, donate_argnums=(0, 1)))
+        self._valid_step = self._with_mesh(jax.jit(valid_step))
+        self._separate = self._with_mesh(jax.jit(model.separate))
+        self._separate_wav = self._with_mesh(jax.jit(model.separate_wav))
+
+    def _with_mesh(self, fn):
+        """Re-register THIS trainer's mesh before every step call.
+
+        The active-mesh registry is process-global; constructing a second
+        Trainer (e.g. a side eval) would otherwise re-target the first
+        trainer's lazily-traced shard_map routes (pipeline/expert/seq) to
+        the newer mesh.  Jitted steps trace lazily at their first call,
+        so registering at call time — not construction time — binds each
+        trace to the trainer that owns it."""
+        from danet_tpu.parallel import set_active_mesh
+
+        def wrapped(*args, **kwargs):
+            set_active_mesh(self.mesh)
+            return fn(*args, **kwargs)
+
+        return wrapped
 
     # ------------------------------------------------------------------
     def init_state(self, rng) -> dict:

@@ -824,6 +824,134 @@ def test_lstm_backend_auto_resolves_xla_under_tp(fresh_hparams):
     fresh_hparams.MESH_MODEL = 1
 
 
+def test_inference_dense_fallback_without_strategy_mesh(fresh_hparams):
+    """A TRAINING config with MESH_SEQ/MESH_EXPERT > 1 must still run
+    densely on hosts whose active mesh lacks those axes (demo, serving
+    export) — matching the strategy-free output exactly — instead of
+    demanding the multi-device training mesh."""
+    from danet_tpu.parallel import set_active_mesh
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "moe-v1"
+    hp.ATTN_DIM = 32
+    hp.ATTN_LAYERS = 1
+    hp.MOE_EXPERTS = 4
+    hp.digest()
+    enc = hp.get_encoder()(hp, "e")
+    params = enc.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(1).randn(
+        2, 16, hp.FEATURE_SIZE).astype(np.float32))
+    base = np.asarray(enc.apply(params, x))
+
+    hp.MESH_SEQ, hp.MESH_EXPERT = 2, 2
+    set_active_mesh(make_mesh(8, 1))  # inference-style mesh: no seq/expert
+    try:
+        out = np.asarray(enc.apply(params, x))
+    finally:
+        set_active_mesh(None)
+        hp.MESH_SEQ, hp.MESH_EXPERT = 1, 1
+    np.testing.assert_allclose(out, base, atol=1e-6)
+
+
+def test_sp_remat_gradients_match(fresh_hparams):
+    """REMAT must keep applying on the sequence-parallel routes (it was
+    silently dropped there): checkpointed SP gradients == plain SP
+    gradients, for the halo BiLSTM and the dual-path stacks."""
+    from jax.sharding import Mesh
+    from danet_tpu.ops import rnn as rnn_ops
+    from danet_tpu.parallel.seq_parallel import (bilstm_stack_sp,
+                                                 dprnn_stack_sp)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("seq",))
+    k = jax.random.PRNGKey(0)
+    layers = [rnn_ops.bilstm_init(jax.random.fold_in(k, 0), 6, 5),
+              rnn_ops.bilstm_init(jax.random.fold_in(k, 1), 10, 5)]
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 6)
+                    .astype(np.float32))
+
+    def loss(ps, remat):
+        return jnp.sum(bilstm_stack_sp(ps, x, mesh, halo=8,
+                                       remat=remat) ** 2)
+
+    g_plain = jax.jit(jax.grad(lambda ps: loss(ps, False)))(layers)
+    # checkpoint-inside-shard_map requires jit (as the Trainer provides)
+    g_remat = jax.jit(jax.grad(lambda ps: loss(ps, True)))(layers)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "dprnn-v1"
+    hp.DPRNN_DIM = 8
+    hp.DPRNN_HIDDEN = 6
+    hp.DPRNN_CHUNK = 8
+    hp.DPRNN_HOP = 8
+    hp.DPRNN_BLOCKS = 1
+    hp.digest()
+    enc = hp.get_encoder()(hp, "e")
+    params = enc.init(jax.random.PRNGKey(2))
+    body = {key: v for key, v in params.items() if key != "output"}
+    xd = jnp.asarray(np.random.RandomState(3).randn(
+        2, 32, hp.FEATURE_SIZE).astype(np.float32))
+
+    def dloss(ps, remat):
+        return jnp.sum(dprnn_stack_sp(ps, xd, mesh, 8, 1, False,
+                                      remat=remat) ** 2)
+
+    g_plain = jax.jit(jax.grad(lambda ps: dloss(ps, False)))(body)
+    g_remat = jax.jit(jax.grad(lambda ps: dloss(ps, True)))(body)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_two_trainers_interleaved_meshes(fresh_hparams):
+    """The active-mesh registry must bind each trainer's traces to ITS
+    mesh: constructing a second Trainer (side eval) between another
+    trainer's construction and its lazily-traced first step must not
+    re-target the first's shard_map routes."""
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    hp.ATTN_DIM = 32
+    hp.ATTN_LAYERS = 1
+    hp.BATCH_SIZE = 4
+    hp.MESH_SEQ, hp.MESH_DATA = 2, 2
+    hp.digest()
+    trainer_a = Trainer(DaNet(), name="mesh-a")
+    state_a = trainer_a.init_state(jax.random.PRNGKey(0))
+
+    # a second trainer with a seq-less mesh registers its own mesh
+    hp.MESH_SEQ, hp.MESH_DATA = 1, 4
+    hp.ENCODER_TYPE = "toy"
+    Trainer(DaNet(), name="mesh-b")
+
+    # back to A's config: its FIRST step traces now and must route over
+    # A's dp2 x sp2 mesh, not B's
+    hp.MESH_SEQ, hp.MESH_DATA = 2, 2
+    hp.ENCODER_TYPE = "attn-v1"
+    flat = np.random.RandomState(0).rand(
+        hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 16, hp.FEATURE_SIZE).astype(
+            np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+    _, _, m = trainer_a._train_step(
+        state_a["params"], state_a["opt_state"],
+        trainer_a._put_batch(batch), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_attn_backend_auto_resolves_xla_under_tp(fresh_hparams):
+    """Same guard for the flash-attention kernel: under MESH_MODEL>1 the
+    'auto' backend must pick the GSPMD-partitionable dense path."""
+    from danet_tpu.ops.pallas.attention import attn_backend_default
+    fresh_hparams.MESH_MODEL = 2
+    assert attn_backend_default(512) == "xla"
+    fresh_hparams.MESH_MODEL = 1
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_tcn_stack_sp_exact(fresh_hparams, causal):
     """Sequence-parallel TCN == dense TCN EXACTLY (finite conv context;
