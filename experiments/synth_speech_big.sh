@@ -1,0 +1,43 @@
+#!/bin/bash
+# Flagship bilstm-orig on a DOUBLED broadband formant-speech corpus
+# (240 batches = 3840 mixtures) — the corpus-scaling + low-LR-polish
+# pattern that moved attn-v1 from 13.9 to 24.5 dB on the tone corpus
+# (PARITY.md), applied to the broadband headline.  Five stages: the
+# standard four-stage ladder plus 12 unrolled-kmeans polish epochs at
+# 5e-5 resumed from the keep-best checkpoint.
+set -e
+cd "$(dirname "$0")/.."
+SAVE=saves/synth_speech_big
+mkdir -p "$SAVE"
+
+retry() {
+  for i in 1 2 3; do
+    "$@" && return 0
+    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
+    sleep 90
+  done
+  return 1
+}
+
+PY="python experiments/synth_extended.py --save-dir $SAVE --batches 240 \
+    --dataset synth-speech --eval-si-snr"
+
+echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
+retry $PY --epochs 12 --lr 1e-3
+echo "=== stage B: PIT-MSE @ 3e-4 (12 epochs)"
+retry $PY --epochs 12 --lr 3e-4 --resume
+echo "=== stage C: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
+retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
+echo "=== stage D: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
+retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
+echo "=== stage E: low-LR kmeans polish from keep-best (12 epochs @ 5e-5)"
+cp -r "$SAVE/synthext_best" "$SAVE/latest_prepolish" 2>/dev/null || true
+rm -rf "$SAVE/latest"; cp -r "$SAVE/synthext_best" "$SAVE/latest"
+retry $PY --epochs 12 --lr 5e-5 --loss pit-si-snr --infer-est kmeans --resume
+echo "=== eval (best)"
+retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/synthext_best" \
+    --dataset synth-speech --batches 240
+echo "=== eval (latest)"
+retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/latest" \
+    --dataset synth-speech --batches 240
+echo "=== all done rc=$? $(date)"
