@@ -258,7 +258,12 @@ class BiLstmEncoder(Encoder):
         if jax.default_backend() not in ("tpu", "axon"):
             return None
         from danet_tpu.parallel import active_mesh
-        mesh = active_mesh()
+        try:
+            mesh = active_mesh()
+        except Exception:
+            # e.g. a 1-chip inference host with a MESH_MODEL>1 training
+            # config and no registered mesh: run the plain kernel path
+            return None
         n = 1
         for a in ("data", "model"):
             n *= mesh.shape.get(a, 1)
@@ -869,9 +874,6 @@ class DprnnEncoder(Encoder):
         d, _, p, hop, n_blocks, inter_causal = self._dims()
         backend = _backend(hp)
         keep = hp.DROPOUT_KEEP_PROB if train else 1.0
-        drop_keys = (jax.random.split(rng, 2 * n_blocks).reshape(
-            n_blocks, 2, -1) if (rng is not None and keep < 1.0) else
-            [None] * n_blocks)
         x = log_spectra - jnp.mean(log_spectra, axis=(1, 2), keepdims=True)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
         mesh = _route_mesh("seq", n_seq) if n_seq > 1 else None
@@ -896,6 +898,11 @@ class DprnnEncoder(Encoder):
                 keep_prob=keep,
                 remat=bool(getattr(hp, "REMAT", False)))
             return _LstmHead.apply(params["output"], hp, merged)
+        # dense-path dropout keys derive here, AFTER the SP early return
+        # (the SP stack derives its own per-device keys)
+        drop_keys = (jax.random.split(rng, 2 * n_blocks).reshape(
+            n_blocks, 2, -1) if (rng is not None and keep < 1.0) else
+            [None] * n_blocks)
         h = nn.linear_apply(params["bottleneck"], x)
         p_eff = min(p, h.shape[1])
         chunks, seg_info = self._segment(

@@ -45,20 +45,21 @@ def flash_attention_masked(q, k, v, key_mask):
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def attn_backend_default(t: int) -> str:
+def attn_backend_default(t: int, hp=None) -> str:
     """'flash' on TPU platforms for block-aligned long sequences, 'xla'
     (dense) otherwise.  128 is the kernel's minimum block size; below
     ~256 frames the dense path is faster (single-block kernel overhead,
     and T=128 logits are tiny).
 
-    Under tensor parallelism (MESH_MODEL > 1) 'auto' resolves to the
-    dense einsum path: the flash kernel is an opaque pallas_call with no
-    GSPMD partitioning rule, so selecting it would silently all-gather
-    the head-sharded QKV and run attention replicated on every model
-    shard — the same failure mode ops/rnn.py::lstm_backend_default
-    guards for the LSTM kernel."""
-    from danet_tpu.hparams import hparams
-    if int(getattr(hparams, "MESH_MODEL", 1) or 1) > 1:
+    Under tensor parallelism (MESH_MODEL > 1, read from the model's own
+    hp when given) 'auto' resolves to the dense einsum path: the flash
+    kernel is an opaque pallas_call with no GSPMD partitioning rule, so
+    selecting it would silently all-gather the head-sharded QKV and run
+    attention replicated on every model shard — the same failure mode
+    ops/rnn.py::lstm_backend_default guards for the LSTM kernel."""
+    if hp is None:
+        from danet_tpu.hparams import hparams as hp
+    if int(getattr(hp, "MESH_MODEL", 1) or 1) > 1:
         return "xla"
     if t >= 256 and t % 128 == 0 and \
             jax.default_backend() in ("tpu", "axon"):
@@ -72,5 +73,5 @@ def resolve_attn_fn(hp, t: int, dense_fn):
     if be not in ("auto", "flash", "xla"):
         raise ValueError("Unknown ATTN_BACKEND %r" % (be,))
     if be == "auto":
-        be = attn_backend_default(t)
+        be = attn_backend_default(t, hp)
     return flash_attention_masked if be == "flash" else dense_fn

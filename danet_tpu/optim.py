@@ -34,11 +34,15 @@ def adam_ozer(learn_rate, grad_clip=None, **kwargs):
 
 
 @hparams.register_optimizer("adamw")
-def adamw_ozer(learn_rate, grad_clip=None, **kwargs):
+def adamw_ozer(learn_rate, grad_clip=None, hp=None, **kwargs):
     """Adam with decoupled weight decay (not in the reference — its
     REG_TYPE L2 regularizer was inert; WEIGHT_DECAY is the modern
-    production equivalent, default 1e-4)."""
-    wd = float(getattr(hparams, "WEIGHT_DECAY", None) or 1e-4)
+    production equivalent, default 1e-4).  An explicit WEIGHT_DECAY=0
+    is honored (decay disabled), and the hp the optimizer was built
+    from wins over the global singleton."""
+    hp = hp if hp is not None else hparams
+    wd = getattr(hp, "WEIGHT_DECAY", None)
+    wd = 1e-4 if wd is None else float(wd)
 
     def factory(learning_rate):
         return optax.adamw(learning_rate, weight_decay=wd)
@@ -47,10 +51,25 @@ def adamw_ozer(learn_rate, grad_clip=None, **kwargs):
 
 
 def make_optimizer(hp=None):
-    """Build the configured optimizer with the reference's clip semantics."""
+    """Build the configured optimizer with the reference's clip semantics.
+
+    The hp namespace is forwarded to factories that accept it (so e.g.
+    adamw reads WEIGHT_DECAY from the config it was built with); custom
+    user-registered factories with the minimal (learn_rate, grad_clip)
+    signature keep working."""
+    import inspect
     hp = hp if hp is not None else hparams
     factory = hp.get_optimizer()
-    return factory(hp.LR, grad_clip=hp.GRAD_CLIP_THRES)
+    kw = {}
+    try:
+        params = inspect.signature(factory).parameters
+        if "hp" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values()):
+            kw["hp"] = hp
+    except (TypeError, ValueError):
+        pass
+    return factory(hp.LR, grad_clip=hp.GRAD_CLIP_THRES, **kw)
 
 
 def set_learn_rate(opt_state, lr: float):

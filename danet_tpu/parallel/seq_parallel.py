@@ -374,13 +374,15 @@ def dprnn_stack_sp(params, x, mesh, p: int, n_blocks: int,
     from danet_tpu.ops import nn
     s = mesh.shape[seq_axis]
     b, t, _ = x.shape
-    assert t % (p * s) == 0, (
-        "T=%d must split into whole %d-frame segments per seq-axis "
-        "device (s=%d): pick MAX_TRAIN_LEN / TIME_BUCKET so that "
-        "T %% (DPRNN_CHUNK * MESH_SEQ) == 0" % (t, p, s))
-    assert p % s == 0, (
-        "DPRNN_CHUNK=%d must divide by MESH_SEQ=%d (the inter-chunk "
-        "all_to_all splits the position axis)" % (p, s))
+    if t % (p * s):
+        raise ValueError(
+            "T=%d must split into whole %d-frame segments per seq-axis "
+            "device (s=%d): pick MAX_TRAIN_LEN / TIME_BUCKET so that "
+            "T %% (DPRNN_CHUNK * MESH_SEQ) == 0" % (t, p, s))
+    if p % s:
+        raise ValueError(
+            "DPRNN_CHUNK=%d must divide by MESH_SEQ=%d (the inter-chunk "
+            "all_to_all splits the position axis)" % (p, s))
     d_axis = _mesh_data_axis(mesh, b, data_axis)
     x_spec = P(d_axis, seq_axis, None)
     if drop_keys is None:

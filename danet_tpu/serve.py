@@ -454,9 +454,14 @@ def _main():
         for i in range(n_chunks):
             lo = warm + i * chunk
             parts.append(bundle.feed(padded[lo:lo + chunk]))
-        # trim the zero-pad tail back to the request length (same contract
-        # as SeparatorBundle.separate for the batch path)
-        out = np.concatenate(parts, axis=-1)[0][..., :len(wav)]
+        # Streaming output lags input by latency_samples (stream_init
+        # docstring): the last lag-window of real content flushes into
+        # the zero-pad tail.  Keep len(wav) + latency and drop the rest
+        # of the padding — lossless, unlike trimming at len(wav).
+        lag = int(bundle.manifest.get(
+            "latency_samples", bundle.manifest["fft_size"]
+            - bundle.manifest["fft_stride"]))
+        out = np.concatenate(parts, axis=-1)[0][..., :len(wav) + lag]
         scale = max(float(np.max(np.abs(out))), 1.0)
         for i, src in enumerate(out):
             path = "%s_%d.wav" % (args.output_prefix, i)

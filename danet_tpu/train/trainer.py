@@ -176,6 +176,19 @@ class Trainer:
         self.optimizer = optim_lib.make_optimizer(self.hp)
         self._preempt = False
         self.mesh = mesh if mesh is not None else mesh_from_hparams(self.hp)
+        # a configured strategy must actually be provided by the mesh the
+        # trainer runs on — model code falls back DENSE on meshes without
+        # the axis (the inference-host behavior), which in TRAINING would
+        # silently drop the requested parallelism, so fail loudly here
+        for key, axis in (("MESH_MODEL", "model"), ("MESH_PIPE", "pipe"),
+                          ("MESH_EXPERT", "expert"), ("MESH_SEQ", "seq")):
+            n = int(getattr(self.hp, key, 1) or 1)
+            if n > 1 and self.mesh.shape.get(axis, 1) != n:
+                raise ValueError(
+                    "%s=%d but the trainer mesh has no matching %r axis "
+                    "(%r) — build it via mesh_from_hparams or pass a "
+                    "mesh carrying the configured axes"
+                    % (key, n, axis, dict(self.mesh.shape)))
         # model code (pipeline/expert shard_map paths) reaches the mesh
         # through the active-mesh registry
         from danet_tpu.parallel import set_active_mesh
@@ -264,7 +277,16 @@ class Trainer:
         trainer's lazily-traced shard_map routes (pipeline/expert/seq) to
         the newer mesh.  Jitted steps trace lazily at their first call,
         so registering at call time — not construction time — binds each
-        trace to the trainer that owns it."""
+        trace to the trainer that owns it.
+
+        Scope note: this binds the MESH half of routing.  Hyperparameter
+        reads (MESH_* flags, dims, backends) happen at trace time against
+        the hp namespace the model was built with — normally the process
+        singleton — so when interleaving trainers with DIFFERENT configs,
+        the singleton must reflect a trainer's config when its first step
+        runs (the same contract every hp-dependent trace in this codebase
+        has; Trainer construction validates its strategy axes against its
+        mesh, so a mismatch fails loudly rather than routing densely)."""
         from danet_tpu.parallel import set_active_mesh
 
         def wrapped(*args, **kwargs):
