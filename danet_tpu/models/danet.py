@@ -182,6 +182,22 @@ class DaNet:
         snr = jnp.mean(loss_ops.batch_snr(
             src_ri, sep_ri_pit, eps=hp.EPS, complex_ri=True))
 
+        # Optional deep-clustering auxiliary (chimera-style multi-task):
+        # regularizes the embedding space toward per-source clusters — the
+        # structure the anchored/k-means estimators exploit at inference.
+        # Magnitude-ratio bin weighting (chimera++) via DC_WEIGHT_TYPE.
+        dc_w = float(getattr(hp, "DC_LOSS_WEIGHT", 0.0) or 0.0)
+        if dc_w > 0.0:
+            wt = getattr(hp, "DC_WEIGHT_TYPE", "mr") or "mr"
+            if wt == "mr":
+                dc_weights = mix_pwr
+            elif wt == "none":
+                dc_weights = None
+            else:
+                raise ValueError("Unknown DC_WEIGHT_TYPE %r" % (wt,))
+            loss = loss + dc_w * loss_ops.dc_loss(
+                embed, src_pwr, weights=dc_weights)
+
         # Optional auxiliary loss through the inference-estimator path.
         # In the reference, anchors receive NO gradient unless
         # TRAIN_ESTIMATOR_METHOD='anchor' (main.py:289-290 optimizes only

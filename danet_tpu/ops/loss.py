@@ -384,3 +384,65 @@ def batch_cross_snr(clear_signal: jnp.ndarray, noisy_signal: jnp.ndarray,
         noise_pwr = jnp.mean(jnp.square(noise), axis=reduce_axes)
     coeff = 4.342944819
     return coeff * (jnp.log(sig_pwr + eps) - jnp.log(noise_pwr + eps))
+
+
+def dc_loss(embed: jnp.ndarray, src_pwr: jnp.ndarray,
+            weights: jnp.ndarray = None, eps: float = 1e-8) -> jnp.ndarray:
+    """Deep-clustering objective (Hershey et al. 2016) in Gram form.
+
+    Pulls each T-F bin's embedding toward the embeddings of bins
+    dominated by the same source — exactly the structure the anchored /
+    k-means inference estimators cluster at test time, so it is the
+    natural auxiliary objective for DaNet's inference path (the DaNet
+    paper positions the attractor network as the successor of this loss;
+    chimera networks train both jointly).  Not in the reference (which
+    trains the mask path only, /root/reference/main.py:289-309).
+
+    The naive affinity formulation ||VV^T - YY^T||_F^2 is quadratic in
+    the number of bins (TF ~ 16k -> a 260M-entry affinity matrix).  The
+    standard low-rank expansion makes it three tiny Gram GEMMs, all
+    MXU-shaped:
+
+        ||V^T V||_F^2 - 2 ||V^T Y||_F^2 + ||Y^T Y||_F^2
+
+    with V [B, TF, E] row-normalized embeddings and Y [B, TF, N] one-hot
+    dominant-source labels, each row scaled by sqrt(w) when per-bin
+    weights are given (magnitude-ratio weighting of chimera++ — pass
+    weights=mix_pwr to focus the objective on audible bins).
+
+    Args:
+        embed: [B, T, F, E] bin embeddings (any dtype; math runs in f32).
+        src_pwr: [B, N, T, F] per-source magnitudes; the dominant source
+            (argmax over N) defines each bin's cluster label, as the
+            truth estimators do (reference modules.py:396).
+        weights: optional [B, T, F] nonnegative per-bin weights; None
+            means uniform.  Normalized per example, so only relative
+            weights matter.
+    Returns:
+        scalar loss, mean over batch of ||VV^T - YY^T||_F^2 / (sum w)^2
+        (with w normalized to sum to TF, this is O(1) regardless of
+        sequence length).
+    """
+    b, t, f, e = embed.shape
+    n = src_pwr.shape[1]
+    v = embed.reshape(b, t * f, e).astype(jnp.float32)
+    v = v * jax.lax.rsqrt(jnp.sum(jnp.square(v), axis=-1,
+                                  keepdims=True) + eps)
+    labels = jnp.argmax(src_pwr, axis=1).reshape(b, t * f)   # [B, TF]
+    y = jax.nn.one_hot(labels, n, dtype=jnp.float32)          # [B, TF, N]
+    if weights is not None:
+        w = weights.reshape(b, t * f).astype(jnp.float32)
+        w = w * (t * f / (jnp.sum(w, axis=-1, keepdims=True) + eps))
+        sw = jnp.sqrt(w)[..., None]
+        v = v * sw
+        y = y * sw
+    vtv = jnp.einsum("bte,btd->bed", v, v,
+                     preferred_element_type=jnp.float32)      # [B, E, E]
+    vty = jnp.einsum("bte,btn->ben", v, y,
+                     preferred_element_type=jnp.float32)      # [B, E, N]
+    yty = jnp.einsum("btn,btm->bnm", y, y,
+                     preferred_element_type=jnp.float32)      # [B, N, N]
+    per_ex = (jnp.sum(jnp.square(vtv), axis=(1, 2))
+              - 2.0 * jnp.sum(jnp.square(vty), axis=(1, 2))
+              + jnp.sum(jnp.square(yty), axis=(1, 2)))
+    return jnp.mean(per_ex) / float(t * f) ** 2

@@ -286,3 +286,55 @@ def test_bss_eval_distortion_filter_allowance():
     assert float(np.min(np.asarray(out["sdr"]))) > 25.0
     si = L.si_snr(jnp.asarray(ref), jnp.asarray(est.astype(np.float32)))
     assert float(np.max(np.asarray(si))) < 10.0
+
+
+def _naive_dc(embed, labels, w=None):
+    """Oracle: materialized-affinity deep-clustering loss,
+    mean_b ||VV^T - YY^T||_F^2 / (TF)^2 with sqrt(w)-scaled rows."""
+    b, tf_, e = embed.shape
+    n = int(labels.max()) + 1
+    out = 0.0
+    for bi in range(b):
+        v = embed[bi] / np.sqrt(
+            np.sum(embed[bi] ** 2, -1, keepdims=True) + 1e-8)
+        y = np.eye(n, dtype=np.float64)[labels[bi]]
+        if w is not None:
+            wb = w[bi] * (tf_ / w[bi].sum())
+            v = v * np.sqrt(wb)[:, None]
+            y = y * np.sqrt(wb)[:, None]
+        a = v @ v.T - y @ y.T
+        out += np.sum(a * a)
+    return out / b / tf_ ** 2
+
+
+def test_dc_loss_matches_naive_affinity():
+    rng = np.random.RandomState(7)
+    b, t, f, e, n = 3, 6, 5, 4, 2
+    embed = rng.randn(b, t, f, e).astype(np.float32)
+    src_pwr = rng.rand(b, n, t, f).astype(np.float32)
+    labels = np.argmax(src_pwr, axis=1).reshape(b, t * f)
+    got = float(L.dc_loss(jnp.asarray(embed), jnp.asarray(src_pwr)))
+    ref = _naive_dc(embed.reshape(b, t * f, e).astype(np.float64), labels)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+    # magnitude-ratio weighted variant
+    mix = rng.rand(b, t, f).astype(np.float32) + 0.1
+    got_w = float(L.dc_loss(jnp.asarray(embed), jnp.asarray(src_pwr),
+                            weights=jnp.asarray(mix)))
+    ref_w = _naive_dc(embed.reshape(b, t * f, e).astype(np.float64),
+                      labels, w=mix.reshape(b, t * f).astype(np.float64))
+    np.testing.assert_allclose(got_w, ref_w, rtol=1e-4)
+    assert not np.isclose(got, got_w)
+
+
+def test_dc_loss_zero_for_ideal_embedding():
+    """Embeddings equal to the one-hot cluster indicators give VV^T ==
+    YY^T, so the loss vanishes; random embeddings do not."""
+    rng = np.random.RandomState(8)
+    b, t, f, n = 2, 4, 3, 2
+    src_pwr = rng.rand(b, n, t, f).astype(np.float32)
+    labels = np.argmax(src_pwr, axis=1)
+    ideal = np.eye(n, dtype=np.float32)[labels]      # [B,T,F,E=N]
+    z = float(L.dc_loss(jnp.asarray(ideal), jnp.asarray(src_pwr)))
+    assert abs(z) < 1e-6
+    rand = rng.randn(b, t, f, n).astype(np.float32)
+    assert float(L.dc_loss(jnp.asarray(rand), jnp.asarray(src_pwr))) > z

@@ -662,3 +662,25 @@ def test_separate_stream_rejects_noncausal(fresh_hparams):
     params = model.init(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="causal"):
         model.separate_stream(params, mix)
+
+
+def test_dc_aux_loss_changes_loss_and_grad(fresh_hparams):
+    """DC_LOSS_WEIGHT>0 adds the deep-clustering auxiliary: the loss
+    moves and the encoder still receives finite gradients; weight 0 is
+    exactly the base objective."""
+    hp = fresh_hparams
+    hp.BATCH_SIZE = B
+    src = _src(hp)
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    l0, _ = model.train_loss(params, src, None)
+    hp.DC_LOSS_WEIGHT = 1.0
+    l1, _ = model.train_loss(params, src, None)
+    assert float(l1) > float(l0)  # DC term is nonnegative, random embed
+    g = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    leaves = jax.tree_util.tree_leaves(g["encoder"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # unweighted variant also runs
+    hp.DC_WEIGHT_TYPE = "none"
+    l2, _ = model.train_loss(params, src, None)
+    assert np.isfinite(float(l2)) and float(l2) != float(l1)
