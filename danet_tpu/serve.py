@@ -44,9 +44,33 @@ def _bucket_file(length: int) -> str:
     return "sep_%d.jaxexport" % length
 
 
+def _cast_weights(params, weights_dtype: Optional[str]):
+    """Cast floating-point parameter leaves to a reduced serving dtype.
+
+    bf16-baked weights halve the artifact size and feed the MXU's native
+    bf16 path at inference; model code upcasts where f32 math is required
+    (ops.nn.mm/ee accumulate f32), so this is a pure storage/GEMM-operand
+    change.  Non-float leaves (if any) pass through untouched.
+    """
+    if not weights_dtype:
+        return params
+    import jax
+    import jax.numpy as jnp
+    dt = jnp.dtype(weights_dtype)
+    if dt not in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32),
+                  jnp.dtype(jnp.float16)):
+        raise ValueError("weights_dtype must be a float dtype, got %r"
+                         % (weights_dtype,))
+    return jax.tree.map(
+        lambda x: x.astype(dt)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        params)
+
+
 def export_separator(model, params, out_dir: str,
                      lengths: Sequence[int], batch: int = 1,
-                     platforms: Optional[Sequence[str]] = None) -> dict:
+                     platforms: Optional[Sequence[str]] = None,
+                     weights_dtype: Optional[str] = None) -> dict:
     """Export `model.separate_wav(params, .)` for each length bucket.
 
     Args:
@@ -58,6 +82,9 @@ def export_separator(model, params, out_dir: str,
         platforms: lowering platforms, e.g. ("tpu",), ("tpu", "cpu").
             None = the current default platform.  Multi-platform exports
             force the portable XLA kernel backends.
+        weights_dtype: optional reduced dtype for the baked-in parameters
+            (e.g. "bfloat16" — half the artifact size, MXU-native serving
+            GEMMs; see _cast_weights).
 
     Returns:
         The manifest dict (also written to out_dir/manifest.json).
@@ -122,6 +149,7 @@ def export_separator(model, params, out_dir: str,
     # bake parameters in as program constants; normalize to unsharded jax
     # arrays (numpy leaves would break traced indexing inside modules)
     params = jax.tree.map(jnp.asarray, jax.device_get(params))
+    params = _cast_weights(params, weights_dtype)
 
     def fn(wav):
         return model.separate_wav(params, wav)
@@ -146,6 +174,7 @@ def export_separator(model, params, out_dir: str,
         "encoder": str(hp.ENCODER_TYPE),
         "infer_estimator": str(hp.INFER_ESTIMATOR_METHOD),
         "separator": str(hp.SEPARATOR_TYPE),
+        "weights_dtype": str(weights_dtype or "float32"),
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -224,7 +253,8 @@ STREAM_STEP_FILE = "stream_step.jaxexport"
 
 def export_streamer(model, params, out_dir: str, chunk_samples: int,
                     warmup_samples: int, batch: int = 1,
-                    platforms: Optional[Sequence[str]] = None) -> dict:
+                    platforms: Optional[Sequence[str]] = None,
+                    weights_dtype: Optional[str] = None) -> dict:
     """Export the causal streaming pipeline as a two-program artifact.
 
     Requires a causal encoder (lstm-orig, gru-v1, tcn-v1+TCN_CAUSAL —
@@ -246,6 +276,7 @@ def export_streamer(model, params, out_dir: str, chunk_samples: int,
         platforms = tuple(str(p) for p in platforms)
     os.makedirs(out_dir, exist_ok=True)
     params = jax.tree.map(jnp.asarray, jax.device_get(params))
+    params = _cast_weights(params, weights_dtype)
 
     def warmup_fn(wav):
         return model.stream_init(params, wav)
@@ -281,6 +312,7 @@ def export_streamer(model, params, out_dir: str, chunk_samples: int,
         "encoder": str(hp.ENCODER_TYPE),
         "infer_estimator": str(hp.INFER_ESTIMATOR_METHOD),
         "separator": str(hp.SEPARATOR_TYPE),
+        "weights_dtype": str(weights_dtype or "float32"),
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -364,6 +396,10 @@ def _main():
     ex.add_argument("--platforms", default=None,
                     help="comma-separated lowering platforms (e.g. "
                          "'tpu,cpu'); default = current platform")
+    ex.add_argument("--weights-dtype", default=None,
+                    help="reduced dtype for the baked-in parameters "
+                         "(e.g. 'bfloat16': half the artifact size, "
+                         "MXU-native serving GEMMs)")
 
     rn = sub.add_parser("run", help="separate a WAV with an artifact")
     rn.add_argument("-d", "--artifact-dir", required=True)
@@ -384,6 +420,7 @@ def _main():
                      help="warmup-program window in samples")
     exs.add_argument("--batch", type=int, default=1)
     exs.add_argument("--platforms", default=None)
+    exs.add_argument("--weights-dtype", default=None)
 
     rs = sub.add_parser(
         "run-stream",
@@ -415,7 +452,8 @@ def _main():
         manifest = export_separator(
             model, state["params"], args.out_dir,
             [int(x) for x in args.lengths.split(",")],
-            batch=args.batch, platforms=platforms)
+            batch=args.batch, platforms=platforms,
+            weights_dtype=args.weights_dtype)
         print(json.dumps(manifest, indent=2, sort_keys=True))
     elif args.cmd == "export-stream":
         import jax
@@ -438,7 +476,8 @@ def _main():
         manifest = export_streamer(
             model, state["params"], args.out_dir,
             chunk_samples=args.chunk, warmup_samples=args.warmup,
-            batch=args.batch, platforms=platforms)
+            batch=args.batch, platforms=platforms,
+            weights_dtype=args.weights_dtype)
         print(json.dumps(manifest, indent=2, sort_keys=True))
     elif args.cmd == "run-stream":
         from danet_tpu.data import audio
