@@ -51,6 +51,7 @@ class Hyperparameter:
 
     pattern = r"[A-Z_]+"
     encoder_registry: Dict[str, Any] = {}
+    model_registry: Dict[str, Any] = {}
     estimator_registry: Dict[str, Any] = {}
     separator_registry: Dict[str, Any] = {}
     ozer_registry: Dict[str, Any] = {}
@@ -113,6 +114,21 @@ class Hyperparameter:
     def get_encoder(self, name=None):
         return type(self).encoder_registry[
             self.ENCODER_TYPE if name is None else name]
+
+    @classmethod
+    def register_model(cls_, name):
+        """Model-family registry (new, no reference analogue — the
+        reference has exactly one Model class, main.py:61).  Selected by
+        MODEL_TYPE: 'danet' (default) or 'tasnet-v1'."""
+        def wrapper(cls):
+            cls_.model_registry[name] = cls
+            return cls
+        return wrapper
+
+    def get_model(self, name=None):
+        return type(self).model_registry[
+            (getattr(self, "MODEL_TYPE", "danet") or "danet")
+            if name is None else name]
 
     @classmethod
     def register_estimator(cls_, name):

@@ -43,10 +43,13 @@ def mixture_features(src_ri: jnp.ndarray, eps: float):
     return mix_ri, src_pwr, mix_pwr, logmag, phase_unit
 
 
+@hparams.register_model("danet")
 class DaNet:
     """The composed model; sub-modules resolved from the registries by the
     same config keys as the reference (ENCODER_TYPE,
-    TRAIN/INFER_ESTIMATOR_METHOD, SEPARATOR_TYPE — main.py:210,249-270)."""
+    TRAIN/INFER_ESTIMATOR_METHOD, SEPARATOR_TYPE — main.py:210,249-270).
+    The default MODEL_TYPE; 'tasnet-v1' selects the waveform-domain
+    Conv-TasNet family (models/tasnet.py)."""
 
     def __init__(self, hp=None, name: str = "danet"):
         hp = hp if hp is not None else hparams

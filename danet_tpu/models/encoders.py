@@ -632,9 +632,12 @@ class TcnEncoder(Encoder):
             }
         return params
 
-    def _block(self, blk, h_seq, dilation, causal, alpha, tail=None):
+    @staticmethod
+    def _block(blk, h_seq, dilation, causal, alpha, tail=None):
         """One residual block.  With ``tail`` (streaming), the depthwise
-        conv runs VALID over [tail | chunk] and the new tail is returned."""
+        conv runs VALID over [tail | chunk] and the new tail is returned.
+        Static (no encoder state): the waveform-domain TasNet separator
+        (models/tasnet.py) reuses it over learned-basis frames."""
         y = AttentionEncoder._ln(blk["ln1"], h_seq)
         y = nn.leaky_relu(nn.linear_apply(blk["in"], y), alpha)
         if tail is not None:

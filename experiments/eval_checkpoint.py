@@ -58,7 +58,6 @@ def main():
     apply_overrides(hparams, args.overrides)
     hparams.digest()
 
-    from danet_tpu.models import DaNet
     from danet_tpu.train.trainer import Trainer
     from danet_tpu.train import checkpoint as ckpt_lib
 
@@ -70,7 +69,7 @@ def main():
     for est in args.estimators.split(","):
         hparams.INFER_ESTIMATOR_METHOD = est
         hparams.digest()
-        trainer = Trainer(DaNet(), name="eval")
+        trainer = Trainer(hparams.get_model()(), name="eval")
         state = trainer.init_state(jax.random.PRNGKey(0))
         if params is None:
             state = ckpt_lib.load_checkpoint(

@@ -77,12 +77,11 @@ def main():
     apply_overrides(hparams, args.overrides)
     hparams.digest()
 
-    from danet_tpu.models import DaNet
     from danet_tpu.train.trainer import Trainer
 
     dataset = hparams.get_dataset()()
     dataset.install_and_load()
-    trainer = Trainer(DaNet(), name="synthext", save_dir=args.save_dir)
+    trainer = Trainer(hparams.get_model()(), name="synthext", save_dir=args.save_dir)
     state = trainer.init_state(jax.random.PRNGKey(0))
     latest = os.path.join(args.save_dir, "latest")
     if args.resume:

@@ -190,6 +190,30 @@ def run_debug(args):
     params = g_state["params"]
     model = g_model
 
+    if not isinstance(model, DaNet):
+        # waveform-domain family: dump the basis features / masks /
+        # separated waveforms via the tap hook instead of the DaNet
+        # embedding/attractor pipeline
+        def debug_fetch_tasnet(params, src_ri):
+            fetches = {}
+            wav_src = model._src_wavs(src_ri)
+            mix = jnp.sum(wav_src, axis=1)
+            padded = model._pad_len(mix.shape[-1])
+            mix_p = jnp.pad(mix, [(0, 0), (0, padded - mix.shape[-1])])
+            sep = model._separate_wav_padded(
+                params, mix_p,
+                tap=lambda k, v: fetches.__setitem__(k, v))
+            return dict(fetches, mixture=mix, output=sep)
+
+        import jax.numpy as jnp
+        data = jax.jit(debug_fetch_tasnet)(params, src_ri)
+        data = {k: np.asarray(v) for k, v in data.items()}
+        data["input"] = np.stack([src.real, src.imag], -1)
+        os.makedirs("debug", exist_ok=True)
+        scipy.io.savemat("debug/debug_data.mat", data)
+        print("Debug data written to debug/debug_data.mat")
+        return
+
     def debug_fetch(params, src_ri):
         hp = model.hp
         (mix_ri, src_pwr, mix_pwr, logmag,
@@ -250,7 +274,7 @@ def main():
     if multihost.initialize():
         print("multi-host: process %d/%d"
               % (jax.process_index(), jax.process_count()))
-    g_model = DaNet()
+    g_model = hparams.get_model()()   # MODEL_TYPE: danet | tasnet-v1
     g_trainer = Trainer(g_model, name=g_args.name)
     g_state = g_trainer.init_state(jax.random.PRNGKey(g_args.seed))
     print("done (%d parameters, %d device(s): %s)" % (
