@@ -291,5 +291,112 @@ class TasNet:
         return dsp.stft_ri(sep, hp.FFT_SIZE, hp.FFT_STRIDE,
                            hp.FFT_WND_ARRAY)[..., :mix_ri.shape[1], :, :]
 
+    # ------------------------------------------------------------------
+    # Exact causal streaming (TASNET_CAUSAL=true): waveform chunks in,
+    # separated chunks out, all state explicit — the same two-program
+    # serving surface as DaNet (serve.export_streamer).  Unlike DaNet
+    # there are NO utterance-level statistics (masks are per-frame), so
+    # streaming is EXACT with zero warmup dependence: the output equals
+    # the offline separation of the zero-prefixed stream, delayed by
+    # win - stride samples (1 ms at the 16/8 defaults and 8 kHz).
+    # ------------------------------------------------------------------
+    def stream_granularity_samples(self) -> int:
+        """Chunk sizes must be multiples of the basis stride."""
+        return self._dims()["stride"]
+
+    def stream_latency_samples(self) -> int:
+        """Output lags input by the frame overlap."""
+        d = self._dims()
+        return d["win"] - d["stride"]
+
+    def _require_causal(self):
+        if not self._dims()["causal"]:
+            raise ValueError(
+                "TasNet streams only with TASNET_CAUSAL=true (non-causal "
+                "dilated convs need future frames)")
+
+    def stream_state_init(self, batch: int) -> dict:
+        """Zero stream state: raw-input frame tail, per-block conv tails
+        (matching the causal left padding of a fresh stream), decoder
+        overlap-add tail."""
+        self._require_causal()
+        d = self._dims()
+        n = self.hp.MAX_N_SIGNAL
+        cdt = jnp.asarray(0.0, getattr(
+            self.hp, "COMPUTE_DTYPE", "float32")).dtype
+        overlap = d["win"] - d["stride"]
+        return {
+            "wav_tail": jnp.zeros((batch, overlap), jnp.float32),
+            "conv_tails": [
+                jnp.zeros(
+                    (batch, (d["kernel"] - 1) * self._dilation(i),
+                     d["hidden"]), cdt)
+                for i in range(self._n_blocks())],
+            "ola_tail": jnp.zeros((batch, n, overlap), jnp.float32),
+        }
+
+    def stream_init(self, params, wav_warmup: jnp.ndarray):
+        """Start a stream: [B, Lw] -> (sep [B, N, Lw], state).  Lw must
+        be a multiple of TASNET_STRIDE.  Purely a zero-state step (no
+        frozen statistics), kept two-program for serving-surface parity
+        with DaNet (serve.export_streamer)."""
+        self._require_causal()
+        state = self.stream_state_init(wav_warmup.shape[0])
+        return self.stream_step(params, state, wav_warmup)
+
+    def stream_step(self, params, state: dict, wav_chunk: jnp.ndarray):
+        """One streaming step: (state, [B, Lc]) -> ([B, N, Lc], state').
+        Lc must be a multiple of TASNET_STRIDE; output is chunk-size-
+        invariant (tested) and lags input by win - stride samples."""
+        from danet_tpu.models.encoders import AttentionEncoder, TcnEncoder
+        hp = self.hp
+        d = self._dims()
+        alpha = hp.RELU_LEAKAGE
+        cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
+        win, stride = d["win"], d["stride"]
+        overlap = win - stride
+        lc = wav_chunk.shape[-1]
+        if lc % stride:
+            raise ValueError(
+                "chunk length %d must be a multiple of TASNET_STRIDE=%d"
+                % (lc, stride))
+
+        ext = jnp.concatenate(
+            [state["wav_tail"], wav_chunk.astype(jnp.float32)], axis=-1)
+        frames = _frame(ext, win, stride)              # [B, K=Lc/stride, win]
+        feats = jax.nn.relu(nn.mm(
+            frames.astype(cdt), params["enc_basis"].astype(cdt)))
+        y = AttentionEncoder._ln(params["ln_in"], feats)
+        y = nn.linear_apply(params["bottleneck"], y)
+        new_tails = []
+        for i in range(self._n_blocks()):
+            y, tail = TcnEncoder._block(
+                params[f"block{i}"], y, self._dilation(i), True, alpha,
+                tail=state["conv_tails"][i])
+            new_tails.append(tail)
+
+        b, k = y.shape[0], y.shape[1]
+        n = hp.MAX_N_SIGNAL
+        logits = nn.linear_apply(params["mask_head"], y).astype(jnp.float32)
+        logits = logits.reshape(b, k, n, d["n_basis"])
+        if d["mask"] == "sigmoid":
+            masks = jax.nn.sigmoid(logits)
+        elif d["mask"] == "relu":
+            masks = jax.nn.relu(logits)
+        elif d["mask"] == "softmax":
+            masks = jax.nn.softmax(logits, axis=2)
+        else:
+            raise ValueError("Unknown TASNET_MASK %r" % (d["mask"],))
+        masks = jnp.moveaxis(masks, 2, 1)
+        sep_feats = feats.astype(jnp.float32)[:, None] * masks
+        sep_frames = nn.mm(
+            sep_feats, params["dec_basis"].astype(jnp.float32))
+        buf = _overlap_add(sep_frames, stride)        # [B, N, Lc+overlap]
+        buf = buf.at[..., :overlap].add(state["ola_tail"])
+        out = buf[..., :lc]
+        return out, {"wav_tail": ext[..., ext.shape[-1] - overlap:],
+                     "conv_tails": new_tails,
+                     "ola_tail": buf[..., lc:]}
+
     def parameter_count(self, params) -> int:
         return sum(x.size for x in jax.tree_util.tree_leaves(params))

@@ -267,11 +267,18 @@ def export_streamer(model, params, out_dir: str, chunk_samples: int,
     from jax import export as jexport
 
     hp = model.hp
-    stride = int(hp.FFT_STRIDE)
+    # sample granularity / output lag come from the model when it
+    # exposes them (tasnet-v1: TASNET_STRIDE / win-stride); the STFT
+    # convention (FFT_STRIDE / FFT_SIZE-FFT_STRIDE) is the DaNet default
+    gran_fn = getattr(model, "stream_granularity_samples", None)
+    stride = int(gran_fn()) if gran_fn else int(hp.FFT_STRIDE)
+    lat_fn = getattr(model, "stream_latency_samples", None)
+    latency = (int(lat_fn()) if lat_fn
+               else int(hp.FFT_SIZE) - int(hp.FFT_STRIDE))
     if chunk_samples % stride or warmup_samples % stride:
         raise ValueError(
-            "chunk_samples/warmup_samples must be multiples of "
-            "FFT_STRIDE=%d" % stride)
+            "chunk_samples/warmup_samples must be multiples of the "
+            "stream granularity %d" % stride)
     if platforms is not None:
         platforms = tuple(str(p) for p in platforms)
     os.makedirs(out_dir, exist_ok=True)
@@ -302,7 +309,7 @@ def export_streamer(model, params, out_dir: str, chunk_samples: int,
         "chunk_samples": int(chunk_samples),
         "warmup_samples": int(warmup_samples),
         "batch": int(batch),
-        "latency_samples": int(hp.FFT_SIZE - stride),
+        "latency_samples": latency,
         "platforms": list(platforms) if platforms is not None
         else [_je.default_export_platform()],
         "n_signal": int(hp.MAX_N_SIGNAL),
@@ -435,7 +442,7 @@ def _main():
         import jax
         from danet_tpu.hparams import hparams
         import danet_tpu  # noqa: F401 (registries)
-        from danet_tpu.models import DaNet
+        from danet_tpu.models import DaNet  # noqa: F401
         from danet_tpu.train import checkpoint as ckpt_lib
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -443,7 +450,7 @@ def _main():
         if args.hparams_file:
             hparams.load_json(args.hparams_file)
         hparams.digest()
-        model = DaNet()
+        model = hparams.get_model()()  # MODEL_TYPE
         params = model.init(jax.random.PRNGKey(0))
         state = ckpt_lib.load_checkpoint(
             args.input_pfile, {"params": params}, partial=True)
@@ -459,7 +466,7 @@ def _main():
         import jax
         from danet_tpu.hparams import hparams
         import danet_tpu  # noqa: F401 (registries)
-        from danet_tpu.models import DaNet
+        from danet_tpu.models import DaNet  # noqa: F401
         from danet_tpu.train import checkpoint as ckpt_lib
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -467,7 +474,7 @@ def _main():
         if args.hparams_file:
             hparams.load_json(args.hparams_file)
         hparams.digest()
-        model = DaNet()
+        model = hparams.get_model()()  # MODEL_TYPE
         params = model.init(jax.random.PRNGKey(0))
         state = ckpt_lib.load_checkpoint(
             args.input_pfile, {"params": params}, partial=True)

@@ -146,3 +146,81 @@ def test_mask_options(tiny_tasnet):
     hp.TASNET_MASK = "bogus"
     with pytest.raises(ValueError, match="TASNET_MASK"):
         model.separate_wav(params, wav)
+
+
+@pytest.fixture()
+def causal_tasnet(fresh_hparams):
+    hp = fresh_hparams
+    hp.MODEL_TYPE = "tasnet-v1"
+    hp.BATCH_SIZE = 1
+    hp.TASNET_FILTERS = 48
+    hp.TASNET_BOTTLENECK = 24
+    hp.TASNET_HIDDEN = 32
+    hp.TASNET_BLOCKS = 3
+    hp.TASNET_REPEATS = 2
+    hp.TASNET_CAUSAL = True
+    model = hp.get_model()()
+    params = model.init(jax.random.PRNGKey(1))
+    return hp, model, params
+
+
+def test_stream_exact_and_chunk_invariant(causal_tasnet):
+    """Causal streaming equals the offline separation of the
+    zero-prefixed stream (delayed by win - stride samples) and is
+    invariant to how the stream is chunked."""
+    hp, model, params = causal_tasnet
+    lag = model.stream_latency_samples()
+    rng = np.random.RandomState(0)
+    wav = rng.randn(1, 1024).astype(np.float32) * 0.3
+
+    # offline oracle: separate the zero-prefixed signal
+    pre = np.concatenate([np.zeros((1, lag), np.float32), wav], axis=-1)
+    want = np.asarray(model.separate_wav(params, jnp.asarray(pre)))
+
+    for chunks in ((1024,), (256,) * 4, (64,) * 16, (8,) * 128):
+        out, state = model.stream_init(
+            params, jnp.asarray(wav[:, :chunks[0]]))
+        parts = [np.asarray(out)]
+        off = chunks[0]
+        for c in chunks[1:]:
+            out, state = model.stream_step(
+                params, state, jnp.asarray(wav[:, off:off + c]))
+            parts.append(np.asarray(out))
+            off += c
+        got = np.concatenate(parts, axis=-1)
+        assert got.shape == (1, hp.MAX_N_SIGNAL, 1024)
+        np.testing.assert_allclose(got, want[..., :1024],
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_stream_requires_causal(tiny_tasnet):
+    hp, model, params = tiny_tasnet
+    with pytest.raises(ValueError, match="TASNET_CAUSAL"):
+        model.stream_init(params, jnp.zeros((1, 64)))
+
+
+def test_stream_export_roundtrip(causal_tasnet, tmp_path):
+    """export_streamer picks up the model's granularity/latency hooks
+    and the artifact reproduces live streaming."""
+    from danet_tpu import serve
+    hp, model, params = causal_tasnet
+    out_dir = str(tmp_path / "stream_art")
+    man = serve.export_streamer(model, params, out_dir,
+                                chunk_samples=64, warmup_samples=256)
+    assert man["latency_samples"] == model.stream_latency_samples()
+    bundle = serve.load_streamer(out_dir)
+    rng = np.random.RandomState(1)
+    wav = rng.randn(512).astype(np.float32) * 0.3
+    parts = [bundle.start(wav[:256])]
+    for lo in range(256, 512, 64):
+        parts.append(bundle.feed(wav[lo:lo + 64]))
+    got = np.concatenate(parts, axis=-1)[0]
+
+    out, state = model.stream_init(params, jnp.asarray(wav[None, :256]))
+    live = [np.asarray(out)]
+    for lo in range(256, 512, 64):
+        out, state = model.stream_step(
+            params, state, jnp.asarray(wav[None, lo:lo + 64]))
+        live.append(np.asarray(out))
+    np.testing.assert_allclose(got, np.concatenate(live, -1)[0],
+                               rtol=1e-5, atol=1e-6)
