@@ -82,13 +82,15 @@ class TasNet:
 
     def _check_parallel_support(self):
         """Data parallelism is native (pure batch ops -> GSPMD shards the
-        batch); the other mesh axes have no route through this model yet,
-        so fail loudly instead of silently replicating."""
-        for key in ("MESH_MODEL", "MESH_PIPE", "MESH_EXPERT", "MESH_SEQ"):
+        batch) and MESH_SEQ routes the EXACT sample-sharded sequence-
+        parallel forward (_forward_sp); the other mesh axes have no route
+        through this model, so fail loudly instead of silently
+        replicating."""
+        for key in ("MESH_MODEL", "MESH_PIPE", "MESH_EXPERT"):
             if int(getattr(self.hp, key, 1) or 1) > 1:
                 raise ValueError(
                     "MODEL_TYPE='tasnet-v1' supports data parallelism "
-                    "only; %s>1 is not routed" % key)
+                    "and MESH_SEQ only; %s>1 is not routed" % key)
 
     def _dims(self):
         hp = self.hp
@@ -150,18 +152,134 @@ class TasNet:
 
     # ------------------------------------------------------------------
     def _pad_len(self, length: int):
-        """Pad so (L - win) % stride == 0 and L >= win."""
+        """Pad to a stride multiple (>= one stride); with the forward's
+        zero-suffix framing (see _separate_wav_padded) every padded
+        length then frames evenly into L/stride analysis windows."""
+        stride = self._dims()["stride"]
+        length = max(length, stride)
+        return length + (-length) % stride
+
+    def _mask_and_decode(self, params, feats, y):
+        """Shared tail: TCN output y -> masks -> masked basis features ->
+        decoded frames [B, N, K, win] (all pointwise per frame)."""
+        d = self._dims()
+        n = self.hp.MAX_N_SIGNAL
+        b, k = y.shape[0], y.shape[1]
+        logits = nn.linear_apply(params["mask_head"], y).astype(
+            jnp.float32)
+        logits = logits.reshape(b, k, n, d["n_basis"])
+        if d["mask"] == "sigmoid":
+            masks = jax.nn.sigmoid(logits)
+        elif d["mask"] == "relu":
+            masks = jax.nn.relu(logits)
+        elif d["mask"] == "softmax":
+            masks = jax.nn.softmax(logits, axis=2)   # over sources
+        else:
+            raise ValueError("Unknown TASNET_MASK %r" % (d["mask"],))
+        masks = jnp.moveaxis(masks, 2, 1)             # [B, N, K, nb]
+        sep_feats = feats.astype(jnp.float32)[:, None] * masks
+        return masks, nn.mm(sep_feats, params["dec_basis"].astype(
+            jnp.float32))                             # [B, N, K, win]
+
+    def _forward_sp(self, params, mix_wav, mesh, train=False, rng=None,
+                    seq_axis: str = "seq"):
+        """EXACT sequence-parallel forward over a 'seq' mesh axis.
+
+        The waveform shards in equal sample chunks; every stage is local
+        except three cheap boundary exchanges over the ICI:
+
+          * framing: each shard fetches the (win - stride)-sample head of
+            its RIGHT neighbour (one ppermute) so boundary-straddling
+            analysis frames are exact;
+          * the dilated TCN runs through parallel/seq_parallel.
+            tcn_stack_sp — the conv halos are exchanged per block, exact
+            by the same finite-context argument as the tcn-v1 encoder;
+          * decoder overlap-add: each shard ships its (win - stride)-
+            sample OLA tail to the RIGHT neighbour's head (one ppermute).
+
+        Basis GEMMs, LayerNorms and the mask head are per-frame, so GSPMD
+        keeps them frame-sharded with no collectives.  Output equals the
+        dense forward bit-for-bit modulo f32 reduction order (tested).
+        """
+        import functools
+
+        from jax.sharding import PartitionSpec as P
+
+        from danet_tpu.models.encoders import AttentionEncoder
+        from danet_tpu.parallel.seq_parallel import (
+            _mesh_data_axis, _shift_from_left, _shift_from_right,
+            tcn_stack_sp)
+
+        hp = self.hp
         d = self._dims()
         win, stride = d["win"], d["stride"]
-        length = max(length, win)
-        pad = (-(length - win)) % stride
-        return length + pad
+        overlap = win - stride
+        s = mesh.shape[seq_axis]
+        length = mix_wav.shape[-1]
+        if length % (stride * s):
+            raise ValueError(
+                "MESH_SEQ=%d needs the padded waveform length %d to "
+                "divide by stride*seq = %d" % (s, length, stride * s))
+        n_blocks = self._n_blocks()
+        keep = hp.DROPOUT_KEEP_PROB if train else 1.0
+        drop_keys = (list(jax.random.split(rng, n_blocks))
+                     if (rng is not None and keep < 1.0) else None)
+        cdt = getattr(hp, "COMPUTE_DTYPE", "float32")
+        d_axis = _mesh_data_axis(mesh, mix_wav.shape[0], "data")
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(), P(d_axis, seq_axis)),
+            out_specs=P(d_axis, seq_axis, None))
+        def feats_fn(enc_basis, wav_loc):
+            halo = _shift_from_right(wav_loc[:, :overlap], seq_axis)
+            ext = jnp.concatenate([wav_loc, halo], axis=-1)
+            frames = _frame(ext, win, stride)        # [B, Lc/stride, win]
+            return jax.nn.relu(nn.mm(
+                frames.astype(cdt), enc_basis.astype(cdt)))
+
+        feats = feats_fn(params["enc_basis"], mix_wav)  # [B, K, nb]
+        y = AttentionEncoder._ln(params["ln_in"], feats)
+        body = {"bottleneck": params["bottleneck"]}
+        body.update({f"block{i}": params[f"block{i}"]
+                     for i in range(n_blocks)})
+        y = tcn_stack_sp(
+            body, y, mesh,
+            dilations=[self._dilation(i) for i in range(n_blocks)],
+            kernel=d["kernel"], causal=d["causal"],
+            alpha=hp.RELU_LEAKAGE, seq_axis=seq_axis,
+            drop_keys=drop_keys, keep_prob=keep,
+            remat=bool(getattr(hp, "REMAT", False)))
+        _, sep_frames = self._mask_and_decode(params, feats, y)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(d_axis, None, seq_axis, None),),
+            out_specs=P(d_axis, None, seq_axis))
+        def ola_fn(frames_loc):
+            buf = _overlap_add(frames_loc, stride)   # [B, N, Lc+overlap]
+            from_left = _shift_from_left(buf[..., -overlap:], seq_axis)
+            out = buf[..., :buf.shape[-1] - overlap]
+            return out.at[..., :overlap].add(from_left)
+
+        return ola_fn(sep_frames)                    # [B, N, L]
 
     def _separate_wav_padded(self, params, mix_wav, train=False, rng=None,
                              tap=None):
-        """Core forward: [B, L] (pre-padded) -> separated [B, N, L]."""
-        from danet_tpu.models.encoders import AttentionEncoder, TcnEncoder
+        """Core forward: [B, L] (pre-padded) -> separated [B, N, L].
+
+        With MESH_SEQ>1 configured and an active mesh carrying the 'seq'
+        axis, routes the exact sequence-parallel path (_forward_sp);
+        dense otherwise (inference hosts without the axis)."""
+        from danet_tpu.models.encoders import (AttentionEncoder,
+                                               TcnEncoder, _route_mesh)
         hp = self.hp
+        n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+        if n_seq > 1 and tap is None:
+            mesh = _route_mesh("seq", n_seq)
+            if mesh is not None:
+                return self._forward_sp(params, mix_wav, mesh,
+                                        train=train, rng=rng)
         d = self._dims()
         n = hp.MAX_N_SIGNAL
         alpha = hp.RELU_LEAKAGE
@@ -172,7 +290,16 @@ class TasNet:
                      if (rng is not None and keep < 1.0) else
                      [None] * n_blocks)
 
-        frames = _frame(mix_wav, d["win"], d["stride"])     # [B, K, win]
+        # zero-suffix framing convention: analyze K = L/stride frames of
+        # the (win - stride)-zero-extended signal, so every input sample
+        # is covered and the SP path's zero right-halo at the global edge
+        # (_forward_sp) computes the IDENTICAL frame set; the extra
+        # frames' own output samples land past L and are trimmed by the
+        # callers.
+        overlap = d["win"] - d["stride"]
+        ext = jnp.pad(mix_wav, [(0, 0)] * (mix_wav.ndim - 1)
+                      + [(0, overlap)])
+        frames = _frame(ext, d["win"], d["stride"])         # [B, K, win]
         feats = jax.nn.relu(nn.mm(
             frames.astype(cdt), params["enc_basis"].astype(cdt)))
         if tap:
@@ -188,24 +315,9 @@ class TasNet:
             if tap:
                 tap("block%d_h" % i, y)
 
-        b, k = y.shape[0], y.shape[1]
-        logits = nn.linear_apply(params["mask_head"], y).astype(
-            jnp.float32)
-        logits = logits.reshape(b, k, n, d["n_basis"])
-        if d["mask"] == "sigmoid":
-            masks = jax.nn.sigmoid(logits)
-        elif d["mask"] == "relu":
-            masks = jax.nn.relu(logits)
-        elif d["mask"] == "softmax":
-            masks = jax.nn.softmax(logits, axis=2)   # over sources
-        else:
-            raise ValueError("Unknown TASNET_MASK %r" % (d["mask"],))
-        masks = jnp.moveaxis(masks, 2, 1)             # [B, N, K, nb]
+        masks, sep_frames = self._mask_and_decode(params, feats, y)
         if tap:
             tap("masks", masks)
-        sep_feats = feats.astype(jnp.float32)[:, None] * masks
-        sep_frames = nn.mm(sep_feats, params["dec_basis"].astype(
-            jnp.float32))                             # [B, N, K, win]
         return _overlap_add(sep_frames, d["stride"])  # [B, N, L]
 
     # ------------------------------------------------------------------
@@ -375,22 +487,7 @@ class TasNet:
                 tail=state["conv_tails"][i])
             new_tails.append(tail)
 
-        b, k = y.shape[0], y.shape[1]
-        n = hp.MAX_N_SIGNAL
-        logits = nn.linear_apply(params["mask_head"], y).astype(jnp.float32)
-        logits = logits.reshape(b, k, n, d["n_basis"])
-        if d["mask"] == "sigmoid":
-            masks = jax.nn.sigmoid(logits)
-        elif d["mask"] == "relu":
-            masks = jax.nn.relu(logits)
-        elif d["mask"] == "softmax":
-            masks = jax.nn.softmax(logits, axis=2)
-        else:
-            raise ValueError("Unknown TASNET_MASK %r" % (d["mask"],))
-        masks = jnp.moveaxis(masks, 2, 1)
-        sep_feats = feats.astype(jnp.float32)[:, None] * masks
-        sep_frames = nn.mm(
-            sep_feats, params["dec_basis"].astype(jnp.float32))
+        _, sep_frames = self._mask_and_decode(params, feats, y)
         buf = _overlap_add(sep_frames, stride)        # [B, N, Lc+overlap]
         buf = buf.at[..., :overlap].add(state["ola_tail"])
         out = buf[..., :lc]

@@ -224,3 +224,75 @@ def test_stream_export_roundtrip(causal_tasnet, tmp_path):
         live.append(np.asarray(out))
     np.testing.assert_allclose(got, np.concatenate(live, -1)[0],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sp_forward_exact(fresh_hparams):
+    """MESH_SEQ=2 sequence-parallel forward (frame halo + conv halos +
+    OLA boundary exchange) matches the dense forward bit-for-bit modulo
+    f32 reduction order."""
+    from danet_tpu.parallel import set_active_mesh
+    from danet_tpu.parallel.sharding import make_mesh
+
+    hp = fresh_hparams
+    hp.MODEL_TYPE = "tasnet-v1"
+    hp.BATCH_SIZE = 2
+    hp.TASNET_FILTERS = 48
+    hp.TASNET_BOTTLENECK = 24
+    hp.TASNET_HIDDEN = 32
+    hp.TASNET_BLOCKS = 3
+    hp.TASNET_REPEATS = 2
+    model = hp.get_model()()
+    params = model.init(jax.random.PRNGKey(0))
+    wav = jnp.asarray(np.random.RandomState(0).randn(
+        2, 1024).astype(np.float32))
+    dense = np.asarray(model.separate_wav(params, wav))
+
+    hp.MESH_SEQ = 2
+    mesh = make_mesh(2, 1, jax.devices()[:4], n_seq=2)
+    set_active_mesh(mesh)
+    try:
+        model_sp = hp.get_model()()
+        sp = np.asarray(jax.jit(model_sp.separate_wav)(params, wav))
+    finally:
+        set_active_mesh(None)
+        hp.MESH_SEQ = 1
+    np.testing.assert_allclose(sp, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_trainer_seq_parallel_tasnet_step(fresh_hparams):
+    """A Trainer train step with MESH_SEQ=2 (dp=2 x sp=2) matches the
+    single-device tasnet step numerically (the SP route is exact)."""
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.MODEL_TYPE = "tasnet-v1"
+    hp.BATCH_SIZE = 4
+    hp.TASNET_FILTERS = 48
+    hp.TASNET_BOTTLENECK = 24
+    hp.TASNET_HIDDEN = 32
+    hp.TASNET_BLOCKS = 3
+    hp.TASNET_REPEATS = 2
+    hp.digest()
+    rngnp = np.random.RandomState(0)
+    flat = rngnp.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 16,
+                      hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    def one_step(n_seq, n_data):
+        hp.MESH_SEQ, hp.MESH_DATA = n_seq, n_data
+        trainer = Trainer(hp.get_model()(),
+                          name="sptas%d" % n_seq)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        src = trainer._put_batch(batch)
+        state["params"], state["opt_state"], m = trainer._train_step(
+            state["params"], state["opt_state"], src,
+            jax.random.PRNGKey(1))
+        return float(m["loss"]), jax.device_get(state["params"])
+
+    loss_sp, params_sp = one_step(2, 2)
+    loss_ref, params_ref = one_step(1, 1)
+    np.testing.assert_allclose(loss_sp, loss_ref, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(params_ref),
+                    jax.tree_util.tree_leaves(params_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
