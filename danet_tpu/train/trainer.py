@@ -265,6 +265,26 @@ class Trainer:
         else:
             self._train_step = self._with_mesh(
                 jax.jit(train_step, donate_argnums=(0, 1)))
+        # EMA (Polyak) weight averaging: a separate tiny jitted update so
+        # the train step's signature/donation and the checkify variant stay
+        # untouched; one fused elementwise pass over params, dispatched
+        # async right after the step.  Eval/inference then run on the
+        # averaged weights (state['ema']) — not in the reference (its
+        # Saver writes raw variables only, main.py:192-206).
+        self.ema_decay = float(getattr(self.hp, "EMA_DECAY", 0.0) or 0.0)
+        if not 0.0 <= self.ema_decay < 1.0:
+            raise ValueError(
+                "EMA_DECAY=%r must be in [0, 1)" % (self.ema_decay,))
+        if self.ema_decay:
+            d = self.ema_decay
+
+            def ema_step(ema, params):
+                return jax.tree_util.tree_map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    ema, params)
+
+            self._ema_step = self._with_mesh(
+                jax.jit(ema_step, donate_argnums=(0,)))
         self._valid_step = self._with_mesh(jax.jit(valid_step))
         self._separate = self._with_mesh(jax.jit(model.separate))
         self._separate_wav = self._with_mesh(jax.jit(model.separate_wav))
@@ -300,8 +320,13 @@ class Trainer:
         params = self.model.init(rng)
         params = shard_params(self.mesh, params)
         opt_state = jax.jit(self.optimizer.init)(params)
-        return {"params": params, "opt_state": opt_state,
-                "step": 0, "epoch": 0}
+        state = {"params": params, "opt_state": opt_state,
+                 "step": 0, "epoch": 0}
+        if self.ema_decay:
+            # independent buffers: the train step donates params, so the
+            # EMA tree must not alias them
+            state["ema"] = jax.tree_util.tree_map(jnp.copy, params)
+        return state
 
     def _put_batch(self, batch_np: np.ndarray):
         """Single-host: device_put with the batch sharding.  Multi-host:
