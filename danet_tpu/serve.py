@@ -452,12 +452,11 @@ def _main():
         hparams.digest()
         model = hparams.get_model()()  # MODEL_TYPE
         params = model.init(jax.random.PRNGKey(0))
-        state = ckpt_lib.load_checkpoint(
-            args.input_pfile, {"params": params}, partial=True)
+        params = ckpt_lib.load_eval_params(args.input_pfile, params)
         platforms = (args.platforms.split(",")
                      if args.platforms else None)
         manifest = export_separator(
-            model, state["params"], args.out_dir,
+            model, params, args.out_dir,
             [int(x) for x in args.lengths.split(",")],
             batch=args.batch, platforms=platforms,
             weights_dtype=args.weights_dtype)
@@ -476,12 +475,11 @@ def _main():
         hparams.digest()
         model = hparams.get_model()()  # MODEL_TYPE
         params = model.init(jax.random.PRNGKey(0))
-        state = ckpt_lib.load_checkpoint(
-            args.input_pfile, {"params": params}, partial=True)
+        params = ckpt_lib.load_eval_params(args.input_pfile, params)
         platforms = (args.platforms.split(",")
                      if args.platforms else None)
         manifest = export_streamer(
-            model, state["params"], args.out_dir,
+            model, params, args.out_dir,
             chunk_samples=args.chunk, warmup_samples=args.warmup,
             batch=args.batch, platforms=platforms,
             weights_dtype=args.weights_dtype)

@@ -67,6 +67,46 @@ def _raise_mismatch(path, template, ckptr, orig) -> None:
     raise orig
 
 
+def _restore_ema_compat(path, template, ckptr, orig) -> dict:
+    """EMA checkpoint compatibility (both directions): a pre-EMA checkpoint
+    restored under EMA_DECAY>0 lacks the 'ema' subtree — re-seed it from
+    the restored params (the EMA restarts from the resume point); an EMA
+    checkpoint restored under EMA_DECAY=0 carries an extra 'ema' — restore
+    and drop it.  Any other mismatch falls through to the structural
+    diagnosis so genuine architecture/config errors still read as such."""
+    if isinstance(template, dict) and "params" in template:
+        if "ema" in template:
+            t2 = {k: v for k, v in template.items() if k != "ema"}
+            try:
+                state = ckptr.restore(path, t2)
+            except Exception:
+                _raise_mismatch(path, template, ckptr, orig)
+            state["ema"] = jax.tree_util.tree_map(
+                np.copy, state["params"])
+            return state
+        t2 = dict(template, ema=template["params"])
+        try:
+            state = ckptr.restore(path, t2)
+        except Exception:
+            _raise_mismatch(path, template, ckptr, orig)
+        state.pop("ema")
+        return state
+    _raise_mismatch(path, template, ckptr, orig)
+
+
+def load_eval_params(path: str, params_template):
+    """Restore the weights inference/serving should run on: the EMA
+    (Polyak) average when the checkpoint carries one, raw params
+    otherwise.  Counterpart of Trainer.eval_params for params-only
+    consumers (the serving exporter, eval scripts)."""
+    try:
+        return load_checkpoint(
+            path, {"ema": params_template}, partial=True)["ema"]
+    except KeyError:
+        return load_checkpoint(
+            path, {"params": params_template}, partial=True)["params"]
+
+
 def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
     """Restore a train-state pytree; template supplies structure/shapes.
 
@@ -114,8 +154,8 @@ def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
     else:
         try:
             state = ckptr.restore(path, template)
-        except Exception as e:  # noqa: BLE001 — diagnose, then re-raise
-            _raise_mismatch(path, template, ckptr, e)
+        except Exception as e:  # noqa: BLE001 — reconcile EMA or diagnose
+            state = _restore_ema_compat(path, template, ckptr, e)
     # counters round-trip as 0-d arrays; hand back python ints so consumers
     # (JSONL metrics writer, epoch arithmetic) see the template's types
     for key in ("step", "epoch"):

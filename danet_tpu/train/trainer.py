@@ -349,6 +349,16 @@ class Trainer:
         return optim_lib.get_learn_rate(state["opt_state"])
 
     # ------------------------------------------------------------------
+    def eval_params(self, state):
+        """Weights that evaluation/inference runs on: the EMA (Polyak)
+        average when EMA_DECAY is set (state['ema']), raw params otherwise.
+        Used by the valid sweep, test(), separate() and the demo paths —
+        with averaging enabled, every quality-facing consumer sees the
+        averaged weights, never the raw ones."""
+        ema = state.get("ema") if isinstance(state, dict) else None
+        return ema if ema is not None else state["params"]
+
+    # ------------------------------------------------------------------
     def save_path(self, epoch: int) -> str:
         return os.path.join(self.save_dir, "%s_e%d" % (self.name, epoch))
 
@@ -363,6 +373,11 @@ class Trainer:
         tensor-parallel parameter placement (replicating every shard)."""
         state = ckpt_lib.load_checkpoint(path, state)
         state["params"] = shard_params(self.mesh, state["params"])
+        if state.get("ema") is not None:
+            # the EMA tree mirrors the params' sharding rules; without this
+            # a resume/rollback on a dp x tp mesh would leave host arrays
+            # that mis-place against the mesh-sharded params
+            state["ema"] = shard_params(self.mesh, state["ema"])
         # opt_state placement mirrors a fresh init on the sharded params.
         # Scalar/statistic leaves of jit(init) can come back UNCOMMITTED on
         # the default device when the mesh covers only a subset of the
@@ -531,6 +546,12 @@ class Trainer:
                 state["params"], state["opt_state"], metrics = \
                     self._train_step(
                         state["params"], state["opt_state"], src_ri, step_rng)
+                if self.ema_decay:
+                    if "ema" not in state:  # caller-supplied pre-EMA state
+                        state["ema"] = jax.tree_util.tree_map(
+                            jnp.copy, state["params"])
+                    state["ema"] = self._ema_step(
+                        state["ema"], state["params"])
                 pending.append((state["step"], metrics, timer.stop()))
                 if len(pending) >= metrics_every:
                     flush_pending()
@@ -670,7 +691,7 @@ class Trainer:
             batch = prepare_batch(
                 data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL, bucket=bucket)
             metrics = self._valid_step(
-                state["params"], self._put_batch(batch))
+                self.eval_params(state), self._put_batch(batch))
             acc = metrics if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, metrics)
             n += 1
@@ -694,4 +715,4 @@ class Trainer:
     # ------------------------------------------------------------------
     def separate(self, state, mix_ri: np.ndarray) -> np.ndarray:
         """Inference on a mixture batch [B, T, F, 2] -> [B, N, T, F, 2]."""
-        return np.asarray(self._separate(state["params"], mix_ri))
+        return np.asarray(self._separate(self.eval_params(state), mix_ri))

@@ -129,7 +129,7 @@ def run_demo(args):
         sep_ri = np.asarray(_jax.jit(
             lambda p, x: g_model.separate_stream(
                 p, x, args.stream_chunk, args.stream_warmup))(
-            g_state["params"], mix_ri[0]))[None]
+            g_trainer.eval_params(g_state), mix_ri[0]))[None]
     elif chunk and mix_ri.shape[1] > chunk:
         # streaming long-form path: chunked separation with cross-chunk
         # source alignment and crossfade (DaNet.separate_long)
@@ -137,7 +137,7 @@ def run_demo(args):
         sep_ri = np.asarray(_jax.jit(
             lambda p, x: g_model.separate_long(
                 p, x, chunk, int(hparams.DEMO_OVERLAP_FRAMES)))(
-            g_state["params"], mix_ri[0]))[None]
+            g_trainer.eval_params(g_state), mix_ri[0]))[None]
     else:
         sep_ri = g_trainer.separate(g_state, mix_ri)
     signals = audio.from_ri(sep_ri[0])                # [N, T, F] complex
@@ -187,7 +187,7 @@ def run_debug(args):
     src_ri = audio.to_ri(src[None])                   # [1, N, T, F, 2]
 
     from danet_tpu.models.danet import mixture_features
-    params = g_state["params"]
+    params = g_trainer.eval_params(g_state)
     model = g_model
 
     if not isinstance(model, DaNet):
