@@ -313,13 +313,14 @@ class DaNet:
         The pointwise front-end, embedding head, estimator einsums and
         masking are exactly T-sharded (GSPMD inserts the psums for the
         global attractor reductions).  The encoder runs sequence-parallel
-        per its family: bilstm-orig as chunked scans with halo state
-        warmup over the ICI (parallel/seq_parallel.bilstm_stack_sp,
-        boundary-approximate with halo-decaying error); attn-v1/moe-v1
-        via EXACT sequence-parallel attention — `sp_attn` picks the
-        collective pattern: 'ring' (K/V rotation over the ICI ring,
-        parallel/ring_attention) or 'ulysses' (all-to-all head sharding,
-        parallel/ulysses; needs ATTN_HEADS divisible by the axis size).
+        per its family: bilstm-orig per SP_RNN_SCHEME — 'relay' (EXACT
+        boundary-state relay, default) or 'halo' (approximate warmup,
+        halo-decaying error) via parallel/seq_parallel.bilstm_stack_sp;
+        attn-v1/moe-v1 via EXACT sequence-parallel attention — `sp_attn`
+        picks the collective pattern: 'ring' (K/V rotation over the ICI
+        ring, parallel/ring_attention) or 'ulysses' (all-to-all head
+        sharding, parallel/ulysses; needs ATTN_HEADS divisible by the
+        axis size).
         """
         from danet_tpu.models.encoders import (AttentionEncoder,
                                                 BiLstmEncoder, _LstmHead,
@@ -350,7 +351,8 @@ class DaNet:
             h = bilstm_stack_sp(
                 layers, x, mesh, halo=halo, seq_axis=seq_axis,
                 candidate_activation=_candidate_activation(hp),
-                backend=_backend(hp))
+                backend=_backend(hp),
+                scheme=getattr(hp, "SP_RNN_SCHEME", "relay") or "relay")
             embed = _LstmHead.apply(enc["output"], hp, h)
         else:
             raise NotImplementedError(

@@ -284,7 +284,8 @@ class BiLstmEncoder(Encoder):
         return bilstm_stack_sp(
             layers, x, mesh, halo=halo, candidate_activation=act,
             backend=_backend(hp), drop_keys=drop_keys, keep_prob=keep,
-            remat=bool(getattr(hp, "REMAT", False)))
+            remat=bool(getattr(hp, "REMAT", False)),
+            scheme=getattr(hp, "SP_RNN_SCHEME", "relay") or "relay")
 
     def _apply_pipelined(self, params, x, mesh, n_pipe, act, keep, rng):
         from danet_tpu.parallel.pipeline import bilstm_stack_pipelined
@@ -544,7 +545,9 @@ class GruEncoder(Encoder):
             layers = [params[f"gru{i}"] for i in range(self.N_LAYERS)]
             x = gru_stack_sp(layers, x, mesh, halo=halo,
                              backend=_backend(hp),
-                             remat=bool(getattr(hp, "REMAT", False)))
+                             remat=bool(getattr(hp, "REMAT", False)),
+                             scheme=getattr(hp, "SP_RNN_SCHEME",
+                                            "relay") or "relay")
         else:
             for i in range(self.N_LAYERS):
                 x = rnn.gru_apply(params[f"gru{i}"], x,

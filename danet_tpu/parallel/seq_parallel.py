@@ -1,17 +1,30 @@
-"""Sequence-parallel (Bi)LSTM: chunked scan with halo state warmup.
+"""Sequence-parallel (Bi)LSTM: exact boundary-state relay or halo warmup.
 
 SURVEY.md §2.4/§5: the reference handles long sequences only by cropping;
 true sequence parallelism for recurrences is blocked by the sequential
-state chain.  The TPU-native answer implemented here is the *halo* scheme:
-the T axis is sharded over a 'seq' mesh axis (each device owns one chunk),
-and every device warms its LSTM state up on a halo of frames received from
-its neighbour over the ICI (`jax.lax.ppermute`), then discards the halo
-outputs.  The recurrence is exact within a chunk and approximate across
-chunk boundaries with error decaying in the halo length (LSTM state has
-finite memory); the pointwise front/back ends are exactly T-parallel.
+state chain.  Two schemes are implemented (SP_RNN_SCHEME):
 
-Wall-clock per layer ~ (chunk + halo)/chunk / S of the sequential scan;
-comms are two edge-slice ppermutes per layer riding the ICI.
+* ``relay`` (default, EXACT): the T axis is sharded over a 'seq' mesh
+  axis and the true boundary states are relayed through the device ring —
+  S rounds, each a local chunk scan followed by a one-hop ``ppermute`` of
+  the final (c, h) to the next device.  Device k's round-k scan starts
+  from the state device k-1 finished round k-1 with, so its outputs equal
+  the dense scan bit-for-bit; a ``where(idx == round)`` keeps exactly
+  those.  Sequential depth stays O(T) — an exact recurrence cannot beat
+  that — so the relay buys MEMORY scaling (each device stores 1/S of the
+  activations; inputs, outputs and every pointwise stage stay T-sharded)
+  and composes with dp/tp for throughput, at dense-scan wall-clock.
+
+* ``halo`` (approximate, lower latency): every device warms its LSTM
+  state up on a halo of frames received from its neighbour over the ICI,
+  then discards the halo outputs.  The recurrence is exact within a chunk
+  and approximate across chunk boundaries with error decaying in the halo
+  length (LSTM state has finite memory).  Wall-clock per layer
+  ~ (chunk + halo)/chunk / S of the sequential scan — the scheme to pick
+  when latency matters more than bit-exactness.
+
+Comms per layer: relay = S-1 state hops per direction (tiny [B, H]
+messages); halo = two edge-slice ppermutes.  Both ride the ICI.
 
 Composes with data parallelism: when the mesh also carries a 'data' axis
 (and the batch divides over it), the batch dim is sharded over 'data'
@@ -91,6 +104,82 @@ def _bilstm_layer_local(p, x_loc, halo: int, axis_name: str,
     return jnp.concatenate([h_f, h_b], axis=-1)
 
 
+def _relay_direction(scan_fn, x_loc, hdim: int, axis_name: str, vary_axes,
+                     reverse: bool, n_state: int = 2):
+    """EXACT sequence parallelism for one scan direction: S rounds of
+    local chunk scans with the true boundary state relayed one hop per
+    round.  ``scan_fn(x, state0) -> (y, state_end)`` runs the local
+    recurrence (state is a tuple of [B, H] arrays).  At round r only
+    device r (forward) / S-1-r (reverse) holds a correct incoming state;
+    its outputs are selected into the result.  All other rounds' outputs
+    are discarded by the select, so their (garbage) states never reach a
+    kept output — and the select also zeroes their gradient paths, making
+    the backward pass exact too (ppermute transposes to the reverse hop).
+    """
+    s = jax.lax.psum(1, axis_name)  # static axis size
+    idx = jax.lax.axis_index(axis_name)
+    b, chunk = x_loc.shape[0], x_loc.shape[1]
+
+    def pv(z):
+        return jax.lax.pcast(z, vary_axes, to="varying")
+
+    zero = pv(jnp.zeros((b, hdim), x_loc.dtype))
+    out0 = pv(jnp.zeros((b, chunk, hdim), x_loc.dtype))
+    hop = _shift_from_right if reverse else _shift_from_left
+
+    def body(carry, r):
+        state, out = carry
+        y, state_end = scan_fn(x_loc, state)
+        active = idx == (s - 1 - r if reverse else r)
+        out = jnp.where(active, y, out)
+        state = tuple(hop(z, axis_name) for z in state_end)
+        return (state, out), None
+
+    (_, out), _ = jax.lax.scan(
+        body, ((zero,) * n_state, out0), jnp.arange(s))
+    return out
+
+
+def _bilstm_layer_relay(p, x_loc, axis_name: str,
+                        candidate_activation: str, backend: str,
+                        vary_axes):
+    """One EXACT sequence-parallel BiLSTM layer on a local chunk
+    [B, C, F]: forward relay left-to-right, backward relay right-to-left
+    (the two directions' rounds interleave, so both rings are busy).
+    Note: the relay needs the final scan state, which routes through the
+    XLA scan (ops/rnn.py lstm_apply return_state) — the Pallas kernel
+    path applies to the dense/halo schemes."""
+    hdim = p["fwd"]["wh"].shape[0]
+
+    def direction(pp, reverse):
+        def scan_fn(x, state):
+            c0, h0 = state
+            y, (c, h) = rnn.lstm_apply(
+                pp, x, candidate_activation, reverse=reverse,
+                c0=c0, h0=h0, return_state=True)
+            return y, (c, h)
+
+        return _relay_direction(scan_fn, x_loc, hdim, axis_name,
+                                vary_axes, reverse)
+
+    h_f = direction(p["fwd"], False)
+    h_b = direction(p["bwd"], True)
+    return jnp.concatenate([h_f, h_b], axis=-1)
+
+
+def _gru_layer_relay(p, x_loc, axis_name: str, backend: str, vary_axes):
+    """One EXACT sequence-parallel unidirectional GRU layer (relay of the
+    single [B, H] state, forward direction only)."""
+    hdim = p["wch"].shape[0]
+
+    def scan_fn(x, state):
+        y, c = rnn.gru_apply(p, x, c0=state[0], return_state=True)
+        return y, (c,)
+
+    return _relay_direction(scan_fn, x_loc, hdim, axis_name, vary_axes,
+                            reverse=False, n_state=1)
+
+
 def _gru_layer_local(p, x_loc, halo: int, axis_name: str, backend: str,
                      vary_axes):
     """One unidirectional GRU layer on a local chunk with halo warmup
@@ -110,13 +199,16 @@ def gru_stack_sp(params_list, x, mesh, halo: int = 32,
                  seq_axis: str = "seq", backend: str = "auto",
                  data_axis: str = "data",
                  drop_keys=None, keep_prob: float = 1.0,
-                 remat: bool = False):
+                 remat: bool = False, scheme: str = "relay"):
     """Sequence-parallel stack of unidirectional GRU layers (gru-v1
     encoder) — same contract as bilstm_stack_sp."""
     s = mesh.shape[seq_axis]
-    assert halo >= 1
     assert x.shape[1] % s == 0, "T must divide across the seq axis"
-    assert x.shape[1] // s >= halo, "chunk must be >= halo"
+    if scheme == "halo":
+        assert halo >= 1
+        assert x.shape[1] // s >= halo, "chunk must be >= halo"
+    elif scheme != "relay":
+        raise ValueError("unknown SP_RNN_SCHEME %r" % (scheme,))
     d_axis = _mesh_data_axis(mesh, x.shape[0], data_axis)
     x_spec = P(d_axis, seq_axis, None)
     if drop_keys is None:
@@ -137,8 +229,12 @@ def gru_stack_sp(params_list, x, mesh, halo: int = 32,
         kiter = iter(keys_in)
         y = x_loc
         for p, has_key in zip(params_list, key_mask):
-            layer = _maybe_ckpt(lambda pp, v: _gru_layer_local(
-                pp, v, halo, seq_axis, backend, vary), remat)
+            if scheme == "relay":
+                layer = _maybe_ckpt(lambda pp, v: _gru_layer_relay(
+                    pp, v, seq_axis, backend, vary), remat)
+            else:
+                layer = _maybe_ckpt(lambda pp, v: _gru_layer_local(
+                    pp, v, halo, seq_axis, backend, vary), remat)
             y = layer(p, y)
             if has_key:
                 from danet_tpu.ops.nn import dropout
@@ -279,28 +375,33 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
                     backend: str = "auto",
                     data_axis: str = "data",
                     drop_keys=None, keep_prob: float = 1.0,
-                    remat: bool = False):
+                    remat: bool = False, scheme: str = "relay"):
     """Run a stack of BiLSTM layers sequence-parallel over `seq_axis`.
 
     Args:
         params_list: list of bilstm param dicts ({'fwd':..., 'bwd':...})
-        x: GLOBAL input [B, T, F]; T must divide by the seq axis size and
-           each chunk must be >= halo
+        x: GLOBAL input [B, T, F]; T must divide by the seq axis size (and
+           for scheme='halo' each chunk must be >= halo)
         mesh: jax.sharding.Mesh containing `seq_axis`
-        halo: warmup frames exchanged per layer per direction
+        halo: warmup frames exchanged per layer per direction ('halo' only)
         data_axis: mesh axis to shard the batch over as well (skipped when
            absent from the mesh or the batch does not divide)
         drop_keys: optional list of per-layer PRNG keys (None entries skip
            that layer); masks are decorrelated across devices
         keep_prob: dropout keep probability for the drop_keys path
+        scheme: 'relay' (EXACT boundary-state relay, the default) or
+           'halo' (approximate warmup, lower latency) — module docstring
     Returns:
         [B, T, 2*hdim] (global, T-sharded internally)
     """
     s = mesh.shape[seq_axis]
-    assert halo >= 1, "halo must be >= 1 (x[:, -halo:] with halo=0 would " \
-        "select the whole chunk, not an empty one)"
     assert x.shape[1] % s == 0, "T must divide across the seq axis"
-    assert x.shape[1] // s >= halo, "chunk must be >= halo"
+    if scheme == "halo":
+        assert halo >= 1, "halo must be >= 1 (x[:, -halo:] with halo=0 " \
+            "would select the whole chunk, not an empty one)"
+        assert x.shape[1] // s >= halo, "chunk must be >= halo"
+    elif scheme != "relay":
+        raise ValueError("unknown SP_RNN_SCHEME %r" % (scheme,))
     d_axis = _mesh_data_axis(mesh, x.shape[0], data_axis)
     x_spec = P(d_axis, seq_axis, None)
     if drop_keys is None:
@@ -323,9 +424,14 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
         vary = (seq_axis,) if d_axis is None else (seq_axis, d_axis)
         y = x_loc
         for p, has_key in zip(params_list, key_mask):
-            layer = _maybe_ckpt(lambda pp, v: _bilstm_layer_local(
-                pp, v, halo, seq_axis, candidate_activation, backend,
-                vary_axes=vary), remat)
+            if scheme == "relay":
+                layer = _maybe_ckpt(lambda pp, v: _bilstm_layer_relay(
+                    pp, v, seq_axis, candidate_activation, backend,
+                    vary_axes=vary), remat)
+            else:
+                layer = _maybe_ckpt(lambda pp, v: _bilstm_layer_local(
+                    pp, v, halo, seq_axis, candidate_activation, backend,
+                    vary_axes=vary), remat)
             y = layer(p, y)
             if has_key:
                 from danet_tpu.ops.nn import dropout

@@ -261,12 +261,98 @@ def test_sequence_parallel_bilstm_halo(fresh_hparams):
 
     def err(halo):
         out = np.asarray(bilstm_stack_sp(layers, x, mesh, halo=halo,
-                                         backend="xla"))
+                                         backend="xla", scheme="halo"))
         return np.abs(out - exact).mean()
 
     e_small, e_big = err(4), err(24)
     assert e_big < e_small, (e_small, e_big)
     assert e_big < 0.05 * np.abs(exact).mean() + 1e-3, e_big
+
+
+def test_sequence_parallel_bilstm_relay_exact(fresh_hparams):
+    """The default SP_RNN_SCHEME='relay' reproduces the dense BiLSTM stack
+    EXACTLY at S=4 — forward outputs and parameter gradients (VERDICT r2:
+    the flagship family's SP was the only approximate one)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
+    from danet_tpu.ops import rnn
+
+    B, T, F, H = 2, 64, 12, 16
+    layers = [rnn.bilstm_init(jax.random.PRNGKey(i), F if i == 0 else 2 * H,
+                              H) for i in range(2)]
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, F)
+                    .astype(np.float32))
+
+    def dense(ps):
+        y = x
+        for p in ps:
+            y = rnn.bilstm_apply(p, y, "tanh")
+        return y
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("seq",))
+    out = np.asarray(bilstm_stack_sp(layers, x, mesh, backend="xla"))
+    np.testing.assert_allclose(out, np.asarray(dense(layers)),
+                               atol=2e-5, rtol=1e-5)
+
+    g_dense = jax.grad(lambda ps: jnp.sum(dense(ps) ** 2))(layers)
+    g_sp = jax.grad(lambda ps: jnp.sum(
+        bilstm_stack_sp(ps, x, mesh, backend="xla") ** 2))(layers)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dense),
+                    jax.tree_util.tree_leaves(g_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_sequence_parallel_gru_relay_exact(fresh_hparams):
+    """gru relay SP == dense GRU stack at S=4, fwd + grads."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from danet_tpu.parallel.seq_parallel import gru_stack_sp
+    from danet_tpu.ops import rnn
+
+    B, T, F, H = 2, 64, 10, 12
+    layers = [rnn.gru_init(jax.random.PRNGKey(i), F if i == 0 else H, H)
+              for i in range(2)]
+    x = jnp.asarray(np.random.RandomState(1).randn(B, T, F)
+                    .astype(np.float32))
+
+    def dense(ps):
+        y = x
+        for p in ps:
+            y = rnn.gru_apply(p, y)
+        return y
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("seq",))
+    out = np.asarray(gru_stack_sp(layers, x, mesh, backend="xla"))
+    np.testing.assert_allclose(out, np.asarray(dense(layers)),
+                               atol=2e-5, rtol=1e-5)
+    g_dense = jax.grad(lambda ps: jnp.sum(dense(ps) ** 2))(layers)
+    g_sp = jax.grad(lambda ps: jnp.sum(
+        gru_stack_sp(ps, x, mesh, backend="xla") ** 2))(layers)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dense),
+                    jax.tree_util.tree_leaves(g_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_sequence_parallel_relay_dp_cosharding(fresh_hparams):
+    """relay SP with the batch co-sharded over 'data' (dp2 x sp2) still
+    matches the dense stack exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
+    from danet_tpu.ops import rnn
+
+    B, T, F, H = 4, 32, 8, 8
+    layers = [rnn.bilstm_init(jax.random.PRNGKey(7), F, H)]
+    x = jnp.asarray(np.random.RandomState(2).randn(B, T, F)
+                    .astype(np.float32))
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("data", "seq"))
+    out = np.asarray(bilstm_stack_sp(layers, x, mesh, backend="xla"))
+    dense = np.asarray(rnn.bilstm_apply(layers[0], x, "tanh"))
+    np.testing.assert_allclose(out, dense, atol=2e-5, rtol=1e-5)
 
 
 def test_separate_sp_full_model(fresh_hparams):
@@ -812,7 +898,9 @@ def test_sp_halo_zero_rejected(fresh_hparams):
     mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
     x = jnp.zeros((2, 64, 8), jnp.float32)
     with pytest.raises(AssertionError, match="halo must be >= 1"):
-        bilstm_stack_sp([], x, mesh, halo=0)
+        bilstm_stack_sp([], x, mesh, halo=0, scheme="halo")
+    with pytest.raises(ValueError, match="SP_RNN_SCHEME"):
+        bilstm_stack_sp([], x, mesh, scheme="bogus")
 
 
 def test_lstm_backend_auto_resolves_xla_under_tp(fresh_hparams):
