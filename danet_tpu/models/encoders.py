@@ -489,9 +489,23 @@ class MoEAttentionEncoder(AttentionEncoder):
         }}
 
     def _mlp(self, blk, y):
-        from danet_tpu.parallel.expert import moe_mlp, moe_mlp_ep
-        n_ep = int(getattr(self.hp, "MESH_EXPERT", 1) or 1)
+        from danet_tpu.parallel.expert import (moe_mlp, moe_mlp_ep,
+                                               moe_mlp_ep_routed,
+                                               moe_mlp_topk)
+        hp = self.hp
+        n_ep = int(getattr(hp, "MESH_EXPERT", 1) or 1)
         mesh = _route_mesh("expert", n_ep) if n_ep > 1 else None
+        k = int(getattr(hp, "MOE_TOP_K", 0) or 0)
+        if k > 0:
+            # top-k routed dispatch with capacity + all_to_all token
+            # movement (parallel/expert.py module docstring) — the form
+            # that scales communication with routed tokens, not the full
+            # activation set
+            cf = float(getattr(hp, "MOE_CAPACITY_FACTOR", 1.25) or 1.25)
+            if mesh is not None:
+                return moe_mlp_ep_routed(blk["moe"], y, mesh, k=k,
+                                         capacity_factor=cf)
+            return moe_mlp_topk(blk["moe"], y, k=k, capacity_factor=cf)
         if mesh is not None:
             # trainer-reachable expert parallelism: expert groups shard
             # one-per-device over the mesh's 'expert' axis (exact,

@@ -1,13 +1,34 @@
-"""Expert parallelism: soft-mixture MoE MLP sharded over an 'expert' axis.
+"""Expert parallelism: MoE MLP sharded over an 'expert' axis.
 
 SURVEY.md §2.4 marks EP out of scope for the reference (no MoE) but
 requires that the registry design not preclude one; the 'moe-v1' encoder
 (models/encoders.py) adds a mixture-of-experts MLP, and this module is its
-multi-chip execution path: expert weights are sharded one-group-per-device
-along an 'expert' mesh axis, every device computes its local experts'
-contributions for all tokens, and the gated sum reduces over the axis with
-one psum — the all-to-all-free dense-dispatch form of expert parallelism
-(exact, differentiable; router computation is replicated).
+multi-chip execution path.  Two dispatch forms:
+
+* **Soft mixture** (``moe_mlp`` / ``moe_mlp_ep``, MOE_TOP_K=0): every
+  token activates every expert, gated by a softmax.  EP shards expert
+  weights one-group-per-device; every device computes its local experts'
+  contributions for all tokens and the gated sum reduces with one psum —
+  exact and all-to-all-free, but compute AND communication scale with
+  the full activation set.  Right at small MOE_EXPERTS.
+
+* **Top-k routed** (``moe_mlp_topk`` / ``moe_mlp_ep_routed``,
+  MOE_TOP_K>=1): each token is dispatched to its top-k experts only,
+  with a per-expert capacity C = ceil(k * tokens / E * MOE_CAPACITY
+  _FACTOR) (GShard/Switch semantics: over-capacity tokens are dropped
+  from that expert slot, earlier top-k slots claim capacity first; the
+  kept top-k gates renormalize to sum 1).  EP shards the TOKENS over the
+  'expert' axis too: each device routes its local token shard, packs
+  [E, C, d] expert inputs, and one ``all_to_all`` sends each expert
+  group to its owner device; the expert FFN runs on routed tokens only;
+  a second ``all_to_all`` returns outputs for the local combine.
+  Communication scales with routed tokens (k/E of the soft form's
+  per-expert compute) — the form that scales to many experts.  Capacity
+  is accounted per token shard (each device's C slots per expert), so
+  the EP result is bit-identical to the dense oracle applied shard-wise
+  (tested).  Routing runs in f32; dispatch/combine one-hots are
+  constants to the gradient, gates are differentiated through (the
+  standard straight-through-free top-k MoE gradient).
 """
 from __future__ import annotations
 
@@ -77,5 +98,124 @@ def moe_mlp_ep(params, x, mesh, expert_axis: str = "expert"):
                           preferred_element_type=jnp.float32
                           ).astype(x_rep.dtype)
         return jax.lax.psum(part, expert_axis)
+
+    return run(params, x)
+
+
+def _capacity(n_tokens: int, n_experts: int, k: int,
+              capacity_factor: float) -> int:
+    import math
+    return max(1, int(math.ceil(k * n_tokens / n_experts
+                                * capacity_factor)))
+
+
+def _topk_dispatch(logits, k: int, cap: int):
+    """GShard-style top-k dispatch/combine tensors from router logits.
+
+    logits: [N, E] (f32).  Returns (dispatch [N, E, C] 0/1, combine
+    [N, E, C] gated) — token n occupies slot c of expert e when it is
+    among the first C tokens (in token order, earlier top-k slots first)
+    routed to e.  Gates are the softmax probabilities of the KEPT top-k
+    experts, renormalized to sum 1 per token (before capacity dropping,
+    the standard order: renormalize, then drop)."""
+    n, e = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    gvals, gidx = jax.lax.top_k(probs, k)                   # [N, k]
+    gvals = gvals / (jnp.sum(gvals, axis=-1, keepdims=True) + 1e-9)
+    dispatch = jnp.zeros((n, e, cap), jnp.float32)
+    combine = jnp.zeros((n, e, cap), jnp.float32)
+    taken = jnp.zeros((e,), jnp.float32)  # slots claimed by earlier k
+    for s in range(k):
+        oh = jax.nn.one_hot(gidx[:, s], e, dtype=jnp.float32)  # [N, E]
+        pos = jnp.cumsum(oh, axis=0) - oh + taken[None, :]     # [N, E]
+        keep = (pos < cap).astype(jnp.float32) * oh
+        slot = jax.nn.one_hot(
+            pos.astype(jnp.int32), cap, dtype=jnp.float32)     # [N, E, C]
+        d_s = keep[..., None] * slot
+        dispatch = dispatch + d_s
+        combine = combine + jax.lax.stop_gradient(d_s) \
+            * gvals[:, s][:, None, None]
+        taken = taken + jnp.sum(keep, axis=0)
+    return jax.lax.stop_gradient(dispatch), combine
+
+
+def _routed_ffn(p_in, p_out, expert_in, dtype):
+    """Expert FFN on packed inputs [E, C, d] -> [E, C, d]."""
+    hid = jax.nn.gelu(ee("ecd,edh->ech", expert_in.astype(dtype),
+                         p_in.astype(dtype)))
+    return ee("ech,ehd->ecd", hid, p_out.astype(dtype))
+
+
+def moe_mlp_topk(params, x, k: int = 2, capacity_factor: float = 1.25):
+    """Dense (single-device) top-k routed MoE MLP — also the oracle the
+    expert-parallel form is tested against.
+
+    params: router [d, E], w_in [E, d, ff], w_out [E, ff, d]
+    x: [B, T, d] -> [B, T, d]
+    """
+    b, t, d = x.shape
+    n_exp = params["w_in"].shape[0]
+    xf = x.reshape(b * t, d)
+    logits = jnp.einsum("nd,de->ne", xf,
+                        params["router"].astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    cap = _capacity(b * t, n_exp, k, capacity_factor)
+    dispatch, combine = _topk_dispatch(logits, k, cap)
+    expert_in = jnp.einsum("nec,nd->ecd", dispatch,
+                           xf.astype(jnp.float32))
+    y = _routed_ffn(params["w_in"], params["w_out"], expert_in, x.dtype)
+    out = jnp.einsum("nec,ecd->nd", combine, y.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(b, t, d)
+
+
+def moe_mlp_ep_routed(params, x, mesh, k: int = 2,
+                      capacity_factor: float = 1.25,
+                      expert_axis: str = "expert"):
+    """Top-k routed expert-parallel MoE MLP (module docstring).
+
+    Tokens shard over `expert_axis` (the T axis; T must divide), expert
+    weights shard one-group-per-device; two all_to_alls move exactly the
+    routed [E, C, d] token packets.  Bit-identical to ``moe_mlp_topk``
+    applied per token shard (capacity accounts per shard).
+    """
+    n_dev = mesh.shape[expert_axis]
+    n_exp = params["w_in"].shape[0]
+    assert n_exp % n_dev == 0, "experts must divide across the axis"
+    assert x.shape[1] % n_dev == 0, "T must divide across the expert axis"
+    per = n_exp // n_dev
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=({"router": P(None, expert_axis),
+                   "w_in": P(expert_axis), "w_out": P(expert_axis)},
+                  P(None, expert_axis)),
+        out_specs=P(None, expert_axis))
+    def run(p, x_loc):
+        b, t_loc, d = x_loc.shape
+        n = b * t_loc
+        xf = x_loc.reshape(n, d)
+        # the router needs ALL experts' logits; the router matrix is
+        # sharded [d, E/n_dev] — gather it (tiny) rather than the tokens
+        router = jax.lax.all_gather(p["router"], expert_axis,
+                                    axis=1, tiled=True)
+        logits = jnp.einsum("nd,de->ne", xf, router.astype(xf.dtype),
+                            preferred_element_type=jnp.float32)
+        cap = _capacity(n, n_exp, k, capacity_factor)
+        dispatch, combine = _topk_dispatch(logits, k, cap)
+        expert_in = jnp.einsum("nec,nd->ecd", dispatch,
+                               xf.astype(jnp.float32))
+        # dispatch all_to_all: [E, C, d] -> each device keeps its own
+        # `per` experts with every shard's C slots concatenated
+        recv = jax.lax.all_to_all(expert_in, expert_axis,
+                                  split_axis=0, concat_axis=1, tiled=True)
+        y = _routed_ffn(p["w_in"], p["w_out"], recv, x_loc.dtype)
+        # return all_to_all: [per, n_dev*C, d] -> [E, C, d] back in the
+        # dispatching shard's layout
+        y = jax.lax.all_to_all(y.astype(jnp.float32), expert_axis,
+                               split_axis=1, concat_axis=0, tiled=True)
+        out = jnp.einsum("nec,ecd->nd", combine, y,
+                         preferred_element_type=jnp.float32)
+        return out.astype(x_loc.dtype).reshape(b, t_loc, d)
 
     return run(params, x)

@@ -1191,3 +1191,104 @@ def test_trainer_seq_parallel_tcn_step(fresh_hparams):
                     jax.tree_util.tree_leaves(params_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_routed_moe_ep_matches_dense_oracle(fresh_hparams):
+    """Top-k routed expert parallelism (all_to_all token dispatch with
+    capacity) == the dense gather oracle applied per token shard, and
+    the gate gradients survive the routing (VERDICT r2 item 5)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from danet_tpu.parallel.expert import moe_mlp_topk, moe_mlp_ep_routed
+    from danet_tpu.ops import nn
+
+    B, T, D, E, FF = 2, 32, 12, 4, 24
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {
+        "router": nn.uniform_init(ks[0], (D, E), 0.5),
+        "w_in": nn.uniform_init(ks[1], (E, D, FF), 0.3),
+        "w_out": nn.uniform_init(ks[2], (E, FF, D), 0.3),
+    }
+    x = jnp.asarray(np.random.RandomState(0).randn(B, T, D)
+                    .astype(np.float32))
+    n_dev = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), axis_names=("expert",))
+
+    for k, cf in [(1, 1.0), (2, 1.25)]:
+        # dense oracle applied shard-wise (capacity accounts per shard)
+        t_loc = T // n_dev
+        want = jnp.concatenate([
+            moe_mlp_topk(params, x[:, s * t_loc:(s + 1) * t_loc],
+                         k=k, capacity_factor=cf)
+            for s in range(n_dev)], axis=1)
+        got = moe_mlp_ep_routed(params, x, mesh, k=k, capacity_factor=cf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    # gradients: router and expert weights both receive signal through
+    # the routed path, and EP grads match the shard-wise oracle's
+    def loss_ep(p):
+        return jnp.sum(moe_mlp_ep_routed(p, x, mesh, k=2) ** 2)
+
+    def loss_dense(p):
+        t_loc = T // n_dev
+        y = jnp.concatenate([
+            moe_mlp_topk(p, x[:, s * t_loc:(s + 1) * t_loc], k=2)
+            for s in range(n_dev)], axis=1)
+        return jnp.sum(y ** 2)
+
+    g_ep = jax.grad(loss_ep)(params)
+    g_dense = jax.grad(loss_dense)(params)
+    for key in ("router", "w_in", "w_out"):
+        assert float(jnp.abs(g_ep[key]).sum()) > 0, key
+        np.testing.assert_allclose(np.asarray(g_ep[key]),
+                                   np.asarray(g_dense[key]),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_routed_moe_capacity_drops_overflow(fresh_hparams):
+    """With capacity far below demand, over-capacity tokens contribute
+    zero (dropped), never garbage: a router forced to send every token
+    to expert 0 with cap=1 keeps exactly one routed token."""
+    import jax.numpy as jnp
+    from danet_tpu.parallel.expert import _topk_dispatch
+
+    N, E = 6, 4
+    logits = jnp.zeros((N, E)).at[:, 0].set(10.0)  # all pick expert 0
+    dispatch, combine = _topk_dispatch(logits, k=1, cap=1)
+    # only token 0 occupies expert 0 slot 0; all others dropped
+    assert float(dispatch.sum()) == 1.0
+    assert float(dispatch[0, 0, 0]) == 1.0
+    assert float(combine[1:].sum()) == 0.0
+
+
+def test_routed_moe_trainer_step(fresh_hparams):
+    """MOE_TOP_K>0 routes the moe-v1 trainer step through the routed EP
+    dispatch; the step runs finite on a dp2 x ep2 mesh and moves the
+    router."""
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "moe-v1"
+    hp.ATTN_DIM = 32
+    hp.ATTN_LAYERS = 2
+    hp.ATTN_HEADS = 4
+    hp.MOE_EXPERTS = 4
+    hp.MOE_TOP_K = 2
+    hp.BATCH_SIZE = 4
+    hp.MESH_DATA = 2
+    hp.MESH_EXPERT = 2
+    hp.digest()
+    rngnp = np.random.RandomState(0)
+    flat = rngnp.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 16,
+                      hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+    trainer = Trainer(DaNet(), name="ep-routed")
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    r0 = np.asarray(state["params"]["encoder"]["block0"]["moe"]["router"])
+    src = trainer._put_batch(batch)
+    state["params"], state["opt_state"], m = trainer._train_step(
+        state["params"], state["opt_state"], src, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    r1 = np.asarray(state["params"]["encoder"]["block0"]["moe"]["router"])
+    assert np.abs(r1 - r0).max() > 0  # router received gradient
