@@ -8,6 +8,17 @@ bilstm-orig DaNet under the reference default hyperparameters
 MAX_TRAIN_LEN=128, FFT_SIZE=256 -> F=129) — i.e. the per-step work of
 `python main.py -m train` with the paper encoder.
 
+Dev switches: `--encoder KEY` benches another encoder family,
+`--model tasnet-v1` benches the waveform-domain Conv-TasNet family,
+`--sweep` prints a per-family table (throughput + TFLOP/s + MFU) for the
+PARITY.md perf section.  The driver-facing default stays ONE JSON line.
+
+MFU accounting: XLA's cost_analysis cannot see inside Pallas custom
+calls, so when the measured step used the Pallas RNN kernels the FLOPs
+are counted on an XLA-scan lowering of the SAME step (identical math,
+fully visible to the cost model) — the reported MFU is truthful for the
+Pallas path rather than understated.
+
 Baseline: the reference publishes NO numbers (BASELINE.md); the BASELINE.md
 target is ">=5x mixtures/sec/chip over CPU TF1 baseline".  As the TF1 stack
 cannot run here, the stand-in baseline is this same workload measured on
@@ -31,19 +42,20 @@ N_SIGNAL = 2
 T = 128
 FORCE_BACKEND = None  # set to 'xla' to bypass the Pallas kernel
 ENCODER = "bilstm-orig"  # flagship default; --encoder overrides (dev use)
+MODEL = "danet"  # MODEL_TYPE; --model tasnet-v1 benches the TasNet family
 
 
-def build_step():
+def build_step(force_backend=None):
     import os
     import jax
     import optax
     from danet_tpu.hparams import hparams
     import danet_tpu  # noqa: F401
-    from danet_tpu.models import DaNet
     from danet_tpu import optim as optim_lib
 
     hparams.load_json(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "default.json"))
+    hparams.MODEL_TYPE = MODEL
     hparams.ENCODER_TYPE = ENCODER
     hparams.BATCH_SIZE = BATCH
     # Shipping TPU training config (configs/tpu.json): Pallas full-scan
@@ -51,11 +63,12 @@ def build_step():
     # Measured on v5e: xla+f32 3062 -> pallas+f32 4634 -> pallas+bf16 5233
     # mixtures/sec; loss trajectories match.
     hparams.COMPUTE_DTYPE = "bfloat16"
-    if FORCE_BACKEND:
-        hparams.LSTM_BACKEND = FORCE_BACKEND
+    fb = force_backend if force_backend is not None else FORCE_BACKEND
+    if fb:
+        hparams.LSTM_BACKEND = fb
     hparams.digest()
 
-    model = DaNet()
+    model = hparams.get_model()()
     optimizer = optim_lib.make_optimizer(hparams)
     params = model.init(jax.random.PRNGKey(0))
     opt_state = jax.jit(optimizer.init)(params)
@@ -94,12 +107,32 @@ def step_flops(step, *args):
         return None
 
 
+def step_flops_truthful(measured_step, *measured_args):
+    """Step FLOPs with Pallas custom calls accounted for.
+
+    cost_analysis sees zero FLOPs inside a Pallas kernel, so when the
+    measured step resolved to the Pallas RNN backend, rebuild the SAME
+    step on the XLA-scan backend (identical math, one extra compile,
+    never executed) and count THAT lowering; otherwise count the
+    measured step directly."""
+    from danet_tpu.ops.rnn import lstm_backend_default
+    if FORCE_BACKEND != "xla" and lstm_backend_default() == "pallas":
+        try:
+            step, params, opt_state, src = build_step(force_backend="xla")
+            flops = step_flops(step, params, opt_state, src)
+            if flops:
+                return flops
+        except Exception:
+            pass
+    return step_flops(measured_step, *measured_args)
+
+
 def mfu_stats(step, params, opt_state, src, mix_per_sec: float):
     """Achieved TFLOP/s and model FLOPs utilization vs the chip's bf16
     peak (VERDICT r1 'no MFU accounting').  Returns (tflops, mfu_pct),
     either may be None off-TPU/unknown chips."""
     import jax
-    flops = step_flops(step, params, opt_state, src)
+    flops = step_flops_truthful(step, params, opt_state, src)
     if not flops:
         return None, None
     tflops = flops * (mix_per_sec / BATCH) / 1e12
@@ -126,10 +159,37 @@ def measure(n_warmup: int = 3, n_iters: int = 50):
     return mps, (step, params, opt_state, src)
 
 
+def sweep():
+    """Per-family perf table: throughput, step time, truthful TFLOP/s and
+    MFU for every model family (PARITY.md perf section; VERDICT r2 items
+    2/3).  Families run sequentially in one process — build_step reloads
+    default.json each time, so the hparams singleton resets per row."""
+    global ENCODER, MODEL
+    fams = [("danet", "bilstm-orig"), ("danet", "gru-v1"),
+            ("danet", "attn-v1"), ("danet", "dprnn-v1"),
+            ("tasnet-v1", "bilstm-orig")]
+    print("%-22s %12s %9s %10s %7s" % (
+        "family", "mixtures/s", "ms/step", "TFLOP/s", "MFU%"), flush=True)
+    for model, enc in fams:
+        MODEL, ENCODER = model, enc
+        mps, handles = measure()
+        tflops, mfu = mfu_stats(*handles, mix_per_sec=mps)
+        name = model if model != "danet" else enc
+        print("%-22s %12.0f %9.2f %10s %7s" % (
+            name, mps, 1e3 * BATCH / mps,
+            "-" if tflops is None else "%.1f" % tflops,
+            "-" if mfu is None else "%.1f" % mfu), flush=True)
+
+
 def main():
-    global FORCE_BACKEND, ENCODER
+    global FORCE_BACKEND, ENCODER, MODEL
     if "--encoder" in sys.argv:
         ENCODER = sys.argv[sys.argv.index("--encoder") + 1]
+    if "--model" in sys.argv:
+        MODEL = sys.argv[sys.argv.index("--model") + 1]
+    if "--sweep" in sys.argv:
+        sweep()
+        return
     if "--cpu-baseline" in sys.argv:
         import os
         os.environ["JAX_PLATFORMS"] = "cpu"

@@ -28,6 +28,9 @@ CONFIGS = {
     "tcn-v1": {"TCN_CAUSAL": True},
     "dprnn-v1": {"DPRNN_INTER_CAUSAL": True, "DPRNN_HOP": 64,
                  "DPRNN_CHUNK": 64},
+    # waveform-domain family (MODEL_TYPE, not an encoder key): exact
+    # causal streaming via carried filterbank/conv/OLA tails
+    "tasnet-v1": {"MODEL_TYPE": "tasnet-v1", "TASNET_CAUSAL": True},
 }
 
 
@@ -43,21 +46,32 @@ def bench_encoder(encoder: str, overrides: dict, chunk_frames: int,
         os.path.abspath(__file__))), "default.json"))
     # default.json carries every CONFIGS key, so reloading it resets any
     # override a previous encoder's bench applied to the shared singleton
-    hparams.ENCODER_TYPE = encoder
+    if not overrides.get("MODEL_TYPE"):
+        hparams.ENCODER_TYPE = encoder
     hparams.BATCH_SIZE = 1
     for k, v in overrides.items():
         setattr(hparams, k, v)
     hparams.digest()
 
-    model = DaNet()
+    model = hparams.get_model()()
     params = model.init(jax.random.PRNGKey(0))
     stride = hparams.FFT_STRIDE
-    g = model._stream_granularity()
-    cf = max(chunk_frames, g)
-    cf -= cf % g
-    chunk_n = cf * stride
-    warm_n = max(128, 2 * cf) * stride
-    warm_n -= warm_n % (g * stride)
+    if isinstance(model, DaNet):
+        g = model._stream_granularity()
+        cf = max(chunk_frames, g)
+        cf -= cf % g
+        chunk_n = cf * stride
+        warm_n = max(128, 2 * cf) * stride
+        warm_n -= warm_n % (g * stride)
+        alg_latency = hparams.FFT_SIZE - stride
+    else:
+        # waveform-domain family: granularity/latency in SAMPLES
+        g = model.stream_granularity_samples()
+        chunk_n = max(chunk_frames * stride, g)
+        chunk_n -= chunk_n % g
+        warm_n = max(128 * stride, 2 * chunk_n)
+        warm_n -= warm_n % g
+        alg_latency = model.stream_latency_samples()
 
     rng = np.random.RandomState(0)
     warm = jnp.asarray(rng.randn(1, warm_n).astype(np.float32) * 0.1)
@@ -77,7 +91,7 @@ def bench_encoder(encoder: str, overrides: dict, chunk_frames: int,
     print("%-10s chunk=%5d samples (%6.1f ms audio): %6.2f ms/step  "
           "RTF %.0fx  (+%d samples algorithmic latency)"
           % (encoder, chunk_n, chunk_ms, dt * 1e3, chunk_ms / (dt * 1e3),
-             hparams.FFT_SIZE - stride), flush=True)
+             alg_latency), flush=True)
 
 
 def main():
