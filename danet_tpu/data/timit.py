@@ -37,8 +37,12 @@ class TimitDataset(Dataset):
 
     def __init__(self, data_dir: str | None = None):
         super().__init__()
-        self.data_dir = data_dir or os.path.join(
-            os.path.dirname(__file__), "TIMIT")
+        # TIMIT_DIR config key lets the CLI train on a corpus anywhere on
+        # disk (the reference hardcodes its package-relative path,
+        # timit.py:19-24); constructor arg > config > package default
+        self.data_dir = data_dir \
+            or getattr(hparams, "TIMIT_DIR", "") \
+            or os.path.join(os.path.dirname(__file__), "TIMIT")
 
     def install_and_load(self):
         self.subset = {}

@@ -29,8 +29,11 @@ except ImportError:  # pragma: no cover - h5py is baked into the image
 class Wsj0Dataset(Dataset):
     def __init__(self, path: str | None = None):
         super().__init__()
-        self.path = path or os.path.join(
-            os.path.dirname(__file__), "WSJ0", "wsj0-danet.hdf5")
+        # WSJ0_PATH config key: same CLI-reachable override as TIMIT_DIR
+        self.path = path \
+            or getattr(hparams, "WSJ0_PATH", "") \
+            or os.path.join(
+                os.path.dirname(__file__), "WSJ0", "wsj0-danet.hdf5")
 
     def __del__(self):
         if getattr(self, "is_loaded", False):

@@ -49,7 +49,10 @@ WINDOW_REGISTRY: Dict[str, Callable[[int], np.ndarray]] = {
 class Hyperparameter:
     """Singleton hyperparameter namespace + component registries."""
 
-    pattern = r"[A-Z_]+"
+    # reference pattern is [A-Z_]+ (hparams.py:19); digits allowed here
+    # so corpus-numbered keys (WSJ0_PATH) validate — still must start
+    # uppercase
+    pattern = r"[A-Z][A-Z0-9_]*"
     encoder_registry: Dict[str, Any] = {}
     model_registry: Dict[str, Any] = {}
     estimator_registry: Dict[str, Any] = {}
