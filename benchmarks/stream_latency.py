@@ -28,6 +28,8 @@ CONFIGS = {
     "tcn-v1": {"TCN_CAUSAL": True},
     "dprnn-v1": {"DPRNN_INTER_CAUSAL": True, "DPRNN_HOP": 64,
                  "DPRNN_CHUNK": 64},
+    # causal windowed attention (per-layer rolling K/V cache)
+    "attn-v1": {"ATTN_CAUSAL": True, "ATTN_LOOKBACK": 128},
     # waveform-domain family (MODEL_TYPE, not an encoder key): exact
     # causal streaming via carried filterbank/conv/OLA tails
     "tasnet-v1": {"MODEL_TYPE": "tasnet-v1", "TASNET_CAUSAL": True},

@@ -443,11 +443,15 @@ class DaNet:
     def _stream_capable(self) -> bool:
         """True when the configured encoder supports exact causal
         streaming (shared gate of separate_stream / stream_init)."""
-        from danet_tpu.models.encoders import (DprnnEncoder, GruEncoder,
+        from danet_tpu.models.encoders import (AttentionEncoder,
+                                               DprnnEncoder, GruEncoder,
                                                LstmEncoder, TcnEncoder)
         hp = self.hp
         if isinstance(self.encoder, (LstmEncoder, GruEncoder)):
             return True
+        if isinstance(self.encoder, AttentionEncoder):
+            # causal windowed attention streams via per-layer K/V caches
+            return bool(getattr(hp, "ATTN_CAUSAL", False))
         if isinstance(self.encoder, TcnEncoder):
             return bool(getattr(hp, "TCN_CAUSAL", False))
         if isinstance(self.encoder, DprnnEncoder):
@@ -499,9 +503,10 @@ class DaNet:
         if not self._stream_capable():
             raise ValueError(
                 "separate_stream requires a causal encoder (lstm-orig, "
-                "gru-v1, tcn-v1 with TCN_CAUSAL=true, or dprnn-v1 with "
+                "gru-v1, attn-v1/moe-v1 with ATTN_CAUSAL=true, tcn-v1 "
+                "with TCN_CAUSAL=true, or dprnn-v1 with "
                 "DPRNN_INTER_CAUSAL=true and DPRNN_HOP == DPRNN_CHUNK); "
-                "got ENCODER_TYPE=%r. Bidirectional/attention encoders "
+                "got ENCODER_TYPE=%r. Bidirectional encoders "
                 "need future context — use separate_long."
                 % hp.ENCODER_TYPE)
         g = self._stream_granularity()
@@ -607,7 +612,8 @@ class DaNet:
         if not self._stream_capable():
             raise ValueError(
                 "stream_init requires a causal encoder (lstm-orig, "
-                "gru-v1, tcn-v1 with TCN_CAUSAL=true, or dprnn-v1 with "
+                "gru-v1, attn-v1/moe-v1 with ATTN_CAUSAL=true, tcn-v1 "
+                "with TCN_CAUSAL=true, or dprnn-v1 with "
                 "DPRNN_INTER_CAUSAL=true and DPRNN_HOP == DPRNN_CHUNK); "
                 "got ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
         fft, stride = hp.FFT_SIZE, hp.FFT_STRIDE

@@ -11,6 +11,7 @@ main.py:225-227,243).
 """
 from __future__ import annotations
 
+import functools
 from math import sqrt
 
 import jax
@@ -314,6 +315,16 @@ class AttentionEncoder(Encoder):
     no sequential dependency, so sequence parallelism is exact (ring/
     blockwise attention is the natural multi-chip extension, SURVEY §2.4).
     Config: ATTN_DIM, ATTN_HEADS, ATTN_LAYERS, ATTN_MLP_MULT.
+
+    ATTN_CAUSAL=true switches to causal windowed attention: each frame
+    attends to at most the ATTN_LOOKBACK most recent frames (itself
+    included).  That bounds the receptive field to
+    ATTN_LAYERS * (ATTN_LOOKBACK - 1) past frames and makes the family
+    ONLINE-streamable: the stream hooks below carry a per-layer rolling
+    K/V cache of the last ATTN_LOOKBACK-1 frames (the standard decode
+    cache), so chunked streaming reproduces the full-sequence causal
+    forward EXACTLY (tested chunk-size-invariant).  Positional encoding
+    stays exact across chunks via a carried global frame offset.
     """
 
     def _dims(self):
@@ -377,16 +388,29 @@ class AttentionEncoder(Encoder):
         return jnp.asarray(pe.astype("float32")).astype(dtype)
 
     @staticmethod
-    def _dense_attention(q, k, v, key_mask):
-        """Full masked multi-head attention (single-program path)."""
+    def _dense_attention(q, k, v, key_mask, band=None):
+        """Full masked multi-head attention (single-program path).
+        `band` optionally adds a [Q, K] causal-window mask on top of the
+        per-key padding mask (ATTN_CAUSAL)."""
         hd = q.shape[-1]
         logits = nn.ee("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
             jnp.asarray(hd, q.dtype))
-        logits = jnp.where(key_mask[:, None, None, :],
-                           logits.astype(jnp.float32),
+        mask = key_mask[:, None, None, :]
+        if band is not None:
+            mask = mask & band[None, None]
+        logits = jnp.where(mask, logits.astype(jnp.float32),
                            jnp.asarray(-1e9, jnp.float32))
         attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         return nn.ee("bhqk,bkhd->bqhd", attn, v)
+
+    def _causal_window(self):
+        """ATTN_LOOKBACK frames (incl. self) when ATTN_CAUSAL, else 0."""
+        if not bool(getattr(self.hp, "ATTN_CAUSAL", False)):
+            return 0
+        w = int(getattr(self.hp, "ATTN_LOOKBACK", 0) or 128)
+        if w < 1:
+            raise ValueError("ATTN_LOOKBACK must be >= 1 (got %d)" % w)
+        return w
 
     def _sp_attn_fn(self, mesh):
         kind = str(getattr(self.hp, "SP_ATTN", None) or "ring")
@@ -415,6 +439,20 @@ class AttentionEncoder(Encoder):
                      if (rng is not None and keep < 1.0) else
                      [None] * n_layers)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+        causal_w = self._causal_window()
+        if causal_w:
+            # causal windowed attention (the online family): the band
+            # mask composes only with the dense path for now — SP/flash
+            # variants would silently drop causality, so fail loudly
+            if attn_fn is not None or n_seq > 1:
+                raise ValueError(
+                    "ATTN_CAUSAL is not sequence-parallel yet: run the "
+                    "causal windowed family dense (MESH_SEQ=1) or stream "
+                    "it (separate_stream / export-stream)")
+            qidx = jnp.arange(t)[:, None]
+            kidx = jnp.arange(t)[None, :]
+            band = (kidx <= qidx) & (kidx > qidx - causal_w)
+            attn_fn = functools.partial(self._dense_attention, band=band)
         seq_mesh = (_route_mesh("seq", n_seq)
                     if attn_fn is None and n_seq > 1 else None)
         if seq_mesh is not None:
@@ -458,6 +496,93 @@ class AttentionEncoder(Encoder):
             h = h + y
             if tap:
                 tap("block%d_h" % i, h)
+        out = nn.linear_apply(params["output"], h)
+        return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
+
+    # --- causal streaming hooks (ATTN_CAUSAL; DaNet.separate_stream) ----
+    @staticmethod
+    def _posenc_dyn(offset, t, d, dtype):
+        """Sinusoidal positions offset..offset+t-1 with a TRACED offset —
+        must match _posenc's formula exactly so streaming equals the
+        full-sequence forward."""
+        pos = (jnp.arange(t) + offset)[:, None].astype(jnp.float32)
+        dim = jnp.arange(d // 2)[None, :].astype(jnp.float32)
+        ang = pos / (10000.0 ** (2 * dim / d))
+        pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        return pe.astype(dtype)
+
+    def stream_state_init(self, batch: int, dtype=jnp.float32):
+        """Per-layer rolling K/V cache of the last ATTN_LOOKBACK-1 frames
+        + the global frame offset and cache fill count."""
+        w = self._causal_window()
+        if not w:
+            raise ValueError(
+                "attn-v1 streams only with ATTN_CAUSAL=true (full "
+                "bidirectional attention needs future context)")
+        d, heads, n_layers, _ = self._dims()
+        hd = d // heads
+        z = jnp.zeros((batch, w - 1, heads, hd), dtype)
+        return {
+            "cache": {f"block{i}": {"k": z, "v": z}
+                      for i in range(n_layers)},
+            "offset": jnp.zeros((), jnp.int32),
+            "filled": jnp.zeros((), jnp.int32),
+        }
+
+    def stream_hidden(self, params, x, state):
+        """Centered chunk [B, Tc, F] -> (hidden [B, Tc, D], new state).
+        Exact continuation: each layer's queries attend to the cached
+        ATTN_LOOKBACK-1 previous frames' K/V (computed by earlier chunks
+        at this layer — causality makes them final) plus the chunk's own,
+        under the same causal band mask as apply()."""
+        w = self._causal_window()
+        d, heads, n_layers, _ = self._dims()
+        hd = d // heads
+        b, c = x.shape[0], x.shape[1]
+        h = nn.linear_apply(params["embed"], x)
+        h = h + self._posenc_dyn(state["offset"], c, d, h.dtype)
+
+        # validity of the w-1 cache slots (left-filled with zeros until
+        # `filled` real frames have streamed past), then the chunk's own
+        # frames — combined with the banded causal mask
+        filled = jnp.minimum(state["filled"], w - 1)
+        jidx = jnp.arange(w - 1 + c)
+        key_valid = jidx >= (w - 1) - filled
+        qpos = jnp.arange(c)[:, None] + (w - 1)
+        kpos = jidx[None, :]
+        mask = (kpos <= qpos) & (kpos > qpos - w) & key_valid[None, :]
+
+        new_cache = {}
+        for i in range(n_layers):
+            p = params[f"block{i}"]
+            cache = state["cache"][f"block{i}"]
+            y = self._ln(p["ln1"], h)
+            qkv = nn.linear_apply(p["qkv"], y).reshape(b, c, 3, heads, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            kc = jnp.concatenate([cache["k"].astype(k.dtype), k], axis=1)
+            vc = jnp.concatenate([cache["v"].astype(v.dtype), v], axis=1)
+            logits = nn.ee("bqhd,bkhd->bhqk", q, kc) / jnp.sqrt(
+                jnp.asarray(hd, q.dtype))
+            logits = jnp.where(mask[None, None],
+                               logits.astype(jnp.float32),
+                               jnp.asarray(-1e9, jnp.float32))
+            attn = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            o = nn.ee("bhqk,bkhd->bqhd", attn, vc).reshape(b, c, d)
+            h = h + nn.linear_apply(p["proj"], o)
+            y = self._ln(p["ln2"], h)
+            h = h + self._mlp(p, y)
+            new_cache[f"block{i}"] = {
+                "k": kc[:, kc.shape[1] - (w - 1):],
+                "v": vc[:, vc.shape[1] - (w - 1):]}
+        return h, {"cache": new_cache,
+                   "offset": state["offset"] + c,
+                   "filled": jnp.minimum(state["filled"] + c, w - 1)}
+
+    def stream_head(self, params, h, mu):
+        """Output head; the attention family applies no output centering
+        (apply() has none), so the frozen `mu` is unused."""
+        hp = self.hp
+        b, t = h.shape[0], h.shape[1]
         out = nn.linear_apply(params["output"], h)
         return out.reshape(b, t, hp.FEATURE_SIZE, hp.EMBED_SIZE)
 

@@ -613,7 +613,8 @@ def test_attn_backend_resolution(fresh_hparams):
         assert attn.attn_backend_default(300) == "xla"   # not aligned
 
 
-@pytest.mark.parametrize("enc", ["lstm-orig", "gru-v1", "tcn-v1"])
+@pytest.mark.parametrize("enc", ["lstm-orig", "gru-v1", "tcn-v1",
+                                 "attn-v1"])
 def test_separate_stream_chunk_invariance(fresh_hparams, enc):
     """Causal streaming separation: carried encoder state (RNN carry, or
     TCN conv-tail buffers) makes the output EXACTLY invariant to the chunk
@@ -625,6 +626,8 @@ def test_separate_stream_chunk_invariance(fresh_hparams, enc):
     if enc == "tcn-v1":
         _small_tcn(hp)
         hp.TCN_CAUSAL = True
+    if enc == "attn-v1":
+        _small_attn_causal(hp)
     hp.digest()
     model = DaNet()
     params = model.init(jax.random.PRNGKey(0))
@@ -684,3 +687,108 @@ def test_dc_aux_loss_changes_loss_and_grad(fresh_hparams):
     hp.DC_WEIGHT_TYPE = "none"
     l2, _ = model.train_loss(params, src, None)
     assert np.isfinite(float(l2)) and float(l2) != float(l1)
+
+
+def _small_attn_causal(hp):
+    hp.ATTN_DIM = 32
+    hp.ATTN_HEADS = 4
+    hp.ATTN_LAYERS = 2
+    hp.ATTN_CAUSAL = True
+    hp.ATTN_LOOKBACK = 12
+
+
+def test_attn_causal_banded_attention(fresh_hparams):
+    """ATTN_CAUSAL windowed attention: frame t's embedding is unchanged
+    by FUTURE frames (causality) and — with one layer — by frames older
+    than ATTN_LOOKBACK (bandedness).  Perturbations are sum-preserving
+    (+d on one frame, -d on another) so apply()'s global mean-centering
+    statistic stays fixed and the comparison isolates the band mask."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    _small_attn_causal(hp)
+    hp.ATTN_LAYERS = 1  # receptive field == the band itself
+    hp.digest()
+    from danet_tpu.models.encoders import AttentionEncoder
+    enc = AttentionEncoder(hp, "enc")
+    params = enc.init(jax.random.PRNGKey(0))
+    t, w = 32, hp.ATTN_LOOKBACK
+    x = np.random.RandomState(0).randn(1, t, hp.FEATURE_SIZE) \
+        .astype(np.float32) + 3.0  # offset: no accidental zero frames
+    base = np.asarray(enc.apply(params, jnp.asarray(x)))
+
+    probe = 20
+    fut = x.copy()
+    fut[:, probe + 2] += 5.0    # two future frames change, sum preserved
+    fut[:, probe + 4] -= 5.0
+    got = np.asarray(enc.apply(params, jnp.asarray(fut)))
+    np.testing.assert_allclose(got[:, :probe + 1], base[:, :probe + 1],
+                               atol=2e-5, rtol=1e-5)
+    assert np.abs(got[:, probe + 2] - base[:, probe + 2]).max() > 1e-3
+
+    old = x.copy()
+    old[:, 2] += 5.0            # frames outside probe's lookback window
+    old[:, 4] -= 5.0            # (probe - w + 1 = 9 > 4), sum preserved
+    got = np.asarray(enc.apply(params, jnp.asarray(old)))
+    np.testing.assert_allclose(got[:, probe:], base[:, probe:],
+                               atol=2e-5, rtol=1e-5)
+    assert np.abs(got[:, 2] - base[:, 2]).max() > 1e-3
+
+
+def test_attn_causal_rejects_sp_and_noncausal_stream(fresh_hparams):
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    _small_attn_causal(hp)
+    hp.digest()
+    from danet_tpu.models.encoders import AttentionEncoder
+    enc = AttentionEncoder(hp, "enc")
+    params = enc.init(jax.random.PRNGKey(0))
+    hp.MESH_SEQ = 2
+    from danet_tpu.parallel import set_active_mesh, make_mesh
+    from jax.sharding import Mesh
+    set_active_mesh(Mesh(np.asarray(jax.devices()[:2]), ("seq",)))
+    x = jnp.zeros((1, 16, hp.FEATURE_SIZE))
+    with pytest.raises(ValueError, match="not sequence-parallel"):
+        enc.apply(params, x)
+    set_active_mesh(None)
+    hp.MESH_SEQ = 1
+    # non-causal attention must refuse the stream hooks
+    hp.ATTN_CAUSAL = False
+    with pytest.raises(ValueError, match="ATTN_CAUSAL"):
+        enc.stream_state_init(1)
+
+
+def test_attn_stream_matches_full_causal_forward(fresh_hparams):
+    """Chunked streaming with the K/V cache == the full-sequence causal
+    forward, across chunk boundaries and beyond the lookback window."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    _small_attn_causal(hp)
+    hp.digest()
+    from danet_tpu.models.encoders import AttentionEncoder
+    enc = AttentionEncoder(hp, "enc")
+    params = enc.init(jax.random.PRNGKey(1))
+    t = 48  # > 2 * lookback: the cache rolls over several times
+    x = jnp.asarray(np.random.RandomState(1).randn(
+        1, t, hp.FEATURE_SIZE).astype(np.float32) + 1.0)
+
+    # full causal forward through the stream hooks in ONE chunk
+    full, _ = enc.stream_hidden(params, x, enc.stream_state_init(1))
+    # chunked: 4 + 11 + 33 (irregular sizes cross the window boundary)
+    state = enc.stream_state_init(1)
+    outs = []
+    for beg, end in ((0, 4), (4, 15), (15, 48)):
+        h, state = enc.stream_hidden(params, x[:, beg:end], state)
+        outs.append(h)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full),
+        atol=2e-5, rtol=1e-4)
+
+    # and the hooks agree with apply() modulo its masked centering:
+    # pre-center the input exactly as apply does (no zero frames here)
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
+    h_stream, _ = enc.stream_hidden(
+        params, x - mu, enc.stream_state_init(1))
+    want = enc.apply(params, x)
+    got = enc.stream_head(params, h_stream, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)

@@ -207,6 +207,13 @@ def _small_causal_config(encoder: str) -> None:
         hparams.TCN_HIDDEN = 24
         hparams.TCN_BLOCKS = 2
         hparams.TCN_REPEATS = 1
+    elif encoder == "attn-v1":
+        hparams.ENCODER_TYPE = "attn-v1"
+        hparams.ATTN_CAUSAL = True
+        hparams.ATTN_LOOKBACK = 8
+        hparams.ATTN_DIM = 32
+        hparams.ATTN_HEADS = 4
+        hparams.ATTN_LAYERS = 2
     else:
         hparams.ENCODER_TYPE = "dprnn-v1"
         hparams.DPRNN_DIM = 16
@@ -217,7 +224,7 @@ def _small_causal_config(encoder: str) -> None:
         hparams.DPRNN_INTER_CAUSAL = True
 
 
-@pytest.mark.parametrize("encoder", ["tcn-v1", "dprnn-v1"])
+@pytest.mark.parametrize("encoder", ["tcn-v1", "dprnn-v1", "attn-v1"])
 def test_export_streamer_roundtrip(tmp_path, encoder):
     """Streaming artifact: warmup+step programs reproduce the live
     stream_init/stream_step pipeline exactly, state threading included
