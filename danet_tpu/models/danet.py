@@ -338,10 +338,13 @@ class DaNet:
             else:
                 from danet_tpu.parallel.ring_attention import (
                     ring_attention as sp_attention)
+            causal_w = self.encoder._causal_window()
             embed = self.encoder.apply(
                 enc, logmag.astype(cdt),
                 attn_fn=lambda q, k, v, km: sp_attention(
-                    q, k, v, mesh, seq_axis=seq_axis, key_mask=km))
+                    q, k, v, mesh, seq_axis=seq_axis, key_mask=km,
+                    causal_window=causal_w),
+                attn_fn_is_causal=True)
         elif isinstance(self.encoder, BiLstmEncoder):
             from danet_tpu.parallel.seq_parallel import bilstm_stack_sp
             x = logmag.astype(cdt)

@@ -412,7 +412,7 @@ class AttentionEncoder(Encoder):
             raise ValueError("ATTN_LOOKBACK must be >= 1 (got %d)" % w)
         return w
 
-    def _sp_attn_fn(self, mesh):
+    def _sp_attn_fn(self, mesh, causal_window: int = 0):
         kind = str(getattr(self.hp, "SP_ATTN", None) or "ring")
         if kind == "ulysses":
             from danet_tpu.parallel.ulysses import (
@@ -423,13 +423,17 @@ class AttentionEncoder(Encoder):
         else:
             raise ValueError("SP_ATTN must be 'ring' or 'ulysses', got %r"
                              % (kind,))
-        return lambda q, k, v, km: sp_attention(q, k, v, mesh, key_mask=km)
+        return lambda q, k, v, km: sp_attention(
+            q, k, v, mesh, key_mask=km, causal_window=causal_window)
 
     def apply(self, params, log_spectra, train=False, rng=None,
-              attn_fn=None, tap=None):
+              attn_fn=None, tap=None, attn_fn_is_causal=False):
         """attn_fn(q, k, v, key_mask) -> [B,T,H,D]; defaults to dense
         attention. parallel/ring_attention supplies the exact
-        sequence-parallel alternative (see DaNet.separate_sp)."""
+        sequence-parallel alternative (see DaNet.separate_sp).
+        attn_fn_is_causal: the supplied attn_fn already applies the
+        ATTN_CAUSAL band (e.g. causal_window passed to the SP
+        collectives) — suppresses the silently-dropped-band guard."""
         hp = self.hp
         d, heads, n_layers, _ = self._dims()
         hd = d // heads
@@ -440,27 +444,34 @@ class AttentionEncoder(Encoder):
                      [None] * n_layers)
         n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
         causal_w = self._causal_window()
-        if causal_w:
-            # causal windowed attention (the online family): the band
-            # mask composes only with the dense path for now — SP/flash
-            # variants would silently drop causality, so fail loudly
-            if attn_fn is not None or n_seq > 1:
-                raise ValueError(
-                    "ATTN_CAUSAL is not sequence-parallel yet: run the "
-                    "causal windowed family dense (MESH_SEQ=1) or stream "
-                    "it (separate_stream / export-stream)")
-            qidx = jnp.arange(t)[:, None]
-            kidx = jnp.arange(t)[None, :]
-            band = (kidx <= qidx) & (kidx > qidx - causal_w)
-            attn_fn = functools.partial(self._dense_attention, band=band)
+        if causal_w and attn_fn is not None and not attn_fn_is_causal:
+            # an externally supplied attn_fn cannot see the band mask —
+            # fail loudly rather than silently drop causality (DaNet
+            # passes causal_window through separate_sp itself and sets
+            # attn_fn_is_causal)
+            raise ValueError(
+                "ATTN_CAUSAL with an external attn_fn would silently "
+                "drop the causal band; pass causal_window to the SP "
+                "attention and set attn_fn_is_causal=True "
+                "(DaNet.separate_sp does)")
         seq_mesh = (_route_mesh("seq", n_seq)
                     if attn_fn is None and n_seq > 1 else None)
         if seq_mesh is not None:
             # trainer-reachable sequence parallelism: EXACT T-sharded
             # attention over the mesh's 'seq' axis; SP_ATTN picks the
             # collective pattern ('ring' K/V rotation or 'ulysses'
-            # all-to-all head sharding)
-            attn_fn = self._sp_attn_fn(seq_mesh)
+            # all-to-all head sharding); the ATTN_CAUSAL band composes
+            # exactly with both (global-position masks inside the
+            # collectives)
+            attn_fn = self._sp_attn_fn(seq_mesh, causal_window=causal_w)
+        elif causal_w:
+            # causal windowed attention, single-program: dense attention
+            # with the banded mask (the flash kernel has no band support
+            # — streaming covers the long-T causal case)
+            qidx = jnp.arange(t)[:, None]
+            kidx = jnp.arange(t)[None, :]
+            band = (kidx <= qidx) & (kidx > qidx - causal_w)
+            attn_fn = functools.partial(self._dense_attention, band=band)
         elif attn_fn is None:
             # ATTN_BACKEND: dense einsum attention, or the Pallas flash
             # kernel for block-aligned long sequences on TPU

@@ -18,15 +18,19 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 
-def _fold_block(acc, m, denom, q, k, v, scale, kmask):
+def _fold_block(acc, m, denom, q, k, v, scale, kmask, band=None):
     """Fold one K/V block into the online-softmax state.
 
     q [B,Tq,H,D]; k/v [B,Tk,H,D]; kmask [B,Tk] (True = valid key).
+    band: optional [Tq,Tk] bool (causal-window mask in GLOBAL positions).
     acc [B,Tq,H,D] (unnormalized), m/denom [B,Tq,H].
     """
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    logits = jnp.where(kmask[:, None, None, :], logits, -1e9)
+    mask = kmask[:, None, None, :]
+    if band is not None:
+        mask = mask & band[None, None]
+    logits = jnp.where(mask, logits, -1e9)
     blk_max = jnp.max(logits, axis=-1)                    # [B,H,Tq]
     m_new = jnp.maximum(m, jnp.moveaxis(blk_max, 1, 2))   # [B,Tq,H]
     correction = jnp.exp(m - m_new)
@@ -41,7 +45,8 @@ def _fold_block(acc, m, denom, q, k, v, scale, kmask):
 
 
 def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
-                   key_mask=None, data_axis: str = "data"):
+                   key_mask=None, data_axis: str = "data",
+                   causal_window: int = 0):
     """Exact multi-head attention with T sharded over `seq_axis`.
 
     Args:
@@ -49,12 +54,19 @@ def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
         key_mask: optional GLOBAL [B, T] bool; False keys are excluded
         data_axis: mesh axis to shard B over as well (skipped when absent
             or the batch does not divide) — composes dp x sp
+        causal_window: when > 0, apply the ATTN_CAUSAL banded mask in
+            GLOBAL frame positions — query t attends to keys in
+            (t - causal_window, t].  Each fold knows which global block
+            the rotating K/V slab came from, so the band is exact across
+            device boundaries (same mask as
+            AttentionEncoder._dense_attention's `band`).
     Returns:
         [B, T, H, D] attention output (f32 accumulate, input dtype out)
     """
     s = mesh.shape[seq_axis]
     b, t, heads, hd = q.shape
     assert t % s == 0
+    chunk = t // s
     scale = 1.0 / float(hd) ** 0.5
     if key_mask is None:
         key_mask = jnp.ones((b, t), bool)
@@ -84,11 +96,22 @@ def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
         def rotate(blks):
             return tuple(jax.lax.ppermute(b, seq_axis, perm) for b in blks)
 
+        r = jax.lax.axis_index(seq_axis)
+
         def step(i, state):
             acc, m, denom, k_blk, v_blk, mask_blk = state
+            band = None
+            if causal_window:
+                # at fold i this device holds the K/V slab that STARTED
+                # on ring position (r - i) mod s; rebuild the global
+                # band mask from both slabs' global frame offsets
+                src = (r - i) % s
+                qpos = r * chunk + jnp.arange(chunk)[:, None]
+                kpos = src * chunk + jnp.arange(chunk)[None, :]
+                band = (kpos <= qpos) & (kpos > qpos - causal_window)
             acc, m, denom = _fold_block(
                 acc, m, denom, qf, k_blk.astype(jnp.float32),
-                v_blk.astype(jnp.float32), scale, mask_blk)
+                v_blk.astype(jnp.float32), scale, mask_blk, band)
             # the last iteration's rotation would be dead ICI traffic
             k_blk, v_blk, mask_blk = jax.lax.cond(
                 i < s - 1, rotate, lambda blks: blks,

@@ -27,7 +27,8 @@ from jax.sharding import PartitionSpec as P
 
 
 def ulysses_attention(q, k, v, mesh, seq_axis: str = "seq",
-                      key_mask=None, data_axis: str = "data"):
+                      key_mask=None, data_axis: str = "data",
+                      causal_window: int = 0):
     """Exact multi-head attention with T sharded over `seq_axis`,
     computed head-sharded after an all-to-all.
 
@@ -36,6 +37,11 @@ def ulysses_attention(q, k, v, mesh, seq_axis: str = "seq",
         key_mask: optional GLOBAL [B, T] bool; False keys are excluded
         data_axis: mesh axis to shard B over as well (skipped when absent
             or the batch does not divide) — composes dp x sp
+        causal_window: when > 0, AND in the ATTN_CAUSAL banded mask —
+            query t attends to keys in (t - causal_window, t].  Trivial
+            here: after the all-to-all each device sees the FULL
+            sequence for its head group, so the global band applies
+            directly (same mask as _dense_attention's `band`).
     Returns:
         [B, T, H, D] attention output (f32 accumulate, input dtype out)
     """
@@ -70,7 +76,13 @@ def ulysses_attention(q, k, v, mesh, seq_axis: str = "seq",
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                             preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+        full = mask[:, None, None, :]
+        if causal_window:
+            qidx = jnp.arange(t)[:, None]
+            kidx = jnp.arange(t)[None, :]
+            band = (kidx <= qidx) & (kidx > qidx - causal_window)
+            full = full & band[None, None]
+        logits = jnp.where(full, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
                          preferred_element_type=jnp.float32)

@@ -734,7 +734,10 @@ def test_attn_causal_banded_attention(fresh_hparams):
     assert np.abs(got[:, 2] - base[:, 2]).max() > 1e-3
 
 
-def test_attn_causal_rejects_sp_and_noncausal_stream(fresh_hparams):
+def test_attn_causal_guards(fresh_hparams):
+    """Causality cannot be silently dropped: an external attn_fn that
+    does not declare band handling is rejected, and the stream hooks
+    refuse a non-causal (bidirectional) configuration."""
     hp = fresh_hparams
     hp.ENCODER_TYPE = "attn-v1"
     _small_attn_causal(hp)
@@ -742,15 +745,9 @@ def test_attn_causal_rejects_sp_and_noncausal_stream(fresh_hparams):
     from danet_tpu.models.encoders import AttentionEncoder
     enc = AttentionEncoder(hp, "enc")
     params = enc.init(jax.random.PRNGKey(0))
-    hp.MESH_SEQ = 2
-    from danet_tpu.parallel import set_active_mesh, make_mesh
-    from jax.sharding import Mesh
-    set_active_mesh(Mesh(np.asarray(jax.devices()[:2]), ("seq",)))
     x = jnp.zeros((1, 16, hp.FEATURE_SIZE))
-    with pytest.raises(ValueError, match="not sequence-parallel"):
-        enc.apply(params, x)
-    set_active_mesh(None)
-    hp.MESH_SEQ = 1
+    with pytest.raises(ValueError, match="attn_fn"):
+        enc.apply(params, x, attn_fn=enc._dense_attention)
     # non-causal attention must refuse the stream hooks
     hp.ATTN_CAUSAL = False
     with pytest.raises(ValueError, match="ATTN_CAUSAL"):

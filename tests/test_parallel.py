@@ -795,11 +795,13 @@ def test_ulysses_attention_exact(fresh_hparams):
                                atol=2e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("pattern", ["ring", "ulysses"])
-def test_sp_attention_gradients(fresh_hparams, pattern):
+@pytest.mark.parametrize("pattern,window", [
+    ("ring", 0), ("ulysses", 0), ("ring", 7), ("ulysses", 7)])
+def test_sp_attention_gradients(fresh_hparams, pattern, window):
     """Both SP attention patterns differentiate EXACTLY like dense
     attention (q/k/v grads) — sequence-parallel TRAINING is supported,
-    not just inference."""
+    not just inference; window > 0 additionally runs the ATTN_CAUSAL
+    band through the backward pass."""
     import jax.numpy as jnp
     from jax.sharding import Mesh
     if pattern == "ring":
@@ -818,17 +820,85 @@ def test_sp_attention_gradients(fresh_hparams, pattern):
     def dense(q, k, v):
         s = 1.0 / np.sqrt(D)
         lg = jnp.einsum("bqhd,bkhd->bhqk", q, k) * s
-        lg = jnp.where(np.asarray(mask)[:, None, None, :], lg, -1e9)
+        full = np.asarray(mask)[:, None, None, :]
+        if window:
+            qi, ki = np.arange(T)[:, None], np.arange(T)[None, :]
+            full = full & ((ki <= qi) & (ki > qi - window))[None, None]
+        lg = jnp.where(full, lg, -1e9)
         return jnp.einsum("bhqk,bkhd->bqhd", jax.nn.softmax(lg, -1), v)
 
     loss_sp = lambda q, k, v: jnp.sum(jnp.sin(f(q, k, v, mesh,
-                                                key_mask=mask)))
+                                                key_mask=mask,
+                                                causal_window=window)))
     loss_dn = lambda q, k, v: jnp.sum(jnp.sin(dense(q, k, v)))
     gs = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
     gd = jax.grad(loss_dn, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gs, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("pattern", ["ring", "ulysses"])
+def test_sp_attention_causal_window_exact(fresh_hparams, pattern):
+    """The ATTN_CAUSAL banded mask composes EXACTLY with both SP
+    collectives: causal_window > 0 equals dense attention under the same
+    global band (ring rebuilds the band per fold from global block
+    offsets; ulysses applies it on the gathered full sequence).  The
+    window deliberately straddles device-chunk boundaries (w=11 with
+    T/S=8 chunks)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    if pattern == "ring":
+        from danet_tpu.parallel.ring_attention import ring_attention as f
+    else:
+        from danet_tpu.parallel.ulysses import ulysses_attention as f
+
+    B, T, H, D, W = 2, 32, 4, 8, 11
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, T, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, T, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, T, H, D).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, T) > 0.2)
+
+    scale = 1.0 / np.sqrt(D)
+    qi, ki = np.arange(T)[:, None], np.arange(T)[None, :]
+    band = (ki <= qi) & (ki > qi - W)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    full = np.asarray(mask)[:, None, None, :] & band[None, None]
+    logits = jnp.where(full, logits, -1e9)
+    ref = jnp.einsum("bhqk,bkhd->bqhd",
+                     jax.nn.softmax(logits, axis=-1), v)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("seq",))
+    out = f(q, k, v, mesh, key_mask=mask, causal_window=W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sp_attn", ["ring", "ulysses"])
+def test_separate_sp_causal_attention_exact(fresh_hparams, sp_attn):
+    """Causal windowed attn-v1 (the online family) runs sequence-parallel
+    EXACTLY: separate_sp over a 4-way 'seq' mesh == single-device
+    separate() with the same ATTN_CAUSAL band."""
+    from jax.sharding import Mesh
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    hp.ATTN_DIM = 64
+    hp.ATTN_LAYERS = 2
+    hp.ATTN_CAUSAL = True
+    hp.ATTN_LOOKBACK = 12   # straddles the T/S=8 device chunks
+    hp.SP_ATTN = sp_attn
+    hp.BATCH_SIZE = 2
+    hp.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    mix = np.random.RandomState(0).randn(
+        2, 32, hp.FEATURE_SIZE, 2).astype(np.float32)
+    exact = np.asarray(model.separate(params, jnp.asarray(mix)))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), axis_names=("seq",))
+    sp = np.asarray(model.separate_sp(params, jnp.asarray(mix), mesh,
+                                      sp_attn=sp_attn))
+    np.testing.assert_allclose(sp, exact, atol=2e-4, rtol=1e-3)
 
 
 def test_separate_sp_ulysses_exact(fresh_hparams):
