@@ -10,6 +10,7 @@ MAX_TRAIN_LEN=128, FFT_SIZE=256 -> F=129) — i.e. the per-step work of
 
 Dev switches: `--encoder KEY` benches another encoder family,
 `--model tasnet-v1` benches the waveform-domain Conv-TasNet family,
+`--batch N` probes batch scaling of the latency-bound recurrent step,
 `--sweep` prints a per-family table (throughput + TFLOP/s + MFU) for the
 PARITY.md perf section.  The driver-facing default stays ONE JSON line.
 
@@ -182,11 +183,15 @@ def sweep():
 
 
 def main():
-    global FORCE_BACKEND, ENCODER, MODEL
+    global FORCE_BACKEND, ENCODER, MODEL, BATCH
     if "--encoder" in sys.argv:
         ENCODER = sys.argv[sys.argv.index("--encoder") + 1]
     if "--model" in sys.argv:
         MODEL = sys.argv[sys.argv.index("--model") + 1]
+    if "--batch" in sys.argv:
+        # batch-scaling probe (VERDICT r2 item 3): the B=32 recurrent
+        # step is latency-bound; larger B fills the MXU's 128 rows
+        BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
     if "--sweep" in sys.argv:
         sweep()
         return
