@@ -370,7 +370,7 @@ class AttentionEncoder(Encoder):
             }
         return params
 
-    def _mlp(self, blk, y):
+    def _mlp(self, blk, y, train=False):
         return nn.linear_apply(
             blk["mlp_out"], jax.nn.gelu(nn.linear_apply(blk["mlp_in"], y)))
 
@@ -501,7 +501,7 @@ class AttentionEncoder(Encoder):
             o = attn_fn(q, k, v, key_mask).reshape(b, t, d)
             h = h + nn.linear_apply(p["proj"], o)
             y = self._ln(p["ln2"], h)
-            y = self._mlp(p, y)
+            y = self._mlp(p, y, train=train)
             if drop_keys[i] is not None:
                 y = nn.dropout(drop_keys[i], y, keep)
             h = h + y
@@ -624,15 +624,24 @@ class MoEAttentionEncoder(AttentionEncoder):
             "w_out": nn.uniform_init(ks[2], (n_exp, mlp * d, d), scale_in),
         }}
 
-    def _mlp(self, blk, y):
+    def _mlp(self, blk, y, train=False):
         from danet_tpu.parallel.expert import (moe_mlp, moe_mlp_ep,
                                                moe_mlp_ep_routed,
-                                               moe_mlp_topk)
+                                               moe_mlp_topk,
+                                               moe_mlp_topk_dropless)
         hp = self.hp
         n_ep = int(getattr(hp, "MESH_EXPERT", 1) or 1)
         mesh = _route_mesh("expert", n_ep) if n_ep > 1 else None
         k = int(getattr(hp, "MOE_TOP_K", 0) or 0)
         if k > 0:
+            if not train:
+                # inference/streaming is DROPLESS: capacity dropping is
+                # batch-global (a token's output depends on which other
+                # tokens claimed its experts' slots), which both degrades
+                # serving quality and breaks causal chunked streaming's
+                # chunk-invariance; capacity is a training-efficiency
+                # device only (parallel/expert.py moe_mlp_topk_dropless)
+                return moe_mlp_topk_dropless(blk["moe"], y, k=k)
             # top-k routed dispatch with capacity + all_to_all token
             # movement (parallel/expert.py module docstring) — the form
             # that scales communication with routed tokens, not the full

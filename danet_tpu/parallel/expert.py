@@ -102,6 +102,37 @@ def moe_mlp_ep(params, x, mesh, expert_axis: str = "expert"):
     return run(params, x)
 
 
+def moe_mlp_topk_dropless(params, x, k: int = 2):
+    """Top-k routed MoE MLP with NO capacity dropping — the inference /
+    streaming form.
+
+    Capacity dropping (``moe_mlp_topk``) is a batch-global operation: a
+    token's output depends on which OTHER tokens claimed its experts'
+    slots, so a capacity-dropped forward is not positionwise-pure and
+    cannot be reproduced by causal chunked streaming (different chunking
+    -> different drops).  Serving-grade MoE inference is dropless: every
+    token reaches its top-k experts.  Same gate semantics as
+    ``_topk_dispatch`` (full-E softmax, kept gates renormalized to sum
+    1), so wherever nothing would have dropped the two forms agree
+    exactly.  Compute is the dense all-experts form gated sparsely —
+    right at inference-scale MOE_EXPERTS."""
+    probs = jax.nn.softmax(
+        jnp.einsum("btd,de->bte", x, params["router"].astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(
+                       jnp.float32), axis=-1)
+    gvals, gidx = jax.lax.top_k(probs, k)                 # [B, T, k]
+    gvals = gvals / (jnp.sum(gvals, axis=-1, keepdims=True) + 1e-9)
+    n_exp = params["w_in"].shape[0]
+    gates = jnp.sum(
+        jax.nn.one_hot(gidx, n_exp, dtype=jnp.float32)
+        * gvals[..., None], axis=2)                       # [B, T, E]
+    hid = jax.nn.gelu(
+        ee("btd,edh->ebth", x, params["w_in"].astype(x.dtype)))
+    y = ee("ebth,ehd->ebtd", hid, params["w_out"].astype(x.dtype))
+    return jnp.einsum("ebtd,bte->btd", y, gates.astype(y.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def _capacity(n_tokens: int, n_experts: int, k: int,
               capacity_factor: float) -> int:
     import math

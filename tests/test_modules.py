@@ -754,15 +754,21 @@ def test_attn_causal_guards(fresh_hparams):
         enc.stream_state_init(1)
 
 
-def test_attn_stream_matches_full_causal_forward(fresh_hparams):
+@pytest.mark.parametrize("family", ["attn-v1", "moe-v1", "moe-topk"])
+def test_attn_stream_matches_full_causal_forward(fresh_hparams, family):
     """Chunked streaming with the K/V cache == the full-sequence causal
-    forward, across chunk boundaries and beyond the lookback window."""
+    forward, across chunk boundaries and beyond the lookback window.
+    Covers the MoE subclass too (inherited hooks route through its
+    expert MLP — dense soft-mixture and top-k routed)."""
     hp = fresh_hparams
-    hp.ENCODER_TYPE = "attn-v1"
+    hp.ENCODER_TYPE = "attn-v1" if family == "attn-v1" else "moe-v1"
     _small_attn_causal(hp)
+    if family != "attn-v1":
+        hp.MOE_EXPERTS = 4
+        if family == "moe-topk":
+            hp.MOE_TOP_K = 2
     hp.digest()
-    from danet_tpu.models.encoders import AttentionEncoder
-    enc = AttentionEncoder(hp, "enc")
+    enc = hp.get_encoder()(hp, "enc")
     params = enc.init(jax.random.PRNGKey(1))
     t = 48  # > 2 * lookback: the cache rolls over several times
     x = jnp.asarray(np.random.RandomState(1).randn(

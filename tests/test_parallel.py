@@ -1263,6 +1263,36 @@ def test_trainer_seq_parallel_tcn_step(fresh_hparams):
                                    atol=5e-5, rtol=1e-4)
 
 
+def test_moe_topk_dropless_matches_capacity_when_no_drops(fresh_hparams):
+    """The dropless inference form == the capacity form whenever capacity
+    cannot drop (cf large enough for every token) — same router, same
+    gate renormalization; and it IS positionwise-pure: chunking the T
+    axis changes nothing (the property streaming relies on)."""
+    import jax.numpy as jnp
+    from danet_tpu.parallel.expert import (moe_mlp_topk,
+                                           moe_mlp_topk_dropless)
+    from danet_tpu.ops import nn
+
+    B, T, D, E, FF = 2, 24, 12, 4, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    params = {
+        "router": nn.uniform_init(ks[0], (D, E), 0.5),
+        "w_in": nn.uniform_init(ks[1], (E, D, FF), 0.3),
+        "w_out": nn.uniform_init(ks[2], (E, FF, D), 0.3),
+    }
+    x = jnp.asarray(np.random.RandomState(4).randn(B, T, D)
+                    .astype(np.float32))
+    want = moe_mlp_topk(params, x, k=2, capacity_factor=float(E))
+    got = moe_mlp_topk_dropless(params, x, k=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    chunked = jnp.concatenate([
+        moe_mlp_topk_dropless(params, x[:, :7], k=2),
+        moe_mlp_topk_dropless(params, x[:, 7:], k=2)], axis=1)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(got),
+                               atol=1e-6, rtol=1e-6)
+
+
 def test_routed_moe_ep_matches_dense_oracle(fresh_hparams):
     """Top-k routed expert parallelism (all_to_all token dispatch with
     capacity) == the dense gather oracle applied per token shard, and
