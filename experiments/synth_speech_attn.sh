@@ -32,8 +32,8 @@ rm -rf "$SAVE/latest" && cp -r "$SAVE/synthext_best" "$SAVE/latest"
 retry $PY --epochs 12 --lr 5e-5 --loss pit-si-snr --infer-est kmeans --resume
 echo "=== eval (latest)"
 retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/latest" \
-    --dataset synth-speech --batches 120
+    --dataset synth-speech --batches 120 --encoder attn-v1
 echo "=== eval (best)"
 retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/synthext_best" \
-    --dataset synth-speech --batches 120
+    --dataset synth-speech --batches 120 --encoder attn-v1
 echo "=== all done rc=$? $(date)"
