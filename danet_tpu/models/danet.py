@@ -198,8 +198,22 @@ class DaNet:
                 dc_weights = None
             else:
                 raise ValueError("Unknown DC_WEIGHT_TYPE %r" % (wt,))
-            loss = loss + dc_w * loss_ops.dc_loss(
-                embed, src_pwr, weights=dc_weights)
+            dc = loss_ops.dc_loss(embed, src_pwr, weights=dc_weights)
+            # Scale-match the auxiliary to the primary objective.  The DC
+            # objective is O(1/N) dimensionless while the primary losses
+            # live on wildly different scales (complex-spectrum MSE here
+            # is ~3e-4; negative SI-SNR is ~dBs), so a fixed weight
+            # cannot be calibrated across objectives — the round-3
+            # DC_LOSS_WEIGHT=0.3 broadband run had the auxiliary dominate
+            # the MSE gradient by ~3 orders of magnitude (never learned,
+            # NaN'd at epoch 10).  The stop-gradient ratio makes
+            # DC_LOSS_WEIGHT a RELATIVE contribution: the DC term always
+            # contributes dc_w x the primary loss magnitude, whatever the
+            # stage's objective.
+            scale = jax.lax.stop_gradient(
+                jnp.abs(loss) / (dc + jnp.asarray(1e-20, loss.dtype)))
+            loss = loss + dc_w * scale * dc
+            dc_raw = dc  # raw (unscaled) value, exposed for diagnostics
 
         # Optional auxiliary loss through the inference-estimator path.
         # In the reference, anchors receive NO gradient unless
@@ -230,8 +244,11 @@ class DaNet:
 
         if getattr(hp, "REG_APPLY", False) and hp.REG_TYPE is not None:
             loss = loss + reg_loss(params, hp.REG_TYPE, hp.REG_SCALE)
-        return loss, {"snr": snr, "separated_ri": sep_ri_pit,
-                      "perm_idx": perm_idx}
+        aux_out = {"snr": snr, "separated_ri": sep_ri_pit,
+                   "perm_idx": perm_idx}
+        if dc_w > 0.0:
+            aux_out["dc"] = dc_raw
+        return loss, aux_out
 
     # ------------------------------------------------------------------
     def valid_metrics(self, params, src_ri: jnp.ndarray):

@@ -14,8 +14,16 @@ import optax
 from danet_tpu.hparams import hparams
 
 
-def _with_clip_and_lr(opt_factory, learn_rate: float, grad_clip):
+def _with_clip_and_lr(opt_factory, learn_rate: float, grad_clip,
+                      clip_norm=None):
     parts = []
+    if clip_norm:  # global-norm clip (0/None = off): spike protection for
+        # recurrent nets — the elementwise value clip below never fires on
+        # the small-but-collectively-huge gradients of a bf16 loss spike,
+        # which is exactly the excursion that wrecks a staged run.  Both
+        # transforms are stateless (EmptyState), so enabling/disabling them
+        # does not change the checkpointable opt_state leaves.
+        parts.append(optax.clip_by_global_norm(float(clip_norm)))
     if grad_clip is not None:
         parts.append(optax.clip(float(grad_clip)))  # elementwise value clip
     parts.append(optax.inject_hyperparams(opt_factory)(
@@ -24,17 +32,18 @@ def _with_clip_and_lr(opt_factory, learn_rate: float, grad_clip):
 
 
 @hparams.register_optimizer("sgd")
-def sgd_ozer(learn_rate, grad_clip=None, **kwargs):
-    return _with_clip_and_lr(optax.sgd, learn_rate, grad_clip)
+def sgd_ozer(learn_rate, grad_clip=None, clip_norm=None, **kwargs):
+    return _with_clip_and_lr(optax.sgd, learn_rate, grad_clip, clip_norm)
 
 
 @hparams.register_optimizer("adam")
-def adam_ozer(learn_rate, grad_clip=None, **kwargs):
-    return _with_clip_and_lr(optax.adam, learn_rate, grad_clip)
+def adam_ozer(learn_rate, grad_clip=None, clip_norm=None, **kwargs):
+    return _with_clip_and_lr(optax.adam, learn_rate, grad_clip, clip_norm)
 
 
 @hparams.register_optimizer("adamw")
-def adamw_ozer(learn_rate, grad_clip=None, hp=None, **kwargs):
+def adamw_ozer(learn_rate, grad_clip=None, clip_norm=None, hp=None,
+               **kwargs):
     """Adam with decoupled weight decay (not in the reference — its
     REG_TYPE L2 regularizer was inert; WEIGHT_DECAY is the modern
     production equivalent, default 1e-4).  An explicit WEIGHT_DECAY=0
@@ -47,7 +56,7 @@ def adamw_ozer(learn_rate, grad_clip=None, hp=None, **kwargs):
     def factory(learning_rate):
         return optax.adamw(learning_rate, weight_decay=wd)
 
-    return _with_clip_and_lr(factory, learn_rate, grad_clip)
+    return _with_clip_and_lr(factory, learn_rate, grad_clip, clip_norm)
 
 
 def make_optimizer(hp=None):
@@ -63,10 +72,12 @@ def make_optimizer(hp=None):
     kw = {}
     try:
         params = inspect.signature(factory).parameters
-        if "hp" in params or any(
-                p.kind is inspect.Parameter.VAR_KEYWORD
-                for p in params.values()):
+        has_varkw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                        for p in params.values())
+        if "hp" in params or has_varkw:
             kw["hp"] = hp
+        if "clip_norm" in params or has_varkw:
+            kw["clip_norm"] = getattr(hp, "GRAD_CLIP_NORM", None)
     except (TypeError, ValueError):
         pass
     return factory(hp.LR, grad_clip=hp.GRAD_CLIP_THRES, **kw)

@@ -504,6 +504,7 @@ class Trainer:
         epoch = epoch0
         n_total = epoch0 + n_epoch
         nan_retries = 0  # NaN-rollback retries; perturbs the retry's seeds
+        crash_retries = 0  # total valid-crash rollbacks this invocation
         while epoch < n_total:
             # Deterministic per-epoch data stream (shuffle + crop): the
             # reference leaves these to the ambient unseeded np.random;
@@ -658,6 +659,45 @@ class Trainer:
             sys.stdout.write("\nValid  %d/%d %s\n" % (
                 epoch, n_total, _dict_format(cli_report)))
             sys.stdout.flush()
+            # Valid-crash rollback (VALID_CRASH_FACTOR > 0; not in the
+            # reference): a loss spike that recovers before NaN leaves the
+            # params wrecked but finite — the NaN sentinel never fires, the
+            # damaged state gets checkpointed, and every later stage resumes
+            # from it (observed in production: a stage-final spike cost a
+            # 68-epoch staged run ~2.7 dB SI-SNR).  If this epoch's valid
+            # loss exceeds the invocation's best by the factor, restore the
+            # keep-best checkpoint (or the previous epoch boundary) and
+            # replay with perturbed data/dropout seeds.  best_valid_loss is
+            # per-invocation, so staged objective switches never trip it.
+            crash_factor = float(
+                getattr(hp, "VALID_CRASH_FACTOR", 0.0) or 0.0)
+            if (crash_factor > 0.0 and crash_retries < 3
+                    and best_valid_loss < float("inf")
+                    and cli_report.get("loss", 0.0)
+                    > best_valid_loss * crash_factor):
+                target = os.path.join(self.save_dir, "%s_best" % self.name)
+                if not (save_best and os.path.exists(target)):
+                    target = self.save_path(epoch - 1)
+                if os.path.exists(target):
+                    sys.stdout.write(
+                        "\n[valid loss %.6g > %.2fx best %.6g: crash "
+                        "rollback to %s]\n" % (
+                            cli_report["loss"], crash_factor,
+                            best_valid_loss, target))
+                    sys.stdout.flush()
+                    state = self.load_params(state, target)
+                    epoch = int(state.get("epoch", epoch - 1))
+                    # cap is per-invocation (never reset): a divergence
+                    # that recurs after every rollback must not replay the
+                    # best->crash window forever.  Each retry perturbs the
+                    # first replayed epoch's seeds differently.
+                    crash_retries += 1
+                    nan_retries = crash_retries
+                    continue
+                sys.stdout.write(
+                    "\n[valid loss spiked but no checkpoint to roll back "
+                    "to; continuing]\n")
+                sys.stdout.flush()
             # keep-best checkpoint on the valid loss (not in the reference,
             # which only saves per-epoch — a late-training excursion there
             # silently degrades the last checkpoint)

@@ -19,8 +19,13 @@ retry() {
   return 1
 }
 
+# VALID_CRASH_FACTOR: roll back to keep-best + replay when an epoch's
+# valid loss exceeds 1.5x the invocation best.  The first run of this
+# recipe was wrecked by exactly that failure: stage A's FINAL epoch
+# spiked (valid loss 1.27e-4 -> 2.2e-4, SI-SNR 4.75 -> 0.89) and every
+# later stage resumed from the damaged `latest` checkpoint.
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 240 \
-    --dataset synth-speech --eval-si-snr"
+    --dataset synth-speech --eval-si-snr --set VALID_CRASH_FACTOR=1.5"
 
 echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
 retry $PY --epochs 12 --lr 1e-3

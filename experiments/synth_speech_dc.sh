@@ -20,8 +20,13 @@ retry() {
   return 1
 }
 
+# VALID_CRASH_FACTOR: roll back to keep-best + replay when an epoch's
+# valid loss exceeds 1.5x the invocation best (normal fluctuation here
+# is +/-7%; the round-3 big-run stage-final spike was 1.74x and wrecked
+# every later stage).  DC_LOSS_WEIGHT is RELATIVE (scale-matched).
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
-    --dataset synth-speech --eval-si-snr --set DC_LOSS_WEIGHT=0.3"
+    --dataset synth-speech --eval-si-snr --set DC_LOSS_WEIGHT=0.3 \
+    --set VALID_CRASH_FACTOR=1.5"
 
 echo "=== stage A: PIT-MSE + DC @ 1e-3 (12 epochs)"
 retry $PY --epochs 12 --lr 1e-3

@@ -668,25 +668,38 @@ def test_separate_stream_rejects_noncausal(fresh_hparams):
 
 
 def test_dc_aux_loss_changes_loss_and_grad(fresh_hparams):
-    """DC_LOSS_WEIGHT>0 adds the deep-clustering auxiliary: the loss
-    moves and the encoder still receives finite gradients; weight 0 is
-    exactly the base objective."""
+    """DC_LOSS_WEIGHT>0 adds the scale-matched deep-clustering auxiliary:
+    the contribution is exactly dc_w x |primary loss| in value (the
+    stop-gradient ratio normalization — a fixed absolute weight cannot be
+    calibrated across objectives whose scales differ by orders of
+    magnitude), the encoder still receives finite gradients, and the
+    gradient DIRECTION depends on the bin weighting; weight 0 is exactly
+    the base objective."""
     hp = fresh_hparams
     hp.BATCH_SIZE = B
     src = _src(hp)
     model = DaNet()
     params = model.init(jax.random.PRNGKey(0))
-    l0, _ = model.train_loss(params, src, None)
+    l0, aux0 = model.train_loss(params, src, None)
+    assert "dc" not in aux0
     hp.DC_LOSS_WEIGHT = 1.0
-    l1, _ = model.train_loss(params, src, None)
-    assert float(l1) > float(l0)  # DC term is nonnegative, random embed
-    g = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
-    leaves = jax.tree_util.tree_leaves(g["encoder"])
+    l1, aux1 = model.train_loss(params, src, None)
+    # relative semantics: contribution == dc_w * |primary| exactly
+    np.testing.assert_allclose(float(l1), 2.0 * float(l0), rtol=1e-5)
+    assert float(aux1["dc"]) > 0.0  # raw DC value exposed for diagnostics
+    g1 = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    leaves = jax.tree_util.tree_leaves(g1["encoder"])
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
-    # unweighted variant also runs
+    # unweighted variant: same loss VALUE by construction, but the DC
+    # gradient direction must differ from the magnitude-ratio weighting
     hp.DC_WEIGHT_TYPE = "none"
     l2, _ = model.train_loss(params, src, None)
-    assert np.isfinite(float(l2)) and float(l2) != float(l1)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    g2 = jax.grad(lambda p: model.train_loss(p, src, None)[0])(params)
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree_util.tree_leaves(g1["encoder"]),
+                             jax.tree_util.tree_leaves(g2["encoder"]))]
+    assert max(diffs) > 0.0
 
 
 def _small_attn_causal(hp):

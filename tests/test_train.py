@@ -572,3 +572,90 @@ def test_load_eval_params_prefers_ema(fresh_hparams, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(got),
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_clip_norm_bounds_update(fresh_hparams):
+    """GRAD_CLIP_NORM global-norm clipping (not in the reference — its only
+    clip is elementwise at +/-GRAD_CLIP_THRES, which never fires on the
+    small-but-collectively-huge gradients of a bf16 loss spike)."""
+    from danet_tpu import optim as optim_lib
+    hp = fresh_hparams
+    hp.OPTIMIZER_TYPE = "sgd"
+    hp.LR = 1.0
+    hp.GRAD_CLIP_NORM = 1e-3
+    hp.GRAD_CLIP_THRES = 1e9
+    opt = optim_lib.make_optimizer(hp)
+    params = {"w": jnp.zeros((4, 4)), "b": jnp.zeros((4,))}
+    grads = {"w": 100.0 * jnp.ones((4, 4)), "b": -50.0 * jnp.ones((4,))}
+    opt_state = opt.init(params)
+    updates, _ = opt.update(grads, opt_state, params)
+    gnorm = float(jnp.sqrt(sum(
+        jnp.sum(u * u) for u in jax.tree_util.tree_leaves(updates))))
+    assert abs(gnorm - 1e-3) < 1e-6, gnorm
+    # direction preserved (pure rescale, not elementwise truncation)
+    ratio = np.asarray(updates["w"]).flatten()[0] / \
+        np.asarray(updates["b"]).flatten()[0]
+    assert abs(ratio - (-2.0)) < 1e-5
+
+    # stateless transform: enabling the clip must not change the
+    # checkpointable opt_state leaves (old checkpoints stay restorable)
+    hp.GRAD_CLIP_NORM = 0.0
+    opt_off = optim_lib.make_optimizer(hp)
+    leaves_on = jax.tree_util.tree_leaves(opt_state)
+    leaves_off = jax.tree_util.tree_leaves(opt_off.init(params))
+    assert len(leaves_on) == len(leaves_off)
+
+
+def test_valid_crash_rollback_restores_best(fresh_hparams, tmp_path):
+    """VALID_CRASH_FACTOR: a finite (non-NaN) valid-loss spike rolls the
+    run back to the keep-best checkpoint and replays with perturbed seeds
+    — the failure mode where a stage-final excursion wrecks every later
+    resumed stage (the NaN sentinel never fires on a finite spike)."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.VALID_CRASH_FACTOR = 2.0
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    model = DaNet()
+    trainer = Trainer(model, name="crash", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    scripted = [0.001, 100.0, 0.0009]  # good -> spike -> replay recovers
+    calls = []
+
+    def fake_sweep(state, dataset, subset, bucket):
+        v = scripted[min(len(calls), len(scripted) - 1)]
+        calls.append(v)
+        return {"loss": v, "SNR": 0.0}
+
+    trainer._metrics_sweep = fake_sweep
+    state = trainer.train(2, ds, save_on_epoch=False, valid_on_epoch=True,
+                          save_best=True)
+    # epoch 1 set best; epoch 2 spiked and rolled back to best; the
+    # replayed epoch 2 recovered -> exactly 3 valid sweeps, 2 epochs done
+    assert calls == [0.001, 100.0, 0.0009], calls
+    assert int(state["epoch"]) == 2
+    assert os.path.isdir(os.path.join(str(tmp_path), "crash_best"))
+
+
+def test_valid_crash_rollback_caps_retries(fresh_hparams, tmp_path):
+    """A divergence that recurs after every rollback must not replay the
+    best->crash window forever: after 3 rollbacks the guard disables and
+    the run completes."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.VALID_CRASH_FACTOR = 2.0
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    model = DaNet()
+    trainer = Trainer(model, name="crash2", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    calls = []
+
+    def fake_sweep(state, dataset, subset, bucket):
+        calls.append(1)
+        return {"loss": 0.001 if len(calls) == 1 else 100.0, "SNR": 0.0}
+
+    trainer._metrics_sweep = fake_sweep
+    state = trainer.train(2, ds, save_on_epoch=False, valid_on_epoch=True,
+                          save_best=True)
+    assert int(state["epoch"]) == 2
+    # 1 good + (3 rollback replays + 1 accepted) spikes = 5 sweeps
+    assert len(calls) == 5, calls
