@@ -45,6 +45,9 @@ def build(stage: str):
     hparams.load_json(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "default.json"))
+    hparams.ENCODER_TYPE = "bilstm-orig"  # the flagship, as bench.py —
+    # default.json ships the reference's 'toy' encoder, which would make
+    # the encoder stage (and the tail's share of the step) meaningless
     hparams.BATCH_SIZE = BATCH
     hparams.COMPUTE_DTYPE = "bfloat16"
     hparams.digest()
