@@ -14,21 +14,52 @@ import optax
 from danet_tpu.hparams import hparams
 
 
+def _clip_transform(grad_clip, clip_norm):
+    """One stateless transform for both clip modes.
+
+    - clip_norm (GRAD_CLIP_NORM; 0/None = off): global-norm clip — spike
+      protection for recurrent nets; the elementwise value clip never
+      fires on the small-but-collectively-huge gradients of a bf16 loss
+      spike, exactly the excursion that wrecks a staged run.
+    - grad_clip (GRAD_CLIP_THRES; None = off): the reference's
+      elementwise value clip (reference main.py:354-363).
+
+    Both modes live in a SINGLE always-present transform with EmptyState
+    so the optax chain is always (clip, inject) — toggling either key
+    between stages of a run never changes the opt_state tree structure,
+    and checkpoints stay restorable across the toggle (Orbax validates
+    structure, not just leaves).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        if clip_norm:  # static python toggle: no structure change
+            max_norm = float(clip_norm)
+            g_norm = optax.global_norm(updates)
+            scale = jnp.where(g_norm < max_norm, 1.0, max_norm
+                              / jnp.maximum(g_norm, 1e-38))
+            updates = jax.tree_util.tree_map(
+                lambda u: u * scale.astype(u.dtype), updates)
+        if grad_clip is not None:
+            c = float(grad_clip)
+            updates = jax.tree_util.tree_map(
+                lambda u: jnp.clip(u, -c, c), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def _with_clip_and_lr(opt_factory, learn_rate: float, grad_clip,
                       clip_norm=None):
-    parts = []
-    if clip_norm:  # global-norm clip (0/None = off): spike protection for
-        # recurrent nets — the elementwise value clip below never fires on
-        # the small-but-collectively-huge gradients of a bf16 loss spike,
-        # which is exactly the excursion that wrecks a staged run.  Both
-        # transforms are stateless (EmptyState), so enabling/disabling them
-        # does not change the checkpointable opt_state leaves.
-        parts.append(optax.clip_by_global_norm(float(clip_norm)))
-    if grad_clip is not None:
-        parts.append(optax.clip(float(grad_clip)))  # elementwise value clip
-    parts.append(optax.inject_hyperparams(opt_factory)(
-        learning_rate=learn_rate))
-    return optax.chain(*parts)
+    return optax.chain(
+        _clip_transform(grad_clip, clip_norm),
+        optax.inject_hyperparams(opt_factory)(learning_rate=learn_rate))
 
 
 @hparams.register_optimizer("sgd")

@@ -136,8 +136,12 @@ def moe_mlp_topk_dropless(params, x, k: int = 2):
 def _capacity(n_tokens: int, n_experts: int, k: int,
               capacity_factor: float) -> int:
     import math
-    return max(1, int(math.ceil(k * n_tokens / n_experts
-                                * capacity_factor)))
+    cap = max(1, int(math.ceil(k * n_tokens / n_experts
+                               * capacity_factor)))
+    # an expert can never hold more than every token: slots beyond
+    # n_tokens are unoccupiable padding (reachable when E < k*cf), and
+    # C scales the [N, E, C] dispatch/combine tensors directly
+    return min(cap, n_tokens)
 
 
 def _topk_dispatch(logits, k: int, cap: int):
@@ -148,7 +152,17 @@ def _topk_dispatch(logits, k: int, cap: int):
     among the first C tokens (in token order, earlier top-k slots first)
     routed to e.  Gates are the softmax probabilities of the KEPT top-k
     experts, renormalized to sum 1 per token (before capacity dropping,
-    the standard order: renormalize, then drop)."""
+    the standard order: renormalize, then drop).
+
+    Scaling note: this is GShard's dense einsum dispatch — the [N, E, C]
+    tensors are O(k * cf * N^2) elements since C grows with N, and the
+    dispatch einsums add O(N * E * C * d) FLOPs.  That is the standard
+    TPU form (scatter-free, exact, clean VJP) and is cheap at this
+    repo's MoE scales (N <= a few thousand per shard; under expert
+    parallelism N is the PER-DEVICE token count, so the quadratic term
+    shrinks with the mesh).  For very long sequences a sort/segment_sum
+    packing would be the next step; the dropless inference form
+    (``moe_mlp_topk_dropless``) already avoids C entirely."""
     n, e = logits.shape
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     gvals, gidx = jax.lax.top_k(probs, k)                   # [N, k]

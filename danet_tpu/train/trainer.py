@@ -208,7 +208,8 @@ class Trainer:
             if accum == 1:
                 (loss, aux), grads = jax.value_and_grad(
                     model.train_loss, has_aux=True)(params, src_ri, rng)
-                return grads, loss, aux["snr"]
+                extra = {"DC": aux["dc"]} if "dc" in aux else {}
+                return grads, loss, aux["snr"], extra
             # gradient accumulation: the effective batch stays BATCH_SIZE
             # but fwd+bwd memory is one microbatch — lax.scan over accum
             # microbatches inside ONE compiled step (big-batch training on
@@ -232,14 +233,16 @@ class Trainer:
                     jnp.zeros(()), jnp.zeros(()))
             (g, l, s), _ = jax.lax.scan(body, init, (micro, rngs))
             inv = 1.0 / accum
+            # (the raw-DC diagnostic is reported on the accum==1 path only
+            # — the scan carry structure is fixed before tracing)
             return (jax.tree_util.tree_map(lambda x: x * inv, g),
-                    l * inv, s * inv)
+                    l * inv, s * inv, {})
 
         def train_step(params, opt_state, src_ri, rng):
-            grads, loss, snr = grads_and_metrics(params, src_ri, rng)
+            grads, loss, snr, extra = grads_and_metrics(params, src_ri, rng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, {"loss": loss, "SNR": snr}
+            return params, opt_state, {"loss": loss, "SNR": snr, **extra}
 
         def valid_step(params, src_ri):
             m = model.valid_metrics(params, src_ri)
@@ -700,14 +703,17 @@ class Trainer:
                 sys.stdout.flush()
             # keep-best checkpoint on the valid loss (not in the reference,
             # which only saves per-epoch — a late-training excursion there
-            # silently degrades the last checkpoint)
-            if save_best and cli_report.get("loss", float("inf")) \
-                    < best_valid_loss:
+            # silently degrades the last checkpoint).  best_valid_loss is
+            # tracked UNconditionally: the crash-rollback trigger above
+            # must work in the plain save_on_epoch workflow too (its
+            # rollback target is then the previous epoch's checkpoint).
+            if cli_report.get("loss", float("inf")) < best_valid_loss:
                 best_valid_loss = cli_report["loss"]
-                self.save_params(state, os.path.join(
-                    self.save_dir, "%s_best" % self.name))
-                sys.stdout.write("B")
-                sys.stdout.flush()
+                if save_best:
+                    self.save_params(state, os.path.join(
+                        self.save_dir, "%s_best" % self.name))
+                    sys.stdout.write("B")
+                    sys.stdout.flush()
         return state
 
     # ------------------------------------------------------------------

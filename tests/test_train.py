@@ -597,13 +597,22 @@ def test_grad_clip_norm_bounds_update(fresh_hparams):
         np.asarray(updates["b"]).flatten()[0]
     assert abs(ratio - (-2.0)) < 1e-5
 
-    # stateless transform: enabling the clip must not change the
-    # checkpointable opt_state leaves (old checkpoints stay restorable)
+    # stateless transform: enabling/disabling either clip must not change
+    # the opt_state TREE STRUCTURE (Orbax validates structure on restore,
+    # so a structure change would break checkpoint resume across the
+    # toggle — the exact workflow of arming spike protection mid-run)
     hp.GRAD_CLIP_NORM = 0.0
     opt_off = optim_lib.make_optimizer(hp)
-    leaves_on = jax.tree_util.tree_leaves(opt_state)
-    leaves_off = jax.tree_util.tree_leaves(opt_off.init(params))
-    assert len(leaves_on) == len(leaves_off)
+    s_on = jax.tree_util.tree_structure(opt_state)
+    s_off = jax.tree_util.tree_structure(opt_off.init(params))
+    assert s_on == s_off, (s_on, s_off)
+    hp.GRAD_CLIP_THRES = None
+    opt_none = optim_lib.make_optimizer(hp)
+    assert jax.tree_util.tree_structure(opt_none.init(params)) == s_off
+    # and the no-clip configuration must leave updates untouched
+    upd_none, _ = opt_none.update(grads, opt_none.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd_none["w"]),
+                               -100.0 * np.ones((4, 4)), rtol=1e-6)
 
 
 def test_valid_crash_rollback_restores_best(fresh_hparams, tmp_path):
@@ -634,6 +643,36 @@ def test_valid_crash_rollback_restores_best(fresh_hparams, tmp_path):
     assert calls == [0.001, 100.0, 0.0009], calls
     assert int(state["epoch"]) == 2
     assert os.path.isdir(os.path.join(str(tmp_path), "crash_best"))
+
+
+def test_valid_crash_rollback_epoch_checkpoint_path(fresh_hparams,
+                                                    tmp_path):
+    """The rollback must also work in the plain save_on_epoch workflow
+    (no keep-best): best_valid_loss is tracked unconditionally and the
+    rollback target falls back to the previous epoch's checkpoint."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.VALID_CRASH_FACTOR = 2.0
+    ds = WhiteNoiseData()
+    ds.install_and_load()
+    model = DaNet()
+    trainer = Trainer(model, name="crash3", save_dir=str(tmp_path),
+                      mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    scripted = [0.001, 100.0, 0.0009]
+    calls = []
+
+    def fake_sweep(state, dataset, subset, bucket):
+        v = scripted[min(len(calls), len(scripted) - 1)]
+        calls.append(v)
+        return {"loss": v, "SNR": 0.0}
+
+    trainer._metrics_sweep = fake_sweep
+    state = trainer.train(2, ds, save_on_epoch=True, valid_on_epoch=True,
+                          save_best=False)
+    # epoch 1 good; epoch 2 spiked -> rolled back to the epoch-1
+    # checkpoint (no keep-best dir exists); replay recovered
+    assert calls == [0.001, 100.0, 0.0009], calls
+    assert int(state["epoch"]) == 2
+    assert not os.path.isdir(os.path.join(str(tmp_path), "crash3_best"))
 
 
 def test_valid_crash_rollback_caps_retries(fresh_hparams, tmp_path):
