@@ -30,7 +30,13 @@ retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
 echo "=== stage C: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
 retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
 echo "=== stage D: unrolled-kmeans SI-SNR @ 5e-5 (12 epochs, from best)"
-rm -rf "$SAVE/latest" && cp -r "$SAVE/synthext_best" "$SAVE/latest"
+# verify best exists BEFORE touching latest (never destroy the only
+# resume checkpoint), then swap it in atomically
+[ -d "$SAVE/synthext_best" ] || { echo "no keep-best checkpoint"; exit 1; }
+cp -r "$SAVE/synthext_best" "$SAVE/latest_new"
+rm -rf "$SAVE/latest_prepolish"
+mv "$SAVE/latest" "$SAVE/latest_prepolish"
+mv "$SAVE/latest_new" "$SAVE/latest"
 retry $PY --epochs 12 --lr 5e-5 --loss pit-si-snr --infer-est kmeans --resume
 echo "=== eval (latest)"
 retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/latest" \
