@@ -117,7 +117,14 @@ def step_flops_truthful(measured_step, *measured_args):
     never executed) and count THAT lowering; otherwise count the
     measured step directly."""
     from danet_tpu.ops.rnn import lstm_backend_default
-    if FORCE_BACKEND != "xla" and lstm_backend_default() == "pallas":
+    # only RNN-bearing families can resolve to the Pallas RNN kernels —
+    # gating on the encoder family avoids a wasted full second compile
+    # (~40-90 s remote) for attn/tcn/tasnet sweep rows whose measured
+    # step cost_analysis is already complete
+    step_has_rnn = MODEL == "danet" and any(
+        k in ENCODER for k in ("lstm", "gru", "dprnn"))
+    if (step_has_rnn and FORCE_BACKEND != "xla"
+            and lstm_backend_default() == "pallas"):
         try:
             step, params, opt_state, src = build_step(force_backend="xla")
             flops = step_flops(step, params, opt_state, src)

@@ -75,7 +75,14 @@ class WavDirDataset(Dataset):
                      for s in self.SUBSETS}
         if any(sub_lists.values()):
             self.files = sub_lists
-            # tolerate missing eval splits: alias the other one, then train
+            # tolerate missing eval splits: alias the other one, then
+            # train.  A missing train/ split is NOT aliased — training on
+            # the eval data silently would be wrong; fail loudly instead
+            # of yielding zero-step "epochs".
+            if not self.files["train"]:
+                raise IOError(
+                    "no .wav files under %s (the subfolder layout needs "
+                    "a train/ split)" % os.path.join(root, "train"))
             for a, b in (("valid", "test"), ("test", "valid")):
                 if not self.files[a]:
                     self.files[a] = self.files[b] or self.files["train"]

@@ -210,8 +210,16 @@ class DaNet:
             # DC_LOSS_WEIGHT a RELATIVE contribution: the DC term always
             # contributes dc_w x the primary loss magnitude, whatever the
             # stage's objective.
-            scale = jax.lax.stop_gradient(
-                jnp.abs(loss) / (dc + jnp.asarray(1e-20, loss.dtype)))
+            # The ratio is CAPPED: as dc shrinks relative to the primary
+            # loss the raw ratio |loss|/dc grows without bound, and the
+            # auxiliary's gradient (dc_w * scale * grad(dc)) would be
+            # amplified inversely with its own progress — the mirror
+            # image of the dominance failure the scale-match fixes.
+            # Below dc ~ 1e-3|loss| the auxiliary has converged relative
+            # to the primary; let its contribution shrink naturally.
+            scale = jax.lax.stop_gradient(jnp.minimum(
+                jnp.abs(loss) / (dc + jnp.asarray(1e-20, loss.dtype)),
+                jnp.asarray(1e3, loss.dtype)))
             loss = loss + dc_w * scale * dc
             dc_raw = dc  # raw (unscaled) value, exposed for diagnostics
 

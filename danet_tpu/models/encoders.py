@@ -407,7 +407,8 @@ class AttentionEncoder(Encoder):
         """ATTN_LOOKBACK frames (incl. self) when ATTN_CAUSAL, else 0."""
         if not bool(getattr(self.hp, "ATTN_CAUSAL", False)):
             return 0
-        w = int(getattr(self.hp, "ATTN_LOOKBACK", 0) or 128)
+        w = getattr(self.hp, "ATTN_LOOKBACK", None)
+        w = 128 if w is None else int(w)  # explicit 0 must hit the guard
         if w < 1:
             raise ValueError("ATTN_LOOKBACK must be >= 1 (got %d)" % w)
         return w
@@ -464,13 +465,17 @@ class AttentionEncoder(Encoder):
             # exactly with both (global-position masks inside the
             # collectives)
             attn_fn = self._sp_attn_fn(seq_mesh, causal_window=causal_w)
-        elif causal_w:
+        elif attn_fn is None and causal_w:
             # causal windowed attention, single-program: dense attention
             # with the banded mask (the flash kernel has no band support
-            # — streaming covers the long-T causal case)
-            qidx = jnp.arange(t)[:, None]
-            kidx = jnp.arange(t)[None, :]
-            band = (kidx <= qidx) & (kidx > qidx - causal_w)
+            # — streaming covers the long-T causal case).  Must NOT fire
+            # when an external attn_fn was supplied: separate_sp passes
+            # the SP collective with attn_fn_is_causal=True and
+            # overwriting it here would silently run dense banded
+            # attention on every device instead of the T-sharded
+            # collective.
+            band = nn.causal_band(jnp.arange(t)[:, None],
+                                  jnp.arange(t)[None, :], causal_w)
             attn_fn = functools.partial(self._dense_attention, band=band)
         elif attn_fn is None:
             # ATTN_BACKEND: dense einsum attention, or the Pallas flash
@@ -561,7 +566,7 @@ class AttentionEncoder(Encoder):
         key_valid = jidx >= (w - 1) - filled
         qpos = jnp.arange(c)[:, None] + (w - 1)
         kpos = jidx[None, :]
-        mask = (kpos <= qpos) & (kpos > qpos - w) & key_valid[None, :]
+        mask = nn.causal_band(qpos, kpos, w) & key_valid[None, :]
 
         new_cache = {}
         for i in range(n_layers):

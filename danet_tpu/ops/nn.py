@@ -80,6 +80,20 @@ def leaky_relu(x: jnp.ndarray, alpha: float = 0.0) -> jnp.ndarray:
     return jnp.maximum(x * alpha, x)
 
 
+def causal_band(qpos: jnp.ndarray, kpos: jnp.ndarray,
+                window: int) -> jnp.ndarray:
+    """The ATTN_CAUSAL banded attention mask, defined ONCE.
+
+    True where key position ``kpos`` is visible to query position
+    ``qpos``: the query itself and the ``window - 1`` positions before it
+    (``kpos <= qpos and kpos > qpos - window``).  Every causal-attention
+    site — the single-program dense band, the ring/Ulysses SP collectives
+    (which rebuild it in global coordinates per fold) and the streaming
+    K/V-cache mask — must use this helper so the window convention cannot
+    drift between the paths whose pairwise exactness the tests assert."""
+    return (kpos <= qpos) & (kpos > qpos - window)
+
+
 def dropout(rng, x: jnp.ndarray, keep_prob: float) -> jnp.ndarray:
     """Inverted dropout.
 

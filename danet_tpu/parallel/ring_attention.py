@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from danet_tpu.ops import nn as nn_ops
+
 
 def _fold_block(acc, m, denom, q, k, v, scale, kmask, band=None):
     """Fold one K/V block into the online-softmax state.
@@ -108,7 +110,7 @@ def ring_attention(q, k, v, mesh, seq_axis: str = "seq",
                 src = (r - i) % s
                 qpos = r * chunk + jnp.arange(chunk)[:, None]
                 kpos = src * chunk + jnp.arange(chunk)[None, :]
-                band = (kpos <= qpos) & (kpos > qpos - causal_window)
+                band = nn_ops.causal_band(qpos, kpos, causal_window)
             acc, m, denom = _fold_block(
                 acc, m, denom, qf, k_blk.astype(jnp.float32),
                 v_blk.astype(jnp.float32), scale, mask_blk, band)

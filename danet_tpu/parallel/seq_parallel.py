@@ -141,8 +141,7 @@ def _relay_direction(scan_fn, x_loc, hdim: int, axis_name: str, vary_axes,
 
 
 def _bilstm_layer_relay(p, x_loc, axis_name: str,
-                        candidate_activation: str, backend: str,
-                        vary_axes):
+                        candidate_activation: str, vary_axes):
     """One EXACT sequence-parallel BiLSTM layer on a local chunk
     [B, C, F]: forward relay left-to-right, backward relay right-to-left
     (the two directions' rounds interleave, so both rings are busy).
@@ -167,7 +166,7 @@ def _bilstm_layer_relay(p, x_loc, axis_name: str,
     return jnp.concatenate([h_f, h_b], axis=-1)
 
 
-def _gru_layer_relay(p, x_loc, axis_name: str, backend: str, vary_axes):
+def _gru_layer_relay(p, x_loc, axis_name: str, vary_axes):
     """One EXACT sequence-parallel unidirectional GRU layer (relay of the
     single [B, H] state, forward direction only)."""
     hdim = p["wch"].shape[0]
@@ -231,7 +230,7 @@ def gru_stack_sp(params_list, x, mesh, halo: int = 32,
         for p, has_key in zip(params_list, key_mask):
             if scheme == "relay":
                 layer = _maybe_ckpt(lambda pp, v: _gru_layer_relay(
-                    pp, v, seq_axis, backend, vary), remat)
+                    pp, v, seq_axis, vary), remat)
             else:
                 layer = _maybe_ckpt(lambda pp, v: _gru_layer_local(
                     pp, v, halo, seq_axis, backend, vary), remat)
@@ -426,7 +425,7 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
         for p, has_key in zip(params_list, key_mask):
             if scheme == "relay":
                 layer = _maybe_ckpt(lambda pp, v: _bilstm_layer_relay(
-                    pp, v, seq_axis, candidate_activation, backend,
+                    pp, v, seq_axis, candidate_activation,
                     vary_axes=vary), remat)
             else:
                 layer = _maybe_ckpt(lambda pp, v: _bilstm_layer_local(

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from danet_tpu.ops import nn as nn_ops
+
 
 def ulysses_attention(q, k, v, mesh, seq_axis: str = "seq",
                       key_mask=None, data_axis: str = "data",
@@ -78,9 +80,8 @@ def ulysses_attention(q, k, v, mesh, seq_axis: str = "seq",
                             preferred_element_type=jnp.float32) * scale
         full = mask[:, None, None, :]
         if causal_window:
-            qidx = jnp.arange(t)[:, None]
-            kidx = jnp.arange(t)[None, :]
-            band = (kidx <= qidx) & (kidx > qidx - causal_window)
+            band = nn_ops.causal_band(jnp.arange(t)[:, None],
+                                      jnp.arange(t)[None, :], causal_window)
             full = full & band[None, None]
         logits = jnp.where(full, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)

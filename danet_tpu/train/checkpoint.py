@@ -98,13 +98,50 @@ def load_eval_params(path: str, params_template):
     """Restore the weights inference/serving should run on: the EMA
     (Polyak) average when the checkpoint carries one, raw params
     otherwise.  Counterpart of Trainer.eval_params for params-only
-    consumers (the serving exporter, eval scripts)."""
-    try:
-        return load_checkpoint(
-            path, {"ema": params_template}, partial=True)["ema"]
-    except KeyError:
-        return load_checkpoint(
-            path, {"params": params_template}, partial=True)["params"]
+    consumers (the serving exporter, eval scripts).  ONE full restore:
+    the key choice is made on the restored tree, not by retrying
+    whole-checkpoint loads per candidate key."""
+    path = _abspath(path)
+    full = ocp.StandardCheckpointer().restore(path)
+    key = "ema" if "ema" in full else "params"
+    template = jax.tree_util.tree_map(np.asarray, {key: params_template})
+    return _select_checked(full, template, path)[key]
+
+
+def _select_checked(full: dict, template: dict, path: str) -> dict:
+    """Select the template's top-level keys out of an untyped restore and
+    validate each subtree's structure/shapes/dtypes (the untyped restore
+    skips Orbax's template validation — check ourselves so a checkpoint
+    from a different architecture fails HERE with a clear message, not
+    deep inside a later trace)."""
+    missing = [k for k in template if k not in full]
+    if missing:
+        raise KeyError("checkpoint %s lacks keys %s" % (path, missing))
+    state = {k: full[k] for k in template}
+    for key, want in template.items():
+        w_tree = jax.tree_util.tree_structure(want)
+        g_tree = jax.tree_util.tree_structure(state[key])
+        if w_tree != g_tree:
+            raise ValueError(
+                "checkpoint %s[%r] tree structure %s does not match "
+                "the expected %s (different architecture/config?)"
+                % (path, key, g_tree, w_tree))
+        for w_leaf, g_leaf in zip(jax.tree_util.tree_leaves(want),
+                                  jax.tree_util.tree_leaves(state[key])):
+            w_shape = np.shape(w_leaf)
+            if w_shape != np.shape(g_leaf):
+                raise ValueError(
+                    "checkpoint %s[%r] leaf shape %s != expected %s "
+                    "(different architecture/config?)"
+                    % (path, key, np.shape(g_leaf), w_shape))
+            w_dtype = np.asarray(w_leaf).dtype
+            g_dtype = np.asarray(g_leaf).dtype
+            if w_dtype != g_dtype:
+                raise ValueError(
+                    "checkpoint %s[%r] leaf dtype %s != expected %s "
+                    "(different FLOATX/COMPUTE_DTYPE config?)"
+                    % (path, key, g_dtype, w_dtype))
+    return state
 
 
 def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
@@ -119,38 +156,7 @@ def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
         # restore the raw tree without a template, then select only the
         # template's top-level keys (this orbax version has no
         # partial_restore kwarg)
-        full = ckptr.restore(path)
-        missing = [k for k in template if k not in full]
-        if missing:
-            raise KeyError("checkpoint %s lacks keys %s" % (path, missing))
-        state = {k: full[k] for k in template}
-        # an untyped restore skips Orbax's template validation — check the
-        # selected subtrees ourselves so a checkpoint from a different
-        # architecture fails HERE with a clear message, not deep inside a
-        # later trace
-        for key, want in template.items():
-            w_tree = jax.tree_util.tree_structure(want)
-            g_tree = jax.tree_util.tree_structure(state[key])
-            if w_tree != g_tree:
-                raise ValueError(
-                    "checkpoint %s[%r] tree structure %s does not match "
-                    "the expected %s (different architecture/config?)"
-                    % (path, key, g_tree, w_tree))
-            for w_leaf, g_leaf in zip(jax.tree_util.tree_leaves(want),
-                                      jax.tree_util.tree_leaves(state[key])):
-                w_shape = np.shape(w_leaf)
-                if w_shape != np.shape(g_leaf):
-                    raise ValueError(
-                        "checkpoint %s[%r] leaf shape %s != expected %s "
-                        "(different architecture/config?)"
-                        % (path, key, np.shape(g_leaf), w_shape))
-                w_dtype = np.asarray(w_leaf).dtype
-                g_dtype = np.asarray(g_leaf).dtype
-                if w_dtype != g_dtype:
-                    raise ValueError(
-                        "checkpoint %s[%r] leaf dtype %s != expected %s "
-                        "(different FLOATX/COMPUTE_DTYPE config?)"
-                        % (path, key, g_dtype, w_dtype))
+        state = _select_checked(ckptr.restore(path), template, path)
     else:
         try:
             state = ckptr.restore(path, template)

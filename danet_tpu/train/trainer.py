@@ -688,6 +688,18 @@ class Trainer:
                             cli_report["loss"], crash_factor,
                             best_valid_loss, target))
                     sys.stdout.flush()
+                    # the spiked epoch's checkpoint was already written
+                    # above (save_on_epoch saves BEFORE the valid sweep
+                    # can detect the spike) — remove it, or a preemption
+                    # during the replay window would resume from the
+                    # poisoned newest-epoch checkpoint, the exact
+                    # failure this guard exists to prevent
+                    spiked = self.save_path(epoch)
+                    if (save_on_epoch and os.path.exists(spiked)
+                            and os.path.abspath(spiked)
+                            != os.path.abspath(target)):
+                        import shutil
+                        shutil.rmtree(spiked, ignore_errors=True)
                     state = self.load_params(state, target)
                     epoch = int(state.get("epoch", epoch - 1))
                     # cap is per-invocation (never reset): a divergence

@@ -14,6 +14,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import scipy.io.wavfile
 
 from tests.test_preprocess import _write_timit_utt
@@ -156,3 +157,13 @@ def test_wavdir_dataset_splits_and_cache(tmp_path, fresh_hparams):
     ds3.install_and_load()
     assert len(ds3.files["train"]) == 1
     assert ds3.files["valid"] == ds3.files["test"]  # missing valid aliases
+
+    # a subdir layout WITHOUT train/ must fail loudly, not alias the
+    # eval data into training or yield zero-step epochs (regression)
+    evalonly = tmp_path / "evalonly"
+    (evalonly / "test").mkdir(parents=True)
+    wav = (rng.randn(4000) * 2000).astype(np.int16)
+    scipy.io.wavfile.write(str(evalonly / "test" / "a.wav"), 8000, wav)
+    ds4 = WavDirDataset(path=str(evalonly))
+    with pytest.raises(IOError, match="train"):
+        ds4.install_and_load()

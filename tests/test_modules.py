@@ -747,6 +747,56 @@ def test_attn_causal_banded_attention(fresh_hparams):
     assert np.abs(got[:, 2] - base[:, 2]).max() > 1e-3
 
 
+def test_attn_apply_uses_external_causal_attn_fn(fresh_hparams):
+    """ATTN_CAUSAL + an externally supplied attn_fn declaring
+    attn_fn_is_causal=True (the DaNet.separate_sp path) must actually
+    CALL that attn_fn.  Regression: the single-program causal branch
+    used to overwrite it with dense banded attention, silently
+    discarding the sequence-parallel collective (and its memory
+    scaling) while producing numerically identical outputs."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    _small_attn_causal(hp)
+    hp.digest()
+    from danet_tpu.models.encoders import AttentionEncoder
+    from danet_tpu.ops import nn as nn_ops
+    enc = AttentionEncoder(hp, "enc")
+    params = enc.init(jax.random.PRNGKey(0))
+    t = 16
+    x = jnp.asarray(np.random.RandomState(0).randn(
+        1, t, hp.FEATURE_SIZE).astype(np.float32) + 1.0)
+    w = enc._causal_window()
+    band = nn_ops.causal_band(jnp.arange(t)[:, None],
+                              jnp.arange(t)[None, :], w)
+    calls = []
+
+    def counting_causal_attn(q, k, v, key_mask):
+        calls.append(1)
+        return enc._dense_attention(q, k, v, key_mask, band=band)
+
+    out = np.asarray(enc.apply(params, x, attn_fn=counting_causal_attn,
+                               attn_fn_is_causal=True))
+    assert len(calls) == int(hp.ATTN_LAYERS), calls
+    # identical band semantics: equals the plain causal forward
+    ref = np.asarray(enc.apply(params, x))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_attn_lookback_zero_rejected(fresh_hparams):
+    """An explicit ATTN_LOOKBACK=0 must hit the >= 1 guard, not be
+    silently coerced to the 128-frame default (regression: `0 or 128`
+    made the guard unreachable from config)."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    _small_attn_causal(hp)
+    hp.ATTN_LOOKBACK = 0
+    hp.digest()
+    from danet_tpu.models.encoders import AttentionEncoder
+    enc = AttentionEncoder(hp, "enc")
+    with pytest.raises(ValueError, match="ATTN_LOOKBACK"):
+        enc._causal_window()
+
+
 def test_attn_causal_guards(fresh_hparams):
     """Causality cannot be silently dropped: an external attn_fn that
     does not declare band handling is rejected, and the stream hooks

@@ -666,6 +666,20 @@ def test_valid_crash_rollback_epoch_checkpoint_path(fresh_hparams,
         return {"loss": v, "SNR": 0.0}
 
     trainer._metrics_sweep = fake_sweep
+    # the spiked epoch's checkpoint is written BEFORE the valid sweep can
+    # detect the spike; the rollback must remove it from disk (or a
+    # preemption during the replay window would resume from the poisoned
+    # newest-epoch checkpoint).  Spy on load_params — the deletion happens
+    # just before the rollback restore.
+    seen = {}
+    orig_load = trainer.load_params
+
+    def spy_load(state, path):
+        seen["spiked_ckpt_exists_at_rollback"] = os.path.isdir(
+            trainer.save_path(2))
+        return orig_load(state, path)
+
+    trainer.load_params = spy_load
     state = trainer.train(2, ds, save_on_epoch=True, valid_on_epoch=True,
                           save_best=False)
     # epoch 1 good; epoch 2 spiked -> rolled back to the epoch-1
@@ -673,6 +687,9 @@ def test_valid_crash_rollback_epoch_checkpoint_path(fresh_hparams,
     assert calls == [0.001, 100.0, 0.0009], calls
     assert int(state["epoch"]) == 2
     assert not os.path.isdir(os.path.join(str(tmp_path), "crash3_best"))
+    assert seen["spiked_ckpt_exists_at_rollback"] is False
+    # the replayed epoch 2 re-saved its (clean) checkpoint
+    assert os.path.isdir(trainer.save_path(2))
 
 
 def test_valid_crash_rollback_caps_retries(fresh_hparams, tmp_path):
