@@ -11,6 +11,10 @@ the bench workload (B=32, N=2, T=128, bf16, Pallas kernels), timed with
 the 50-iter scalar-fenced protocol (bench.py::measure).  Successive
 differences = per-stage fwd+bwd cost.  Stages:
 
+  null      a trivial jitted reduction of the input — measures the fixed
+            per-dispatch overhead (tunnel round-trip + launch), which is
+            NOT model cost and must be subtracted before reading any
+            stage delta as optimization headroom
   feat      mixture_features only (STFT-side features are precomputed
             in src_ri form, so this is the power/log/phase block)
   encoder   + encoder forward to embeddings
@@ -57,6 +61,10 @@ def build(stage: str):
         BATCH, N_SIGNAL, T, hparams.FEATURE_SIZE, 2).astype(np.float32))
 
     def prefix_loss(params, src_ri):
+        if stage == "null":
+            return jnp.sum(src_ri) + 0.0 * sum(
+                jnp.sum(p.astype(jnp.float32))
+                for p in jax.tree_util.tree_leaves(params))
         (mix_ri, src_pwr, mix_pwr, logmag,
          phase_unit) = mixture_features(src_ri, hparams.EPS)
         if stage == "feat":
@@ -103,7 +111,7 @@ def timeit(step, params, src, iters=50):
 
 
 def main():
-    stages = ["feat", "encoder", "estim", "separ", "pit"]
+    stages = ["null", "feat", "encoder", "estim", "separ", "pit"]
     prev = 0.0
     print("%-8s %9s %9s" % ("stage", "ms(cum)", "ms(delta)"), flush=True)
     for s in stages:

@@ -69,10 +69,15 @@ class ThresholdedAverageEstimator(Estimator):
         embed_flat = _flatten_embed(embed)
         onehot = _hard_assignment(src_pwr)
         b = embed.shape[0]
-        onehot = onehot.astype(embed_flat.dtype)
         w = (mix_pwr.reshape(b, -1, 1) > 5.0).astype(embed_flat.dtype)
-        sums = ee("bkn,bke->bne", onehot, embed_flat * w)
-        wsum = ee("bkn,bko->bno", onehot, w)
+        # fold the bin weight into the [B, TF, N] assignment (N << E)
+        # instead of scaling the [B, TF, E] embeddings: same contraction
+        # (sum_k onehot*w*embed), but no embed-sized temporary and the
+        # weight-sum reduction rides the same small tensor — one GEMM +
+        # one reduce instead of two GEMMs over an extra E-wide pass.
+        wgt = onehot.astype(embed_flat.dtype) * w
+        sums = ee("bkn,bke->bne", wgt, embed_flat)
+        wsum = jnp.sum(wgt, axis=1)[..., None]
         return sums / (wsum + hp.EPS)
 
 
@@ -88,10 +93,12 @@ class WeightedAverageEstimator(Estimator):
         embed_flat = _flatten_embed(embed)
         onehot = _hard_assignment(src_pwr)
         b = embed.shape[0]
-        onehot = onehot.astype(embed_flat.dtype)
         w = mix_pwr.reshape(b, -1, 1).astype(embed_flat.dtype)
-        sums = ee("bkn,bke->bne", onehot, embed_flat * w)
-        wsum = ee("bkn,bko->bno", onehot, w)
+        # weight folded into the [B, TF, N] assignment, not the
+        # [B, TF, E] embeddings — see ThresholdedAverageEstimator
+        wgt = onehot.astype(embed_flat.dtype) * w
+        sums = ee("bkn,bke->bne", wgt, embed_flat)
+        wsum = jnp.sum(wgt, axis=1)[..., None]
         return sums / (wsum + hp.EPS)
 
 
