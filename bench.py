@@ -150,6 +150,41 @@ def mfu_stats(step, params, opt_state, src, mix_per_sec: float):
             round(100.0 * tflops / peak, 1) if peak else None)
 
 
+def build_chained(n: int):
+    """One compiled program running `n` train steps back-to-back
+    (lax.scan over the step, same batch).  Removes ALL per-step host
+    dispatch from the measurement: if the tunneled backend serializes
+    dispatch RPCs, the 50-iter loop protocol under-reports the chip —
+    this is the step time a non-tunneled production deployment sees."""
+    import jax
+    step, params, opt_state, src = build_step()
+
+    @jax.jit
+    def chained(params, opt_state, src_ri):
+        def body(carry, _):
+            p, o = carry
+            p, o, loss = step(p, o, src_ri)
+            return (p, o), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n)
+        return params, opt_state, losses[-1]
+
+    return chained, params, opt_state, src
+
+
+def measure_chained(n_chain: int, n_warmup: int = 2, n_iters: int = 10):
+    chained, params, opt_state, src = build_chained(n_chain)
+    for _ in range(n_warmup):
+        params, opt_state, loss = chained(params, opt_state, src)
+    assert np.isfinite(float(loss))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = chained(params, opt_state, src)
+    assert np.isfinite(float(loss))
+    dt = time.perf_counter() - t0
+    return BATCH * n_iters * n_chain / dt
+
+
 def measure(n_warmup: int = 3, n_iters: int = 50):
     step, params, opt_state, src = build_step()
     for _ in range(n_warmup):
@@ -199,6 +234,13 @@ def main():
         # batch-scaling probe (VERDICT r2 item 3): the B=32 recurrent
         # step is latency-bound; larger B fills the MXU's 128 rows
         BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
+    if "--chain" in sys.argv:
+        # dispatch-free device throughput probe: N steps per dispatch
+        n_chain = int(sys.argv[sys.argv.index("--chain") + 1])
+        mps = measure_chained(n_chain)
+        print("chained x%d: %.0f mixtures/sec (%.3f ms/step on-device)"
+              % (n_chain, mps, 1e3 * BATCH / mps))
+        return
     if "--sweep" in sys.argv:
         sweep()
         return
