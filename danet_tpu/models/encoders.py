@@ -466,17 +466,17 @@ class AttentionEncoder(Encoder):
             # collectives)
             attn_fn = self._sp_attn_fn(seq_mesh, causal_window=causal_w)
         elif attn_fn is None and causal_w:
-            # causal windowed attention, single-program: dense attention
-            # with the banded mask (the flash kernel has no band support
-            # — streaming covers the long-T causal case).  Must NOT fire
-            # when an external attn_fn was supplied: separate_sp passes
-            # the SP collective with attn_fn_is_causal=True and
-            # overwriting it here would silently run dense banded
-            # attention on every device instead of the T-sharded
-            # collective.
-            band = nn.causal_band(jnp.arange(t)[:, None],
-                                  jnp.arange(t)[None, :], causal_w)
-            attn_fn = functools.partial(self._dense_attention, band=band)
+            # causal windowed attention, single-program: EXACT chunked
+            # banded attention when the sequence is long enough for the
+            # O(T*C) form to pay (ops/local_attention.py), dense banded
+            # otherwise.  Must NOT fire when an external attn_fn was
+            # supplied: separate_sp passes the SP collective with
+            # attn_fn_is_causal=True and overwriting it here would
+            # silently run single-program banded attention on every
+            # device instead of the T-sharded collective.
+            from danet_tpu.ops.local_attention import resolve_banded_attn_fn
+            attn_fn = resolve_banded_attn_fn(
+                hp, t, causal_w, self._dense_attention)
         elif attn_fn is None:
             # ATTN_BACKEND: dense einsum attention, or the Pallas flash
             # kernel for block-aligned long sequences on TPU

@@ -858,3 +858,117 @@ def test_attn_stream_matches_full_causal_forward(fresh_hparams, family):
     got = enc.stream_head(params, h_stream, 0.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-4)
+
+
+# ---- chunked banded attention (ops/local_attention.py) ----------------
+
+def _banded_ref(q, k, v, key_mask, window):
+    """Dense banded oracle via the encoder's own dense path."""
+    from danet_tpu.models.encoders import AttentionEncoder
+    from danet_tpu.ops import nn as nn_ops
+    t = q.shape[1]
+    band = nn_ops.causal_band(jnp.arange(t)[:, None],
+                              jnp.arange(t)[None, :], window)
+    return AttentionEncoder._dense_attention(q, k, v, key_mask, band=band)
+
+
+def test_banded_chunked_matches_dense(fresh_hparams):
+    """banded_attention_chunked == dense causal_band attention (fwd and
+    gradients) across window/chunk geometries, incl. windows that do not
+    divide T and chunk == window-1 (the minimum coverage chunk)."""
+    from danet_tpu.ops.local_attention import banded_attention_chunked
+    rng = np.random.RandomState(0)
+    b, h, d = 2, 3, 8
+    for t, w, c in [(24, 5, 4), (24, 12, 12), (32, 8, 8), (30, 7, 6),
+                    (16, 1, 4), (16, 16, None)]:
+        q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+                   for _ in range(3))
+        km = jnp.ones((b, t), bool)
+        ref = np.asarray(_banded_ref(q, k, v, km, w))
+        got = np.asarray(banded_attention_chunked(q, k, v, km, w, chunk=c))
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5,
+                                   err_msg="t=%d w=%d c=%r" % (t, w, c))
+
+    # gradients (sum-of-squares consumer) match the dense path
+    t, w, c = 24, 5, 4
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+               for _ in range(3))
+    km = jnp.ones((b, t), bool)
+    g_ref = jax.grad(lambda a, b_, c_: jnp.sum(jnp.square(
+        _banded_ref(a, b_, c_, km, w))), argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(lambda a, b_, c_: jnp.sum(jnp.square(
+        banded_attention_chunked(a, b_, c_, km, w, chunk=c))),
+        argnums=(0, 1, 2))(q, k, v)
+    for gr, gg in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gr),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_banded_chunked_key_padding(fresh_hparams):
+    """Padded keys are invisible; real-query rows match the dense path
+    even with tail padding (padded-query rows are garbage in both paths
+    and excluded, as in the flash wrapper's contract)."""
+    from danet_tpu.ops.local_attention import banded_attention_chunked
+    rng = np.random.RandomState(1)
+    b, t, h, d, w, c = 2, 24, 2, 8, 6, 6
+    q, k, v = (jnp.asarray(rng.randn(b, t, h, d).astype(np.float32))
+               for _ in range(3))
+    km = jnp.asarray(np.arange(t)[None, :] < np.array([[24], [17]]))
+    ref = np.asarray(_banded_ref(q, k, v, km, w))
+    got = np.asarray(banded_attention_chunked(q, k, v, km, w, chunk=c))
+    real = np.asarray(km)
+    np.testing.assert_allclose(got[real], ref[real], atol=1e-5, rtol=1e-5)
+
+
+def test_banded_pick_chunk_and_resolve(fresh_hparams):
+    """pick_chunk returns the smallest covering divisor; resolve honors
+    ATTN_LOCAL_CHUNK = -1 (dense) / 0 (auto, >= 4 chunks) / N (forced)."""
+    from danet_tpu.ops import local_attention as la
+    assert la.pick_chunk(24, 5) == 4       # smallest divisor >= w-1
+    assert la.pick_chunk(24, 13) == 12
+    assert la.pick_chunk(16, 16) == 16     # degenerate single chunk
+    assert la.pick_chunk(7, 7) == 7        # prime t: only c = t covers
+
+    hp = fresh_hparams
+    dense_calls = []
+
+    def dense_fn(q, k, v, km, band=None):
+        dense_calls.append(1)
+        return q
+
+    hp.ATTN_LOCAL_CHUNK = -1
+    fn = la.resolve_banded_attn_fn(hp, 512, 16, dense_fn)
+    fn(jnp.zeros((1, 512, 1, 4)), jnp.zeros((1, 512, 1, 4)),
+       jnp.zeros((1, 512, 1, 4)), jnp.ones((1, 512), bool))
+    assert dense_calls  # -1 forces dense
+
+    hp.ATTN_LOCAL_CHUNK = 0
+    fn = la.resolve_banded_attn_fn(hp, 512, 16, dense_fn)
+    assert fn.func is la.banded_attention_chunked  # auto engages at 512
+    fn_short = la.resolve_banded_attn_fn(hp, 24, 16, dense_fn)
+    assert getattr(fn_short, "func", None) is not \
+        la.banded_attention_chunked  # < 4 chunks stays dense
+
+    hp.ATTN_LOCAL_CHUNK = 64
+    fn = la.resolve_banded_attn_fn(hp, 512, 16, dense_fn)
+    assert fn.keywords["chunk"] == 64
+
+
+def test_attn_encoder_chunked_causal_matches_dense(fresh_hparams):
+    """Full AttentionEncoder.apply with the auto-chunked causal path
+    (long T) equals the forced-dense banded forward."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "attn-v1"
+    _small_attn_causal(hp)
+    hp.ATTN_LOOKBACK = 16
+    hp.digest()
+    from danet_tpu.models.encoders import AttentionEncoder
+    enc = AttentionEncoder(hp, "enc")
+    params = enc.init(jax.random.PRNGKey(0))
+    t = 128  # pick_chunk(128, 16) = 16 -> 8 chunks, auto engages
+    x = jnp.asarray(np.random.RandomState(2).randn(
+        2, t, hp.FEATURE_SIZE).astype(np.float32) + 1.0)
+    got = np.asarray(enc.apply(params, x))
+    hp.ATTN_LOCAL_CHUNK = -1
+    ref = np.asarray(enc.apply(params, x))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
