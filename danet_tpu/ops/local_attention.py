@@ -97,9 +97,11 @@ def banded_attention_chunked(q, k, v, key_mask, window: int,
 def resolve_banded_attn_fn(hp, t: int, window: int, dense_fn):
     """Pick the single-program ATTN_CAUSAL implementation for length t.
 
-    ATTN_LOCAL_CHUNK: 0/absent = auto (chunked when at least 4 chunks
-    fit, where the O(T*C) vs O(T^2) saving is real and the reshapes
-    amortize); -1 = always dense; >0 = force that chunk size.
+    ATTN_LOCAL_CHUNK: 0/absent = auto (chunked when at least 8 chunks
+    fit — measured on v5e (benchmarks/banded_attention.py) the chunked
+    form is time-parity at 8 chunks and 1.7-10x faster beyond, while at
+    4 chunks the reshapes cost ~4% and the memory saving is only 2x);
+    -1 = always dense; >0 = force that chunk size.
     """
     cfg = int(getattr(hp, "ATTN_LOCAL_CHUNK", 0) or 0)
     if cfg < 0:
@@ -108,7 +110,7 @@ def resolve_banded_attn_fn(hp, t: int, window: int, dense_fn):
         c = cfg
     else:
         c = pick_chunk(t, window)
-        if c is not None and t // c < 4:
+        if c is not None and t // c < 8:
             c = None
     if c is None:
         band = nn.causal_band(jnp.arange(t)[:, None],

@@ -922,7 +922,7 @@ def test_banded_chunked_key_padding(fresh_hparams):
 
 def test_banded_pick_chunk_and_resolve(fresh_hparams):
     """pick_chunk returns the smallest covering divisor; resolve honors
-    ATTN_LOCAL_CHUNK = -1 (dense) / 0 (auto, >= 4 chunks) / N (forced)."""
+    ATTN_LOCAL_CHUNK = -1 (dense) / 0 (auto, >= 8 chunks) / N (forced)."""
     from danet_tpu.ops import local_attention as la
     assert la.pick_chunk(24, 5) == 4       # smallest divisor >= w-1
     assert la.pick_chunk(24, 13) == 12
