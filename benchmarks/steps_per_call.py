@@ -1,0 +1,85 @@
+"""Measure TRAIN_STEPS_PER_CALL in the REAL Trainer loop (TPU).
+
+bench.py --chain 50 measures the raw scanned-step program (5.32 ms
+on-device at B=32 vs ~5.9 ms per dispatched call — the tunnel's
+per-call floor binds).  This probe times the actual `Trainer.train`
+epoch loop — prefetch thread, device transfers, metrics pipeline, EMA
+off — with TRAIN_STEPS_PER_CALL of 1 vs 8 on the bench workload
+(flagship bilstm-orig, B=32, N=2, T=128, bf16), so the recorded win is
+the framework-level one a user gets, not a microbenchmark.
+
+METRICS_EVERY=30 for BOTH runs (a per-step scalar fetch would
+serialize dispatch and mask the effect being measured).
+
+Run on the real chip:  python benchmarks/steps_per_call.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+BATCH = int(os.environ.get("SPC_BATCH", 32))
+N_SIGNAL = 2
+T = int(os.environ.get("SPC_T", 128))
+N_BATCHES = int(os.environ.get("SPC_BATCHES", 60))
+
+
+class _FixedBatches:
+    """Dataset stub: N_BATCHES pregenerated random spectra batches."""
+
+    def __init__(self, feature_size):
+        rng = np.random.RandomState(0)
+        self._batches = [
+            rng.rand(BATCH * N_SIGNAL, T, feature_size).astype(np.float32)
+            for _ in range(N_BATCHES)]
+
+    def epoch(self, subset, batch_size, shuffle=False):
+        for b in self._batches:
+            yield (b,)
+
+
+def main():
+    import jax
+    from danet_tpu.hparams import hparams
+    from danet_tpu.models import DaNet
+    from danet_tpu.train.trainer import Trainer
+
+    hparams.load_json(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "default.json"))
+    hparams.ENCODER_TYPE = "bilstm-orig"
+    hparams.BATCH_SIZE = BATCH
+    hparams.COMPUTE_DTYPE = "bfloat16"
+    hparams.METRICS_EVERY = 30
+    hparams.SUMMARY_DIR = "/tmp/spc_logs"
+    hparams.digest()
+    ds = _FixedBatches(hparams.FEATURE_SIZE)
+
+    print("%-16s %12s %12s" % ("steps/call", "mixtures/s", "ms/step"),
+          flush=True)
+    for k in (1, 8):
+        hparams.TRAIN_STEPS_PER_CALL = k
+        trainer = Trainer(DaNet(), name="spc%d" % k, save_dir="/tmp/spc_sv")
+        state = trainer.train(1, ds, save_on_epoch=False,
+                              valid_on_epoch=False)  # warmup + compile
+        t0 = time.perf_counter()
+        n_epochs = 3
+        state = trainer.train(n_epochs, ds, save_on_epoch=False,
+                              valid_on_epoch=False, state=state)
+        # fence: fetch a param scalar (block_until_ready is unreliable
+        # over the tunnel)
+        float(jax.tree_util.tree_leaves(state["params"])[0].ravel()[0])
+        dt = time.perf_counter() - t0
+        steps = n_epochs * N_BATCHES
+        print("%-16d %12.0f %12.2f"
+              % (k, BATCH * steps / dt, 1e3 * dt / steps), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -205,5 +205,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] stacks of K batches (TRAIN_STEPS_PER_CALL): the scan
+    axis K is unsharded, the batch axis shards over 'data'."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

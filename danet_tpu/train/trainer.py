@@ -288,6 +288,53 @@ class Trainer:
 
             self._ema_step = self._with_mesh(
                 jax.jit(ema_step, donate_argnums=(0,)))
+
+        # TRAIN_STEPS_PER_CALL > 1: scan K train steps (and the EMA
+        # update) inside ONE dispatched XLA program over a [K, B, ...]
+        # batch stack.  Motivation (docs/PERFORMANCE.md): after the r3
+        # estimator fold the B=32 flagship step runs 5.32 ms on-device
+        # but ~5.9 ms per call — the per-call host dispatch floor binds,
+        # and batching K steps per dispatch recovers the gap.  Bit-exact
+        # vs K single steps: the per-step rng is derived with the SAME
+        # fold_in(fold_in(rng, step), retry) composition the single-step
+        # loop uses.  No reference analogue (sess.run per batch,
+        # main.py:430-431).
+        k_call = int(getattr(self.hp, "TRAIN_STEPS_PER_CALL", 1) or 1)
+        if k_call > 1 and getattr(self.hp, "NAN_CHECKS", False):
+            print("[TRAIN_STEPS_PER_CALL disabled under NAN_CHECKS — "
+                  "checkify locates NaNs per single step]")
+            k_call = 1
+        if k_call > 1 and jax.process_count() > 1:
+            print("[TRAIN_STEPS_PER_CALL disabled on multi-host — "
+                  "per-host batch slicing is per-step]")
+            k_call = 1
+        self._steps_per_call = k_call
+        if k_call > 1:
+            ema_on = bool(self.ema_decay)
+            d = self.ema_decay
+
+            def train_step_k(params, opt_state, ema, src_k, step0, retry,
+                             rng):
+                def body(carry, xs):
+                    params, opt_state, ema = carry
+                    src, i = xs
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(rng, i), retry)
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, src, k)
+                    if ema_on:
+                        ema = jax.tree_util.tree_map(
+                            lambda e, p: e * d + p.astype(e.dtype) * (1 - d),
+                            ema, params)
+                    return (params, opt_state, ema), metrics
+
+                steps = step0 + jnp.arange(k_call, dtype=jnp.int32)
+                (params, opt_state, ema), ms = jax.lax.scan(
+                    body, (params, opt_state, ema), (src_k, steps))
+                return params, opt_state, ema, ms
+
+            self._train_step_k = self._with_mesh(
+                jax.jit(train_step_k, donate_argnums=(0, 1, 2)))
         self._valid_step = self._with_mesh(jax.jit(valid_step))
         self._separate = self._with_mesh(jax.jit(model.separate))
         self._separate_wav = self._with_mesh(jax.jit(model.separate_wav))
@@ -500,6 +547,31 @@ class Trainer:
                     data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
                     max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
 
+        # TRAIN_STEPS_PER_CALL: stack K prepared batches host-side (one
+        # [K, B, ...] transfer) and run them through one scanned dispatch
+        # (_build_steps).  The epoch remainder falls back to single steps.
+        k_call = self._steps_per_call
+
+        def grouped_batches():
+            if k_call == 1:
+                yield from device_batches()
+                return
+            buf = []
+            for b in device_batches():
+                buf.append(b)
+                if len(buf) == k_call:
+                    yield np.stack(buf)
+                    buf = []
+            for b in buf:
+                yield b
+
+        def put_any(batch_np):
+            if batch_np.ndim == 6:  # [K, B, N, T, F, 2] stack
+                from danet_tpu.parallel import stacked_batch_sharding
+                return jax.device_put(
+                    batch_np, stacked_batch_sharding(self.mesh))
+            return self._put_batch(batch_np)
+
         # cumulative epoch numbering: a resumed run continues from the
         # checkpointed counter (epoch-save names, logs and the checkpoint's
         # own epoch field all report cumulative progress across stages)
@@ -523,7 +595,6 @@ class Trainer:
                 b"danet-epoch-%d-retry-%d-seed-%d"
                 % (epoch, nan_retries, data_seed)))
             cli_report = OrderedDict()
-            i_batch = -1
             pending = []
 
             def flush_pending():
@@ -535,35 +606,57 @@ class Trainer:
                 pending.clear()
 
             timer = StepTimer()
-            for i_batch, src_ri in enumerate(prefetch_to_device(
-                    device_batches(), self._put_batch)):
-                # nan_retries folds in so a rolled-back epoch re-runs with
-                # fresh dropout keys (the restored step alone would replay
-                # the identical computation)
-                step_rng = jax.random.fold_in(
-                    jax.random.fold_in(rng, state["step"]), nan_retries)
-                if state["step"] == profile_at and not profiling:
+            n_batches = 0
+            for src_ri in prefetch_to_device(grouped_batches(), put_any):
+                stacked = src_ri.ndim == 6
+                if (profile_at >= 0 and not profiling
+                        and state["step"] >= profile_at):
                     jax.profiler.start_trace(
                         os.path.join(writer.run_dir, "profile"))
                     profiling = True
                 timer.start()
-                state["params"], state["opt_state"], metrics = \
-                    self._train_step(
-                        state["params"], state["opt_state"], src_ri, step_rng)
-                if self.ema_decay:
-                    if "ema" not in state:  # caller-supplied pre-EMA state
-                        state["ema"] = jax.tree_util.tree_map(
-                            jnp.copy, state["params"])
-                    state["ema"] = self._ema_step(
-                        state["ema"], state["params"])
-                pending.append((state["step"], metrics, timer.stop()))
+                if self.ema_decay and "ema" not in state:
+                    # caller-supplied pre-EMA state
+                    state["ema"] = jax.tree_util.tree_map(
+                        jnp.copy, state["params"])
+                if stacked:
+                    ema_in = state["ema"] if self.ema_decay else {}
+                    (state["params"], state["opt_state"], ema_out,
+                     metrics_k) = self._train_step_k(
+                        state["params"], state["opt_state"], ema_in,
+                        src_ri, state["step"], nan_retries, rng)
+                    if self.ema_decay:
+                        state["ema"] = ema_out
+                    st = timer.stop() / k_call
+                    for j in range(k_call):
+                        pending.append((
+                            state["step"] + j,
+                            {k: v[j] for k, v in metrics_k.items()}, st))
+                    state["step"] += k_call
+                    n_batches += k_call
+                    sys.stdout.write(":" * k_call)
+                else:
+                    # nan_retries folds in so a rolled-back epoch re-runs
+                    # with fresh dropout keys (the restored step alone
+                    # would replay the identical computation)
+                    step_rng = jax.random.fold_in(
+                        jax.random.fold_in(rng, state["step"]), nan_retries)
+                    state["params"], state["opt_state"], metrics = \
+                        self._train_step(
+                            state["params"], state["opt_state"], src_ri,
+                            step_rng)
+                    if self.ema_decay:
+                        state["ema"] = self._ema_step(
+                            state["ema"], state["params"])
+                    pending.append((state["step"], metrics, timer.stop()))
+                    state["step"] += 1
+                    n_batches += 1
+                    sys.stdout.write(":")
                 if len(pending) >= metrics_every:
                     flush_pending()
-                state["step"] += 1
                 if profiling and state["step"] >= profile_at + profile_steps:
                     jax.profiler.stop_trace()
                     profiling = False
-                sys.stdout.write(":")
                 sys.stdout.flush()
                 if self._preempt:
                     break
@@ -578,11 +671,11 @@ class Trainer:
                     % (path, state["step"], epoch + 1))
                 sys.stdout.flush()
                 return state
-            if i_batch < 0:
+            if n_batches == 0:
                 raise RuntimeError(
                     "dataset yielded no training batches for batch size %d"
                     % (hp.BATCH_SIZE * hp.MAX_N_SIGNAL))
-            _dict_mul(cli_report, 1.0 / (i_batch + 1))
+            _dict_mul(cli_report, 1.0 / n_batches)
 
             # LR decay policy (reference main.py:439-459)
             if hp.LR_DECAY_TYPE == "adaptive":

@@ -715,3 +715,42 @@ def test_valid_crash_rollback_caps_retries(fresh_hparams, tmp_path):
     assert int(state["epoch"]) == 2
     # 1 good + (3 rollback replays + 1 accepted) spikes = 5 sweeps
     assert len(calls) == 5, calls
+
+
+def test_steps_per_call_matches_single_steps(fresh_hparams, tmp_path):
+    """TRAIN_STEPS_PER_CALL=4 (scan K steps per dispatch) reproduces the
+    single-step loop: same step count, same final params, same epoch
+    metrics — including the epoch remainder (10 toy batches = 2 stacked
+    calls of 4 + 2 single steps) and the per-step rng fold."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.SUMMARY_DIR = str(tmp_path / "logs")
+
+    def run(k, ema=0.0):
+        hp.TRAIN_STEPS_PER_CALL = k
+        hp.EMA_DECAY = ema
+        trainer = Trainer(DaNet(), name="spc%d-%s" % (k, ema),
+                          save_dir=str(tmp_path / ("sv%d-%s" % (k, ema))),
+                          mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+        ds = WhiteNoiseData()
+        ds.install_and_load()
+        state = trainer.train(1, ds, save_on_epoch=False,
+                              valid_on_epoch=False)
+        return state
+
+    s1 = run(1)
+    s4 = run(4)
+    assert int(s1["step"]) == int(s4["step"]) == 10
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s4["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # EMA composes inside the scanned call
+    e1 = run(1, ema=0.9)
+    e4 = run(4, ema=0.9)
+    for a, b in zip(jax.tree_util.tree_leaves(e1["ema"]),
+                    jax.tree_util.tree_leaves(e4["ema"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    hp.TRAIN_STEPS_PER_CALL = 1
+    hp.EMA_DECAY = 0.0
