@@ -130,8 +130,13 @@ def step_flops_truthful(measured_step, *measured_args):
             flops = step_flops(step, params, opt_state, src)
             if flops:
                 return flops
-        except Exception:
-            pass
+        except Exception as e:
+            # an understated MFU must be visible, not silent (ADVICE r3)
+            sys.stderr.write(
+                "[bench] truthful-FLOPs XLA rebuild failed (%s: %s) — "
+                "falling back to the Pallas-opaque cost model; the "
+                "reported MFU understates the RNN kernels\n"
+                % (type(e).__name__, e))
     return step_flops(measured_step, *measured_args)
 
 
@@ -185,7 +190,59 @@ def measure_chained(n_chain: int, n_warmup: int = 2, n_iters: int = 10):
     return BATCH * n_iters * n_chain / dt
 
 
-def measure(n_warmup: int = 3, n_iters: int = 50):
+def _ancestor_pids():
+    import os
+    pids, pid = set(), os.getpid()
+    while pid > 1:
+        pids.add(pid)
+        try:
+            with open("/proc/%d/status" % pid) as f:
+                pid = next(int(ln.split()[1]) for ln in f
+                           if ln.startswith("PPid:"))
+        except (OSError, StopIteration, ValueError):
+            break
+    return pids
+
+
+def other_tpu_processes():
+    """Other live python processes that look like TPU users of this repo
+    (training/eval/bench drivers).  A concurrent TPU process serializes
+    the single tunnel grant and corrupts the measurement — the exact
+    failure that contaminated BENCH_r03 (a live training recipe made the
+    pinned workload read 3.5x slower).  Read-only /proc scan; never
+    signals anything."""
+    import os
+    skip = _ancestor_pids()
+    markers = ("main.py", "experiments/", "bench.py", "eval_checkpoint",
+               "synth_extended")
+    hits = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) in skip:
+            continue
+        try:
+            with open("/proc/%s/cmdline" % pid, "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+        except OSError:
+            continue
+        if "python" in cmd and any(m in cmd for m in markers):
+            hits.append("%s: %s" % (pid, cmd.strip()[:120]))
+    return hits
+
+
+def contention_from_blocks(block_times, ratio: float = 1.6):
+    """Timing-variance tripwire: with the chip to ourselves, equal-size
+    blocks of an identical compiled step take near-identical time; a
+    concurrent TPU process makes grant-serialized blocks stall multiples
+    of the median.  Flags when the slowest block exceeds `ratio` x the
+    median — lenient enough for tunnel jitter (observed <15%), decisive
+    for real contention (r3 artifact: 3.5x)."""
+    if len(block_times) < 3:
+        return False
+    med = sorted(block_times)[len(block_times) // 2]
+    return med > 0 and max(block_times) > ratio * med
+
+
+def measure(n_warmup: int = 3, n_iters: int = 50, n_blocks: int = 5):
     step, params, opt_state, src = build_step()
     for _ in range(n_warmup):
         params, opt_state, loss = step(params, opt_state, src)
@@ -193,13 +250,21 @@ def measure(n_warmup: int = 3, n_iters: int = 50):
     # NB: sync by fetching the last loss, NOT jax.block_until_ready — the
     # latter is unreliable over tunneled backends; the loss of iteration k
     # depends on the params chain, so its transfer fences all prior steps.
+    # The iterations are timed in n_blocks equal fenced blocks: the block
+    # times feed the contention tripwire (VERDICT r3 item 1) at the cost
+    # of one extra scalar fetch per block.
+    per_block = max(1, n_iters // n_blocks)
+    block_times = []
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        params, opt_state, loss = step(params, opt_state, src)
-    assert np.isfinite(float(loss))
+    for _ in range(n_blocks):
+        tb = time.perf_counter()
+        for _ in range(per_block):
+            params, opt_state, loss = step(params, opt_state, src)
+        assert np.isfinite(float(loss))
+        block_times.append(time.perf_counter() - tb)
     dt = time.perf_counter() - t0
-    mps = BATCH * n_iters / dt
-    return mps, (step, params, opt_state, src)
+    mps = BATCH * n_blocks * per_block / dt
+    return mps, (step, params, opt_state, src), block_times
 
 
 def sweep():
@@ -213,15 +278,21 @@ def sweep():
             ("tasnet-v1", "bilstm-orig")]
     print("%-22s %12s %9s %10s %7s" % (
         "family", "mixtures/s", "ms/step", "TFLOP/s", "MFU%"), flush=True)
-    for model, enc in fams:
-        MODEL, ENCODER = model, enc
-        mps, handles = measure()
-        tflops, mfu = mfu_stats(*handles, mix_per_sec=mps)
-        name = model if model != "danet" else enc
-        print("%-22s %12.0f %9.2f %10s %7s" % (
-            name, mps, 1e3 * BATCH / mps,
-            "-" if tflops is None else "%.1f" % tflops,
-            "-" if mfu is None else "%.1f" % mfu), flush=True)
+    saved = (MODEL, ENCODER)  # restore after the sweep (ADVICE r3):
+    # --sweep combined with other flags, or importing bench as a module,
+    # must not leave the last family's globals behind
+    try:
+        for model, enc in fams:
+            MODEL, ENCODER = model, enc
+            mps, handles, _ = measure()
+            tflops, mfu = mfu_stats(*handles, mix_per_sec=mps)
+            name = model if model != "danet" else enc
+            print("%-22s %12.0f %9.2f %10s %7s" % (
+                name, mps, 1e3 * BATCH / mps,
+                "-" if tflops is None else "%.1f" % tflops,
+                "-" if mfu is None else "%.1f" % mfu), flush=True)
+    finally:
+        MODEL, ENCODER = saved
 
 
 def main():
@@ -249,11 +320,19 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-        mps, _ = measure(n_warmup=1, n_iters=3)
+        mps, _, _ = measure(n_warmup=1, n_iters=3, n_blocks=3)
         print("CPU baseline: %.2f mixtures/sec" % mps)
         return
+    # pre-flight contention probe: another live TPU process of this repo
+    # serializes the single tunnel grant — record it rather than print a
+    # silently bad number (the BENCH_r03 contamination, VERDICT r3 item 1)
+    rivals = other_tpu_processes()
+    if rivals:
+        sys.stderr.write("[bench] WARNING: concurrent TPU-using "
+                         "process(es) detected:\n  %s\n"
+                         % "\n  ".join(rivals))
     try:
-        mps, handles = measure()
+        mps, handles, block_times = measure()
     except Exception:
         # Pallas/Mosaic may not support every TPU generation; fall back to
         # the portable XLA scan — but only when the Pallas path was
@@ -269,13 +348,19 @@ def main():
             "pallas path failed on backend %r; retrying with the XLA "
             "scan backend\n" % jax.default_backend())
         FORCE_BACKEND = "xla"
-        mps, handles = measure()
+        mps, handles, block_times = measure()
     record = {
         "metric": "train_mixtures_per_sec",
         "value": round(mps, 2),
         "unit": "mixtures/sec/chip",
         "vs_baseline": round(mps / CPU_BASELINE_MIX_PER_SEC, 2),
     }
+    if rivals or contention_from_blocks(block_times):
+        record["contended"] = True
+        record["contention_reason"] = (
+            "concurrent TPU process" if rivals
+            else "block-time variance %.2fx median"
+            % (max(block_times) / sorted(block_times)[len(block_times) // 2]))
     tflops, mfu = mfu_stats(*handles, mix_per_sec=mps)
     if tflops is not None:
         record["tflops_per_sec"] = tflops

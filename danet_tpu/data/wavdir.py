@@ -100,6 +100,15 @@ class WavDirDataset(Dataset):
             for a, b in (("valid", "test"), ("test", "valid")):
                 if not self.files[a]:
                     self.files[a] = self.files[b] or self.files["train"]
+        # eval-on-train aliasing must be LOUD (ADVICE r3): validation
+        # running on the training files inflates valid metrics and defeats
+        # keep-best / VALID_CRASH_FACTOR decisions keyed off the valid loss
+        for s in ("valid", "test"):
+            if self.files[s] is self.files["train"]:
+                print("[WARNING] wav-dir %r split is empty and aliases the "
+                      "TRAINING files — eval metrics will be optimistic; "
+                      "add real %s data for trustworthy validation"
+                      % (s, s))
         # length-sort (file size as the duration proxy) to minimize the
         # per-batch zero padding, as the reference's offline TIMIT
         # pipeline does (TIMIT/process.py:141-151)

@@ -94,6 +94,29 @@ def _restore_ema_compat(path, template, ckptr, orig) -> dict:
     _raise_mismatch(path, template, ckptr, orig)
 
 
+def _restore_optstate_compat(path, template, ckptr):
+    """Optimizer-state chain compatibility (ADVICE r3): checkpoints
+    written before the clip transform became unconditionally first in the
+    optax chain (optim.py::_with_clip_and_lr) saved a 1-tuple chain state
+    when GRAD_CLIP_THRES was null; the live tree is now a 2-tuple with a
+    leading EmptyState.  The missing element is stateless — restore
+    against a template without it and re-prepend the EmptyState.
+    Returns None when this shim does not apply (caller falls through to
+    the EMA/structural diagnosis)."""
+    import optax
+    opt = template.get("opt_state") if isinstance(template, dict) else None
+    if not (isinstance(opt, tuple) and len(opt) >= 2
+            and isinstance(opt[0], optax.EmptyState)):
+        return None
+    t2 = dict(template, opt_state=opt[1:])
+    try:
+        state = ckptr.restore(path, t2)
+    except Exception:  # noqa: BLE001 — not a 1-tuple checkpoint either
+        return None
+    state["opt_state"] = (optax.EmptyState(),) + tuple(state["opt_state"])
+    return state
+
+
 def load_eval_params(path: str, params_template):
     """Restore the weights inference/serving should run on: the EMA
     (Polyak) average when the checkpoint carries one, raw params
@@ -160,8 +183,10 @@ def load_checkpoint(path: str, template: dict, partial: bool = False) -> dict:
     else:
         try:
             state = ckptr.restore(path, template)
-        except Exception as e:  # noqa: BLE001 — reconcile EMA or diagnose
-            state = _restore_ema_compat(path, template, ckptr, e)
+        except Exception as e:  # noqa: BLE001 — reconcile compat or diagnose
+            state = _restore_optstate_compat(path, template, ckptr)
+            if state is None:
+                state = _restore_ema_compat(path, template, ckptr, e)
     # counters round-trip as 0-d arrays; hand back python ints so consumers
     # (JSONL metrics writer, epoch arithmetic) see the template's types
     for key in ("step", "epoch"):

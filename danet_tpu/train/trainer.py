@@ -203,6 +203,12 @@ class Trainer:
             raise ValueError(
                 "GRAD_ACCUM=%d must divide BATCH_SIZE=%d"
                 % (accum, self.hp.BATCH_SIZE))
+        if accum > 1 and float(getattr(self.hp, "DC_LOSS_WEIGHT", 0) or 0):
+            # the scale-matched DC weight is calibrated by watching this
+            # column, so its absence must be loud, not a code comment
+            print("[note] the raw-DC diagnostic column is unavailable under "
+                  "GRAD_ACCUM>1 (fixed scan-carry structure); DC still "
+                  "contributes to the loss")
 
         def grads_and_metrics(params, src_ri, rng):
             if accum == 1:
@@ -558,12 +564,20 @@ class Trainer:
                 return
             buf = []
             for b in device_batches():
+                # variable-length corpora (wav-dir/TIMIT/WSJ0) pad each
+                # batch only to its own bucketed T, so consecutive batches
+                # can differ in shape: stacking those would raise, and a
+                # partial-size stack would force a fresh compile of
+                # train_step_k per group size — flush a mismatched group
+                # as single steps instead (ADVICE r3)
+                if buf and b.shape != buf[0].shape:
+                    yield from buf
+                    buf = []
                 buf.append(b)
                 if len(buf) == k_call:
                     yield np.stack(buf)
                     buf = []
-            for b in buf:
-                yield b
+            yield from buf
 
         def put_any(batch_np):
             if batch_np.ndim == 6:  # [K, B, N, T, F, 2] stack

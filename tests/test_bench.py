@@ -1,0 +1,57 @@
+"""bench.py contention-guard units (VERDICT r3 item 1): the round-3
+official bench artifact was contaminated by a concurrent TPU training
+process serializing the single tunnel grant.  The guard has two prongs —
+a /proc scan for rival TPU-using processes of this repo and a
+block-timing variance tripwire — and both must work WITHOUT touching any
+backend (bench.py imports jax lazily, so these are pure-python units).
+"""
+import os
+import subprocess
+import sys
+import time
+
+import bench
+
+
+def test_contention_tripwire_fires_on_contended_distribution():
+    # the r3 artifact shape: grant-serialized stalls make some equal-size
+    # blocks take multiples of the median (observed 3.5x overall)
+    assert bench.contention_from_blocks([1.0, 1.02, 0.98, 3.5, 1.01])
+    # even a single 2x block among clean ones is contention, not jitter
+    assert bench.contention_from_blocks([1.0, 0.99, 1.01, 2.0, 1.0])
+
+
+def test_contention_tripwire_quiet_on_clean_distribution():
+    # tunnel jitter observed <15% — well inside the 1.6x ratio
+    assert not bench.contention_from_blocks([1.0, 1.1, 0.95, 1.05, 1.08])
+    # degenerate inputs never flag
+    assert not bench.contention_from_blocks([1.0, 3.0])
+    assert not bench.contention_from_blocks([])
+
+
+def test_other_tpu_processes_sees_rivals_not_ancestors():
+    """A live python process whose cmdline matches the repo's TPU-driver
+    markers is reported; our own process chain never is (bench.py itself
+    contains 'bench.py' in its cmdline — self-flagging would make every
+    run read as contended)."""
+    # our own pytest process chain must be excluded by construction
+    own = bench._ancestor_pids()
+    assert os.getpid() in own and 1 not in own
+
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         "import sys, time; time.sleep(30)", "experiments/fake_marker"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time.time() + 10
+        hits = []
+        while time.time() < deadline:
+            hits = bench.other_tpu_processes()
+            if any(str(child.pid) in h for h in hits):
+                break
+            time.sleep(0.2)
+        assert any(h.split(":")[0] == str(child.pid) for h in hits), hits
+        assert not any(h.split(":")[0] == str(os.getpid()) for h in hits)
+    finally:
+        child.kill()
+        child.wait()

@@ -167,3 +167,30 @@ def test_wavdir_dataset_splits_and_cache(tmp_path, fresh_hparams):
     ds4 = WavDirDataset(path=str(evalonly))
     with pytest.raises(IOError, match="train"):
         ds4.install_and_load()
+
+
+def test_wavdir_eval_on_train_alias_warns(tmp_path, fresh_hparams, capsys):
+    """A wav-dir layout whose eval splits fall back to the TRAINING files
+    must say so loudly (ADVICE r3): silent eval-on-train inflates valid
+    metrics and defeats keep-best / VALID_CRASH_FACTOR decisions."""
+    from danet_tpu.data.wavdir import WavDirDataset
+    rng = np.random.RandomState(7)
+    trainonly = tmp_path / "trainonly"
+    (trainonly / "train").mkdir(parents=True)
+    for i in range(3):
+        wav = (rng.randn(4000) * 2000).astype(np.int16)
+        scipy.io.wavfile.write(
+            str(trainonly / "train" / ("t%d.wav" % i)), 8000, wav)
+    ds = WavDirDataset(path=str(trainonly))
+    ds.install_and_load()
+    out = capsys.readouterr().out
+    assert "TRAINING files" in out and "WARNING" in out
+    # but a layout with a real eval split stays quiet
+    ok = tmp_path / "withvalid"
+    for s in ("train", "valid"):
+        (ok / s).mkdir(parents=True)
+        wav = (rng.randn(4000) * 2000).astype(np.int16)
+        scipy.io.wavfile.write(str(ok / s / "a.wav"), 8000, wav)
+    ds2 = WavDirDataset(path=str(ok))
+    ds2.install_and_load()
+    assert "TRAINING files" not in capsys.readouterr().out

@@ -754,3 +754,98 @@ def test_steps_per_call_matches_single_steps(fresh_hparams, tmp_path):
                                    rtol=1e-5, atol=1e-6)
     hp.TRAIN_STEPS_PER_CALL = 1
     hp.EMA_DECAY = 0.0
+
+
+def test_steps_per_call_flushes_on_shape_change(fresh_hparams, tmp_path):
+    """TRAIN_STEPS_PER_CALL on a variable-length corpus (wav-dir/TIMIT/
+    WSJ0 pad each batch only to its own bucketed T): a shape change
+    mid-group must flush the buffered batches as single steps instead of
+    crashing np.stack or compiling a fresh partial-stack shape (ADVICE
+    r3), and the mixed grouped/single run must reproduce the pure
+    single-step loop exactly."""
+    from danet_tpu.hparams import hparams as ghp
+    hp = _tiny_hp(fresh_hparams)
+    hp.TIME_BUCKET = 16
+    hp.SUMMARY_DIR = str(tmp_path / "logs")
+    hp.digest()
+
+    class VaryingLenData(WhiteNoiseData):
+        # two bucketed lengths interleaved so a k=4 epoch exercises: a
+        # mid-group flush, a full stacked group, and the tail remainder
+        LENS = [32, 32, 16, 32, 32, 32, 32, 16, 32, 32]
+
+        def epoch(self, subset, batch_size, shuffle=False):
+            for t in self.LENS:
+                yield (np.random.rand(batch_size, t, ghp.FEATURE_SIZE)
+                       .astype(ghp.FLOATX),)
+
+    def run(k):
+        hp.TRAIN_STEPS_PER_CALL = k
+        trainer = Trainer(DaNet(), name="spcvar%d" % k,
+                          save_dir=str(tmp_path / ("sv%d" % k)),
+                          mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+        ds = VaryingLenData()
+        ds.install_and_load()
+        return trainer.train(1, ds, save_on_epoch=False,
+                             valid_on_epoch=False)
+
+    s1 = run(1)
+    s4 = run(4)
+    assert int(s1["step"]) == int(s4["step"]) == 10
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s4["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    hp.TRAIN_STEPS_PER_CALL = 1
+
+
+def test_optstate_1tuple_checkpoint_compat(fresh_hparams, tmp_path):
+    """Checkpoints written before the clip transform became always-first
+    in the optax chain (optim.py::_with_clip_and_lr) saved a 1-tuple
+    chain state under GRAD_CLIP_THRES=null; the live tree is now
+    (EmptyState, inject).  Such checkpoints must restore with the
+    stateless element re-prepended — Adam moments and the checkpointed
+    LR intact (ADVICE r3)."""
+    import optax
+    from danet_tpu.train import checkpoint as ckpt_lib
+    hp = _tiny_hp(fresh_hparams)
+    hp.GRAD_CLIP_THRES = None
+    trainer = Trainer(DaNet(), name="optcompat", save_dir=str(tmp_path))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    assert isinstance(state["opt_state"][0], optax.EmptyState)
+
+    old_style = dict(state, opt_state=tuple(state["opt_state"])[1:])
+    path = str(tmp_path / "old_1tuple")
+    ckpt_lib.save_checkpoint(path, old_style)
+
+    restored = trainer.load_params(
+        trainer.init_state(jax.random.PRNGKey(1)), path)
+    assert isinstance(restored["opt_state"][0], optax.EmptyState)
+    assert len(restored["opt_state"]) == len(state["opt_state"])
+    for a, b in zip(jax.tree_util.tree_leaves(restored["opt_state"]),
+                    jax.tree_util.tree_leaves(state["opt_state"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the trainer can keep training from it
+    src = trainer._put_batch(prepare_batch(
+        np.random.RandomState(0).rand(
+            hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 32,
+            hp.FEATURE_SIZE).astype(np.float32),
+        hp.BATCH_SIZE, hp.MAX_N_SIGNAL))
+    p, o, m = trainer._train_step(restored["params"],
+                                  restored["opt_state"], src,
+                                  jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dc_metric_notice_under_grad_accum(fresh_hparams, capsys):
+    """DC_LOSS_WEIGHT>0 with GRAD_ACCUM>1 drops the raw-DC diagnostic
+    column (fixed scan-carry structure) — the trainer must say so at
+    build time, not bury it in a code comment (ADVICE r3)."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.GRAD_ACCUM = 2
+    hp.DC_LOSS_WEIGHT = 0.3
+    Trainer(DaNet(), name="dcnotice",
+            mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    assert "raw-DC diagnostic" in capsys.readouterr().out
+    hp.GRAD_ACCUM = 1
+    hp.DC_LOSS_WEIGHT = 0.0
