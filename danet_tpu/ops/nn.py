@@ -124,13 +124,17 @@ def conv2d_init(rng, in_ch: int, out_ch: int, ksize: int,
 def conv2d_apply(params, x: jnp.ndarray) -> jnp.ndarray:
     """NCHW 'SAME' convolution; feeds the MXU via lax.conv_general_dilated.
 
-    Kernel follows the activation dtype with f32 accumulation (same
-    mixed-precision policy as mm/ee above).
+    Kernel follows the activation dtype and the output stays in it too:
+    a preferred_element_type=f32 output makes the VJP's transposed convs
+    see an f32 cotangent against bf16 operands, which lax rejects (the
+    same trap conv1d_depthwise_apply documents).  Accumulation is not
+    sacrificed — the MXU accumulates bf16 convs in f32 internally; only
+    the output rounding point moves, and the very next op casts to
+    x.dtype anyway.
     """
     y = jax.lax.conv_general_dilated(
         x, params["w"].astype(x.dtype), window_strides=(1, 1),
-        padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        padding="SAME", dimension_numbers=("NCHW", "OIHW", "NCHW"))
     return y + params["b"].astype(x.dtype)[None, :, None, None]
 
 

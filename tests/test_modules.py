@@ -972,3 +972,28 @@ def test_attn_encoder_chunked_causal_matches_dense(fresh_hparams):
     hp.ATTN_LOCAL_CHUNK = -1
     ref = np.asarray(enc.apply(params, x))
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("enc", ["toy", "lstm-orig", "bilstm-orig",
+                                 "conv-bilstm-v1", "attn-v1", "gru-v1",
+                                 "moe-v1", "tcn-v1", "dprnn-v1"])
+def test_train_grads_under_bf16(fresh_hparams, enc):
+    """Every encoder family must take gradients under COMPUTE_DTYPE=
+    bfloat16 — the TPU production dtype.  Regression: conv2d_apply's
+    f32-output override made the conv VJP see an f32 cotangent against
+    bf16 operands, so conv-bilstm-v1 could not train in bf16 at all
+    (forward-only unit tests never caught it)."""
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = enc
+    hp.BATCH_SIZE = B
+    hp.COMPUTE_DTYPE = "bfloat16"
+    hp.digest()
+    model = DaNet()
+    params = model.init(jax.random.PRNGKey(0))
+    src = jnp.asarray(_src(hp))
+    (loss, _), grads = jax.value_and_grad(model.train_loss, has_aux=True)(
+        params, src, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    flat = [np.asarray(g) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(g).all() for g in flat)
+    assert any(np.abs(g).max() > 0 for g in flat)
