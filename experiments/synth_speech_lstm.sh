@@ -1,0 +1,41 @@
+#!/bin/bash
+# lstm-orig (the reference's unidirectional paper encoder,
+# /root/reference/app/modules.py:140-161) on the broadband formant-speech
+# corpus, under the SAME 4-stage ladder + corpus as the bilstm-orig
+# flagship row (experiments/synth_speech.sh: 12 PIT-MSE @ 1e-3 +
+# 12 @ 3e-4 + 16 waveform uPIT SI-SNR @ 1e-4 + 16 unrolled-kmeans @
+# 1e-4, 120 batches/epoch) so the PARITY.md encoder-family quality
+# table compares like for like (VERDICT r3 item 5).
+set -e
+cd "$(dirname "$0")/.."
+SAVE=saves/synth_speech_lstm
+mkdir -p "$SAVE"
+
+retry() {
+  for i in 1 2 3; do
+    "$@" && return 0
+    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
+    sleep 90
+  done
+  return 1
+}
+
+PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
+    --dataset synth-speech --eval-si-snr --encoder lstm-orig \
+    --set VALID_CRASH_FACTOR=1.5"
+
+echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
+retry $PY --epochs 12 --lr 1e-3
+echo "=== stage B: PIT-MSE @ 3e-4 (12 epochs)"
+retry $PY --epochs 12 --lr 3e-4 --resume
+echo "=== stage C: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
+retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
+echo "=== stage D: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
+retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
+echo "=== eval (latest)"
+retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/latest" \
+    --dataset synth-speech --batches 120 --encoder lstm-orig
+echo "=== eval (best)"
+retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/synthext_best" \
+    --dataset synth-speech --batches 120 --encoder lstm-orig
+echo "=== all done rc=$? $(date)"
