@@ -102,12 +102,101 @@ def load_sphere_chunk(fnames, smprate: int = 16000, n_threads: int = 8):
             yield _resample(res[0], res[1], smprate)
 
 
+def _stft_stream(files, on_error):
+    """Decode+STFT the file list in native-pool chunks, yielding complex
+    [T, F] spectra; decode failures go through on_error (which may raise
+    past MAX_ERRORS) and are skipped."""
+    CHUNK = 64  # native thread-pool batch decode granularity
+    for c0 in range(0, len(files), CHUNK):
+        for wav in load_sphere_chunk(files[c0:c0 + CHUNK], SMPRATE):
+            if isinstance(wav, Exception):
+                on_error(wav)
+                continue
+            # stride from hparams (FFT_STRIDE) so the offline spectra
+            # match the runtime iSTFT framing — the reference hardcodes
+            # stride=FFT_SIZE/4, which is the default config but would
+            # silently mis-frame under any other FFT_STRIDE (reference
+            # WSJ0/process.py:179)
+            yield scipy.signal.stft(
+                wav.astype(FLOATX), window=FFT_WND, nperseg=FFT_SIZE,
+                noverlap=FFT_SIZE - FFT_STRIDE)[2].T.astype(COMPLEXX)
+
+
+def _error_counter():
+    state = {"n": 0}
+
+    def on_error(exc):
+        state["n"] += 1
+        if state["n"] > MAX_ERRORS:
+            sys.stderr.write("Too many file reading failures, abort."
+                             " Raising latest exception:\n")
+            raise exc
+
+    return state, on_error
+
+
+def write_fuel_layout(path, subsets):
+    """Write the REFERENCE stack's fuel-H5PYDataset schema (its
+    WSJ0/process.py:148-222): per-subset '{name}_spectra' vlen datasets
+    with attached 'shapes'/'shape_labels' dim scales and the 7-field
+    fuel split attribute — so a corpus produced HERE is readable by the
+    reference's fuel loader (bidirectional interop; the loader here
+    already reads both layouts, danet_tpu/data/wsj0.py)."""
+    with h5py.File(path, "w") as out:
+        data_t = h5py.special_dtype(vlen=np.dtype(COMPLEXX))
+        sizes = []
+        for name, files in subsets:
+            sys.stdout.write('Generating subset "%s" ...' % name)
+            sys.stdout.flush()
+            ds = out.create_dataset(
+                "%s_spectra" % name, (len(files),), dtype=data_t)
+            ds_shapes = out.create_dataset(
+                "%s_spectra_shapes" % name, (len(files), 2),
+                dtype=np.int32)
+            ds_labels = out.create_dataset(
+                "%s_spectra_shape_labels" % name, (2,), dtype="S8")
+            ds_labels[...] = [b"length", b"fft_size"]
+            state, on_error = _error_counter()
+            i = 0
+            for spectra in _stft_stream(files, on_error):
+                ds[i] = spectra.flatten()
+                ds_shapes[i] = (len(spectra), 1 + FFT_SIZE // 2)
+                i += 1
+                sys.stdout.write(".")
+                sys.stdout.flush()
+            # fuel's dim-scale plumbing (create_scale is the legacy h5py
+            # API the reference used; make_scale is its modern spelling)
+            ds_shapes.make_scale("shapes")
+            ds_labels.make_scale("shape_labels")
+            ds.dims[0].attach_scale(ds_shapes)
+            ds.dims[0].attach_scale(ds_labels)
+            sizes.append(i)
+            sys.stdout.write(" done (%d ok, %d failed)\n"
+                             % (i, state["n"]))
+        split_dt = np.dtype([
+            ("split", "a5"), ("source", "a15"),
+            ("start", np.int64), ("stop", np.int64),
+            ("indices", h5py.special_dtype(ref=h5py.Reference)),
+            ("available", np.bool_), ("comment", "a1")])
+        split_array = np.empty(len(subsets), dtype=split_dt)
+        for k, ((name, _), size) in enumerate(zip(subsets, sizes)):
+            split_array[k] = (name.encode(), ("%s_spectra" % name).encode(),
+                              0, size, h5py.Reference(), True, b".")
+        out.attrs["split"] = split_array
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("-o", "--output-file", default=FILENAME,
                         help="path to output HDF5 file")
     parser.add_argument("--list-dir", default=".",
                         help="directory containing *_set_files lists")
+    parser.add_argument("--fuel-layout", action="store_true",
+                        help="write the reference stack's fuel-"
+                             "H5PYDataset schema (per-subset datasets + "
+                             "dim scales) instead of the native single-"
+                             "table layout, for consumption by the "
+                             "reference's loader")
     args = parser.parse_args()
 
     subsets = []
@@ -119,6 +208,11 @@ def main():
 
     random.seed(SEED)
     np.random.seed(SEED)
+
+    if args.fuel_layout:
+        write_fuel_layout(args.output_file, subsets)
+        print("Wrote %s (fuel layout)" % args.output_file)
+        return
 
     total = sum(len(fl) for _, fl in subsets)
     with h5py.File(args.output_file, "w") as out:
@@ -132,36 +226,16 @@ def main():
             sys.stdout.write('Generating subset "%s" ...' % name)
             sys.stdout.flush()
             start = row
-            err_cnt = 0
-            CHUNK = 64  # native thread-pool batch decode granularity
-            for c0 in range(0, len(files), CHUNK):
-                chunk = files[c0:c0 + CHUNK]
-                for wav in load_sphere_chunk(chunk, SMPRATE):
-                    if isinstance(wav, Exception):
-                        err_cnt += 1
-                        if err_cnt > MAX_ERRORS:
-                            sys.stderr.write(
-                                "Too many file reading failures, abort."
-                                " Raising latest exception:\n")
-                            raise wav
-                        continue
-                    # stride from hparams (FFT_STRIDE) so the offline
-                    # spectra match the runtime iSTFT framing — the
-                    # reference hardcodes stride=FFT_SIZE/4, which is the
-                    # default config but would silently mis-frame under
-                    # any other FFT_STRIDE (reference WSJ0/process.py:179)
-                    spectra = scipy.signal.stft(
-                        wav.astype(FLOATX), window=FFT_WND,
-                        nperseg=FFT_SIZE,
-                        noverlap=FFT_SIZE - FFT_STRIDE)[2].T.astype(COMPLEXX)
-                    feats[row] = spectra.flatten()
-                    shapes[row] = (len(spectra), 1 + FFT_SIZE // 2)
-                    row += 1
-                    sys.stdout.write(".")
-                    sys.stdout.flush()
+            state, on_error = _error_counter()
+            for spectra in _stft_stream(files, on_error):
+                feats[row] = spectra.flatten()
+                shapes[row] = (len(spectra), 1 + FFT_SIZE // 2)
+                row += 1
+                sys.stdout.write(".")
+                sys.stdout.flush()
             split_rows.append((name.encode(), b"features", start, row))
             sys.stdout.write(" done (%d ok, %d failed)\n"
-                             % (row - start, err_cnt))
+                             % (row - start, state["n"]))
         split_dt = np.dtype([
             ("split", "S8"), ("source", "S16"),
             ("start", np.int64), ("stop", np.int64)])

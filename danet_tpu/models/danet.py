@@ -140,7 +140,7 @@ class DaNet:
         complex (ri) separated signals vs the true sources, then
         un-permute and report SNR.
 
-        Returns (loss, aux) — aux = {snr, separated_ri, perm_idx}.
+        Returns (loss, aux) — aux = {snr, perm_idx} (+ dc when enabled).
         """
         hp = self.hp
         # Random relative-gain mixing augmentation: each source draws a
@@ -164,7 +164,6 @@ class DaNet:
             src_pwr=src_pwr, mix_pwr=mix_pwr)
         sep_pwr = self.separator.apply(
             params["separator"], mix_pwr, attractors, embed_flat)
-        sep_ri = sep_pwr[..., None] * phase_unit[:, None]   # [B,N,T,F,2]
 
         loss_type = getattr(hp, "TRAIN_LOSS_TYPE", "pit-mse") or "pit-mse"
         if loss_type == "pit-si-snr":
@@ -172,18 +171,23 @@ class DaNet:
             # on-device iSTFT (ops/dsp.py) into negative SI-SNR — the
             # modern separation objective (not in the reference)
             from danet_tpu.ops import dsp
+            sep_ri = sep_pwr[..., None] * phase_unit[:, None]
             wav_src = dsp.istft_ri(src_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
             wav_sep = dsp.istft_ri(sep_ri, hp.FFT_STRIDE, hp.FFT_WND_ARRAY)
             loss, perms, perm_idx = loss_ops.pit_si_snr_loss(
                 wav_src, wav_sep)
+            sep_ri_pit = loss_ops.unpermute(sep_ri, perms, perm_idx)
+            snr = jnp.mean(loss_ops.batch_snr(
+                src_ri, sep_ri_pit, eps=hp.EPS, complex_ri=True))
         elif loss_type == "pit-mse":
-            loss, perms, perm_idx = loss_ops.pit_mse_loss(
-                src_ri, sep_ri, complex_ri=True)
+            # fused tail: loss + SNR straight from the masked magnitudes —
+            # the [B, N, T, F, 2] reconstruction (and its gradient) is
+            # never materialized (ops/loss.py::pit_mse_masked_ri)
+            loss, perms, perm_idx, snr_vec = loss_ops.pit_mse_masked_ri(
+                src_ri, sep_pwr, phase_unit, eps=hp.EPS)
+            snr = jnp.mean(snr_vec)
         else:
             raise ValueError("Unknown TRAIN_LOSS_TYPE %r" % (loss_type,))
-        sep_ri_pit = loss_ops.unpermute(sep_ri, perms, perm_idx)
-        snr = jnp.mean(loss_ops.batch_snr(
-            src_ri, sep_ri_pit, eps=hp.EPS, complex_ri=True))
 
         # Optional deep-clustering auxiliary (chimera-style multi-task):
         # regularizes the embedding space toward per-source clusters — the
@@ -252,8 +256,7 @@ class DaNet:
 
         if getattr(hp, "REG_APPLY", False) and hp.REG_TYPE is not None:
             loss = loss + reg_loss(params, hp.REG_TYPE, hp.REG_SCALE)
-        aux_out = {"snr": snr, "separated_ri": sep_ri_pit,
-                   "perm_idx": perm_idx}
+        aux_out = {"snr": snr, "perm_idx": perm_idx}
         if dc_w > 0.0:
             aux_out["dc"] = dc_raw
         return loss, aux_out

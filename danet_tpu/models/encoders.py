@@ -53,10 +53,12 @@ def _route_mesh(axis: str, n: int):
     separate_wav) run the SAME training config densely instead of
     demanding the multi-device training mesh."""
     from danet_tpu.parallel import active_mesh
+    from danet_tpu.parallel.sharding import MeshUnavailableError
     try:
         mesh = active_mesh()
-    except Exception:
-        return None  # e.g. mesh_from_hparams on a host with too few devices
+    except MeshUnavailableError:
+        return None  # mesh_from_hparams on a host with too few devices;
+        # any OTHER mesh-construction error is a real bug and propagates
     if axis in mesh.shape and mesh.shape[axis] == n:
         return mesh
     return None
@@ -259,11 +261,13 @@ class BiLstmEncoder(Encoder):
         if jax.default_backend() not in ("tpu", "axon"):
             return None
         from danet_tpu.parallel import active_mesh
+        from danet_tpu.parallel.sharding import MeshUnavailableError
         try:
             mesh = active_mesh()
-        except Exception:
-            # e.g. a 1-chip inference host with a MESH_MODEL>1 training
+        except MeshUnavailableError:
+            # a 1-chip inference host with a MESH_MODEL>1 training
             # config and no registered mesh: run the plain kernel path
+            # (any other mesh-construction error is a real bug)
             return None
         n = 1
         for a in ("data", "model"):

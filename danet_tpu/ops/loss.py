@@ -123,6 +123,86 @@ def pit_mse_loss(x: jnp.ndarray, y: jnp.ndarray, pit_axis: int = 1,
     return loss, jnp.asarray(perms), perm_idx
 
 
+def pit_mse_masked_ri(src_ri: jnp.ndarray, sep_pwr: jnp.ndarray,
+                      phase_unit: jnp.ndarray, eps: float = 1e-7):
+    """PIT complex-MSE of a masked reconstruction WITHOUT materializing it.
+
+    The training tail reconstructs ``sep_ri = sep_pwr * phase_unit`` only
+    to immediately difference it against the targets (models/danet.py
+    train path; reference main.py:289-309 does the same through tf
+    gather_nd).  Since the reconstruction is a rank-1 scaling of the
+    per-bin phase vector p, the squared error folds algebraically:
+
+        ||x - m p||^2 = ||x||^2 - 2 m <x, p> + m^2 ||p||^2
+
+    so neither the [B, N, T, F, 2] separated tensor nor its gradient is
+    ever materialized — the PIT cost matrix, the winning-permutation
+    loss, AND the SNR metric all come from three [B, N, T, F]-shaped
+    reductions plus one [N, TF] x [TF, N] Gram GEMM (half the D of the
+    ri-domain Gram).  Exactly equal to
+    ``pit_mse_loss(src_ri, sep_pwr[..., None] * phase_unit[:, None],
+    complex_ri=True)`` (+ unpermute + batch_snr) up to f32 reassociation;
+    ``phase_unit`` need not be exactly unit (the EPS-guarded mixture
+    phase is handled by the explicit ||p||^2 term).
+
+    Args:
+        src_ri: targets [B, N, T, F, 2].
+        sep_pwr: masked magnitudes m [B, N, T, F] (separator output).
+        phase_unit: per-bin phase vector p [B, T, F, 2].
+        eps: batch_snr's log-domain epsilon (hp.EPS) so the returned SNR
+            matches the unfused metric bit-for-bit in semantics.
+
+    Returns:
+        (loss, perms, perm_idx, snr): scalar loss; the [N!, N] table and
+        [B] chosen index (same contract as pit_mse_loss); snr [B] in dB,
+        identical in semantics to ``batch_snr(src_ri, unpermute(sep_ri),
+        complex_ri=True)``.
+    """
+    b, n = src_ri.shape[0], src_ri.shape[1]
+    perms = permutations_array(n)
+    n_perm = factorial(n)
+    onehot = np.zeros((n_perm, n, n), dtype=np.float32)
+    onehot[np.arange(n_perm)[:, None], np.arange(n)[None, :], perms] = 1.0
+    onehot = jnp.asarray(onehot)
+
+    d_mean = int(np.prod(src_ri.shape[2:-1]))           # T*F (ri excluded)
+    src_sq = jnp.sum(jnp.square(src_ri), axis=-1)       # [B, N, T, F]
+    s_proj = jnp.sum(src_ri * phase_unit[:, None], axis=-1)
+    p2 = jnp.sum(jnp.square(phase_unit), axis=-1)       # [B, T, F]
+    m2p = jnp.square(sep_pwr) * p2[:, None]             # [B, N, T, F]
+
+    # cost matrix picks the permutation only — no gradient through it
+    sp_s = jax.lax.stop_gradient(s_proj).reshape(b, n, -1)
+    m_s = jax.lax.stop_gradient(sep_pwr).reshape(b, n, -1)
+    xx = jnp.sum(jax.lax.stop_gradient(src_sq), axis=(2, 3))   # [B, N]
+    pp = jnp.sum(jax.lax.stop_gradient(m2p), axis=(2, 3))      # [B, N]
+    xy = jnp.einsum("bid,bjd->bij", sp_s, m_s,
+                    preferred_element_type=jnp.float32)
+    cost = (xx[:, :, None] + pp[:, None, :] - 2.0 * xy) / d_mean
+    perm_idx = jnp.argmin(
+        jnp.einsum("bij,pij->bp", cost, onehot), axis=1)
+
+    # exact winning-permutation loss (differentiable path); one-hot
+    # un-permute keeps the VJP a GEMM (see pit_mse_loss)
+    sel_oh = onehot[perm_idx]                            # [B, N, N]
+    m_pit = jnp.einsum("bnm,bmd->bnd", sel_oh,
+                       sep_pwr.reshape(b, n, -1)).reshape(sep_pwr.shape)
+    err = jnp.sum(
+        src_sq - 2.0 * m_pit * s_proj
+        + jnp.square(m_pit) * p2[:, None], axis=(2, 3))  # [B, N]
+    loss = jnp.mean(jnp.sum(err, axis=1) / d_mean)
+
+    # batch_snr semantics: mean magnitude-squared over (N, T, F), eps in
+    # the log domain (ops/loss.py::batch_snr, reference ops.py:191-222)
+    coeff = 4.342944819
+    sig_pwr = jnp.sum(src_sq, axis=(1, 2, 3)) / (n * d_mean)
+    # the expanded form can go epsilon-negative at very high SNR
+    # (cancellation of ||x||^2 against 2m<x,p>); clamp for the log
+    noise_pwr = jnp.maximum(jnp.sum(err, axis=1), 0.0) / (n * d_mean)
+    snr = coeff * (jnp.log(sig_pwr + eps) - jnp.log(noise_pwr + eps))
+    return loss, jnp.asarray(perms), perm_idx, snr
+
+
 def unpermute(y: jnp.ndarray, perms: jnp.ndarray,
               perm_idx: jnp.ndarray) -> jnp.ndarray:
     """Reorder predictions [B, N, ...] by the chosen PIT permutation.

@@ -26,6 +26,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from danet_tpu.hparams import hparams
 
 
+class MeshUnavailableError(RuntimeError):
+    """The configured mesh factors do not fit the available devices.
+
+    The ONE mesh failure model code may fall back densely on (the
+    inference-host case: a MESH_* training config running demo/serving
+    on a small host).  Any other error escaping mesh construction is a
+    genuine bug and must propagate (VERDICT r3 item 9 — the old blanket
+    ``except Exception`` in encoders._route_mesh silently routed broken
+    configs dense)."""
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
               devices=None, n_pipe: int = 1, n_expert: int = 1,
               n_seq: int = 1) -> Mesh:
@@ -58,9 +69,10 @@ def make_mesh(n_data: Optional[int] = None, n_model: Optional[int] = None,
         # use a prefix of the device list, leave the rest idle
         devices = devices[: n_data * n_model * rest]
         n_dev = len(devices)
-    assert n_data * n_model * rest == n_dev, (
-        "mesh %dx%dx%dx%dx%d != %d devices"
-        % (n_data, n_model, n_pipe, n_expert, n_seq, n_dev))
+    if n_data * n_model * rest != n_dev:
+        raise MeshUnavailableError(
+            "mesh %dx%dx%dx%dx%d != %d devices"
+            % (n_data, n_model, n_pipe, n_expert, n_seq, n_dev))
     shape = [n_data, n_model]
     names = ["data", "model"]
     if n_pipe > 1:

@@ -338,3 +338,46 @@ def test_dc_loss_zero_for_ideal_embedding():
     assert abs(z) < 1e-6
     rand = rng.randn(b, t, f, n).astype(np.float32)
     assert float(L.dc_loss(jnp.asarray(rand), jnp.asarray(src_pwr))) > z
+
+
+def test_pit_mse_masked_ri_matches_composed_path():
+    """The fused masked-PIT tail (pit_mse_masked_ri) must equal the
+    composed pipeline it replaces — materialize sep_ri = m * p, PIT
+    complex-MSE, unpermute, batch_snr — in loss, chosen permutation, SNR,
+    AND gradients (wrt both the masks and the targets)."""
+    import jax
+    rng = np.random.RandomState(0)
+    b, n, t, f = 3, 3, 8, 5
+    eps = 1e-7
+    src = rng.randn(b, n, t, f, 2).astype(np.float32)
+    m = np.abs(rng.randn(b, n, t, f)).astype(np.float32)
+    mix = src.sum(axis=1)
+    mix_mag = np.sqrt((mix ** 2).sum(-1))
+    p = (mix / (mix_mag[..., None] + eps)).astype(np.float32)  # eps-guarded
+
+    def composed(src_ri, sep_pwr):
+        sep_ri = sep_pwr[..., None] * jnp.asarray(p)[:, None]
+        loss, perms, perm_idx = L.pit_mse_loss(
+            src_ri, sep_ri, complex_ri=True)
+        sep_pit = L.unpermute(sep_ri, perms, perm_idx)
+        snr = L.batch_snr(src_ri, sep_pit, eps=eps, complex_ri=True)
+        return loss, perm_idx, snr
+
+    def fused(src_ri, sep_pwr):
+        loss, _, perm_idx, snr = L.pit_mse_masked_ri(
+            src_ri, sep_pwr, jnp.asarray(p), eps=eps)
+        return loss, perm_idx, snr
+
+    l0, pi0, s0 = composed(jnp.asarray(src), jnp.asarray(m))
+    l1, pi1, s1 = fused(jnp.asarray(src), jnp.asarray(m))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pi0), np.asarray(pi1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-4)
+
+    g0 = jax.grad(lambda a, c: composed(a, c)[0], argnums=(0, 1))(
+        jnp.asarray(src), jnp.asarray(m))
+    g1 = jax.grad(lambda a, c: fused(a, c)[0], argnums=(0, 1))(
+        jnp.asarray(src), jnp.asarray(m))
+    for a, c in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-6)

@@ -1392,3 +1392,25 @@ def test_routed_moe_trainer_step(fresh_hparams):
     assert np.isfinite(float(m["loss"]))
     r1 = np.asarray(state["params"]["encoder"]["block0"]["moe"]["router"])
     assert np.abs(r1 - r0).max() > 0  # router received gradient
+
+
+def test_route_mesh_dense_fallback_is_narrow(fresh_hparams):
+    """_route_mesh falls back DENSE only on the specific too-few-devices
+    failure (MeshUnavailableError); any other mesh-construction error is
+    a real bug and must propagate instead of silently dropping the
+    configured parallelism (VERDICT r3 item 9)."""
+    from danet_tpu.models.encoders import _route_mesh
+    from danet_tpu.parallel import set_active_mesh
+    hp = fresh_hparams
+    set_active_mesh(None)
+    try:
+        hp.MESH_SEQ = 64  # cannot fit the 8 virtual devices -> dense
+        assert _route_mesh("seq", 64) is None
+        hp.MESH_SEQ = 1
+        hp.MESH_PIPE = "garbage"  # broken config: must raise, not hide
+        with pytest.raises((TypeError, ValueError)):
+            _route_mesh("pipe", 2)
+    finally:
+        hp.MESH_SEQ = 1
+        hp.MESH_PIPE = 1
+        set_active_mesh(None)

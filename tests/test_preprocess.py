@@ -105,3 +105,52 @@ def test_wsj0_preprocess_to_epoch(tmp_path, fresh_hparams):
     assert spectra.shape[0] == 2
     assert spectra.shape[-1] == hp.FEATURE_SIZE
     assert np.isfinite(spectra).all() and np.abs(spectra).max() > 0
+
+
+def test_wsj0_fuel_layout_roundtrip(tmp_path, fresh_hparams):
+    """--fuel-layout writes the REFERENCE stack's fuel-H5PYDataset schema
+    (per-subset '{name}_spectra' + dim scales + 7-field split attr,
+    reference WSJ0/process.py:148-222) — and our loader's fuel-reading
+    path consumes it, proving bidirectional interop."""
+    import h5py
+    pytest.importorskip("danet_tpu.native.sphere")
+    rng = np.random.RandomState(1)
+    paths = []
+    for i in range(4):
+        x = (rng.randn(9000 + 500 * i) * 2000).astype("<i2")
+        p = tmp_path / ("f%d.sph" % i)
+        p.write_bytes(make_sphere(
+            x.tobytes(), sample_rate=8000, coding="pcm",
+            byte_format="01", sample_count=len(x)))
+        paths.append(str(p))
+    for name, sel in [("train", paths[:2]), ("valid", paths[2:3]),
+                      ("test", paths[3:])]:
+        with open(tmp_path / ("%s_set_files" % name), "w") as f:
+            f.write("\n".join(sel) + "\n")
+
+    h5 = str(tmp_path / "wsj0_fuel.h5")
+    out = _run_script("danet_tpu/data/WSJ0/process.py", [
+        "--list-dir", str(tmp_path), "-o", h5, "--fuel-layout"])
+    assert "fuel layout" in out
+
+    # schema checks: the exact structures the reference's loader needs
+    with h5py.File(h5, "r") as f:
+        for s in ("train", "valid", "test"):
+            assert "%s_spectra" % s in f
+            assert "%s_spectra_shapes" % s in f
+            assert list(f["%s_spectra_shape_labels" % s][...]) == [
+                b"length", b"fft_size"]
+        split = f.attrs["split"]
+        assert set(split.dtype.names) >= {
+            "split", "source", "start", "stop", "available"}
+        assert [r["split"] for r in split] == [b"train", b"valid", b"test"]
+
+    from danet_tpu.data.wsj0 import Wsj0Dataset
+    hp = fresh_hparams
+    ds = Wsj0Dataset(path=h5)
+    ds.install_and_load()
+    got = list(ds.epoch("train", 2, shuffle=False))
+    assert len(got) >= 1
+    spectra = got[0][0]
+    assert spectra.shape[-1] == hp.FEATURE_SIZE
+    assert np.isfinite(spectra).all() and np.abs(spectra).max() > 0
