@@ -20,7 +20,11 @@ differences = per-stage fwd+bwd cost.  Stages:
   encoder   + encoder forward to embeddings
   estim     + truth-weighted estimator (train path)
   separ     + dot-sigmoid separator -> separated power
-  pit       + complex-ri PIT MSE loss (the full train_loss minus aux)
+  pit       + FUSED masked PIT (the shipping tail: loss + SNR straight
+            from the masks, ops/loss.py::pit_mse_masked_ri)
+  pit-composed  the pre-r4 tail (materialized [B,N,T,F,2] reconstruction
+            + complex-ri PIT) — its delta is also against 'separ', so
+            pit vs pit-composed reads the fold's win directly
 
 Run on the real chip:  python benchmarks/tail_profile.py
 """
@@ -84,9 +88,19 @@ def build(stage: str):
             params["separator"], mix_pwr, attractors, embed_flat)
         if stage == "separ":
             return jnp.mean(jnp.square(sep_pwr))
-        sep_ri = sep_pwr[..., None] * phase_unit[:, None]
-        loss, _, _ = loss_ops.pit_mse_loss(src_ri, sep_ri, complex_ri=True)
-        return loss
+        if stage == "pit-composed":
+            # the pre-r4 tail: materialize the [B,N,T,F,2] reconstruction
+            # and difference it (kept as the comparison row quantifying
+            # the fused fold's win)
+            sep_ri = sep_pwr[..., None] * phase_unit[:, None]
+            loss, _, _ = loss_ops.pit_mse_loss(
+                src_ri, sep_ri, complex_ri=True)
+            return loss
+        # the SHIPPING tail (models/danet.py train path): fused masked
+        # PIT, no reconstruction materialized (ops/loss.py)
+        loss, _, _, snr = loss_ops.pit_mse_masked_ri(
+            src_ri, sep_pwr, phase_unit, eps=hparams.EPS)
+        return loss + 0.0 * jnp.mean(snr)
 
     @jax.jit
     def step(params, src_ri):
@@ -111,14 +125,17 @@ def timeit(step, params, src, iters=50):
 
 
 def main():
-    stages = ["null", "feat", "encoder", "estim", "separ", "pit"]
+    stages = ["null", "feat", "encoder", "estim", "separ", "pit",
+              "pit-composed"]
     prev = 0.0
-    print("%-8s %9s %9s" % ("stage", "ms(cum)", "ms(delta)"), flush=True)
+    print("%-12s %9s %9s" % ("stage", "ms(cum)", "ms(delta)"), flush=True)
     for s in stages:
         step, params, src = build(s)
         ms = timeit(step, params, src)
-        print("%-8s %9.3f %9.3f" % (s, ms, ms - prev), flush=True)
-        prev = ms
+        # pit-composed deltas against the same 'separ' prefix as 'pit'
+        print("%-12s %9.3f %9.3f" % (s, ms, ms - prev), flush=True)
+        if s != "pit":
+            prev = ms
 
 
 if __name__ == "__main__":
