@@ -221,10 +221,19 @@ def other_tpu_processes():
             continue
         try:
             with open("/proc/%s/cmdline" % pid, "rb") as f:
-                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+                argv = f.read().decode("utf-8", "replace").split("\0")
         except OSError:
             continue
-        if "python" in cmd and any(m in cmd for m in markers):
+        # argv[0] must BE a python interpreter: a shell (bash -c '...')
+        # that merely QUOTES "python bench.py" in its command string is a
+        # launcher/monitor, not a TPU user, and flagging it poisons the
+        # artifact with a false "contended" (observed r4: the launching
+        # shell's sleep/tail line tripped the scan).
+        exe = os.path.basename(argv[0]) if argv and argv[0] else ""
+        if not exe.startswith("python"):
+            continue
+        cmd = " ".join(a for a in argv if a)
+        if any(m in cmd for m in markers):
             hits.append("%s: %s" % (pid, cmd.strip()[:120]))
     return hits
 

@@ -55,3 +55,25 @@ def test_other_tpu_processes_sees_rivals_not_ancestors():
     finally:
         child.kill()
         child.wait()
+
+
+def test_other_tpu_processes_ignores_shells_quoting_python():
+    """A shell whose -c string merely QUOTES a python TPU command (the
+    launcher/monitor pattern: `bash -c 'setsid python bench.py &; sleep
+    240; tail ...'`) is not a TPU user — flagging it records a false
+    "contended" in the round artifact (observed r4)."""
+    child = subprocess.Popen(
+        ["/bin/bash", "-c", ": python -u bench.py experiments/x; sleep 30"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        # give the scan a beat to see the process, then assert it never
+        # appears across a few polls
+        time.sleep(0.5)
+        for _ in range(5):
+            hits = bench.other_tpu_processes()
+            assert not any(h.split(":")[0] == str(child.pid) for h in hits), \
+                hits
+            time.sleep(0.2)
+    finally:
+        child.kill()
+        child.wait()
