@@ -8,6 +8,15 @@ bilstm-orig DaNet under the reference default hyperparameters
 MAX_TRAIN_LEN=128, FFT_SIZE=256 -> F=129) — i.e. the per-step work of
 `python main.py -m train` with the paper encoder.
 
+Dispatch shape (since r4): the measured program is the SHIPPING one —
+configs/tpu.json sets TRAIN_STEPS_PER_CALL, so the production Trainer
+dispatches one scanned k-step program per host call and the bench times
+the identical scanned program (the JSON records "steps_per_call").
+Per-step math, batch and hparams are unchanged from r1-r3; earlier
+rounds dispatched k=1, which on a tunneled backend under-reports the
+chip by the per-call RTT (BENCH_r02 5486 per-call vs 6016 on-device,
+PARITY.md perf table).
+
 Dev switches: `--encoder KEY` benches another encoder family,
 `--model tasnet-v1` benches the waveform-domain Conv-TasNet family,
 `--batch N` probes batch scaling of the latency-bound recurrent step,
@@ -157,10 +166,11 @@ def mfu_stats(step, params, opt_state, src, mix_per_sec: float):
 
 def build_chained(n: int):
     """One compiled program running `n` train steps back-to-back
-    (lax.scan over the step, same batch).  Removes ALL per-step host
-    dispatch from the measurement: if the tunneled backend serializes
-    dispatch RPCs, the 50-iter loop protocol under-reports the chip —
-    this is the step time a non-tunneled production deployment sees."""
+    (lax.scan over the step, same batch).  Removes per-step host
+    dispatch from the measurement — and since r4 this IS the shipping
+    dispatch shape: configs/tpu.json sets TRAIN_STEPS_PER_CALL, so the
+    production Trainer loop runs the same scanned multi-step program
+    per call (train/trainer.py::_build_steps)."""
     import jax
     step, params, opt_state, src = build_step()
 
@@ -174,11 +184,11 @@ def build_chained(n: int):
             body, (params, opt_state), None, length=n)
         return params, opt_state, losses[-1]
 
-    return chained, params, opt_state, src
+    return chained, (step, params, opt_state, src)
 
 
 def measure_chained(n_chain: int, n_warmup: int = 2, n_iters: int = 10):
-    chained, params, opt_state, src = build_chained(n_chain)
+    chained, (_, params, opt_state, src) = build_chained(n_chain)
     for _ in range(n_warmup):
         params, opt_state, loss = chained(params, opt_state, src)
     assert np.isfinite(float(loss))
@@ -251,10 +261,33 @@ def contention_from_blocks(block_times, ratio: float = 1.6):
     return med > 0 and max(block_times) > ratio * med
 
 
-def measure(n_warmup: int = 3, n_iters: int = 50, n_blocks: int = 5):
-    step, params, opt_state, src = build_step()
+def shipping_steps_per_call() -> int:
+    """TRAIN_STEPS_PER_CALL from the shipping TPU config: the production
+    Trainer dispatches one scanned k-step program per host call
+    (configs/tpu.json; train/trainer.py::_build_steps), so the pinned
+    bench workload dispatches the same shape."""
+    import os
+    try:
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "configs", "tpu.json")) as f:
+            return max(1, int(json.load(f).get("TRAIN_STEPS_PER_CALL", 1)))
+    except (OSError, ValueError):
+        return 1
+
+
+def measure(n_warmup: int = 3, n_iters: int = 50, n_blocks: int = 5,
+            steps_per_call=None):
+    k = shipping_steps_per_call() if steps_per_call is None \
+        else max(1, int(steps_per_call))
+    if k > 1:
+        prog, (step, params, opt_state, src) = build_chained(k)
+    else:
+        step, params, opt_state, src = build_step()
+        prog = step
+    handles = (step, params, opt_state, src)  # single step: cost analysis
     for _ in range(n_warmup):
-        params, opt_state, loss = step(params, opt_state, src)
+        params, opt_state, loss = prog(params, opt_state, src)
     assert np.isfinite(float(loss))  # device sync via scalar transfer
     # NB: sync by fetching the last loss, NOT jax.block_until_ready — the
     # latter is unreliable over tunneled backends; the loss of iteration k
@@ -268,12 +301,12 @@ def measure(n_warmup: int = 3, n_iters: int = 50, n_blocks: int = 5):
     for _ in range(n_blocks):
         tb = time.perf_counter()
         for _ in range(per_block):
-            params, opt_state, loss = step(params, opt_state, src)
+            params, opt_state, loss = prog(params, opt_state, src)
         assert np.isfinite(float(loss))
         block_times.append(time.perf_counter() - tb)
     dt = time.perf_counter() - t0
-    mps = BATCH * n_blocks * per_block / dt
-    return mps, (step, params, opt_state, src), block_times
+    mps = BATCH * n_blocks * per_block * k / dt
+    return mps, handles, block_times
 
 
 def sweep():
@@ -329,7 +362,10 @@ def main():
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
-        mps, _, _ = measure(n_warmup=1, n_iters=3, n_blocks=3)
+        # k=1 on CPU: dispatch overhead is negligible off the tunnel, so
+        # the baseline is k-invariant and stays comparable across rounds
+        mps, _, _ = measure(n_warmup=1, n_iters=3, n_blocks=3,
+                            steps_per_call=1)
         print("CPU baseline: %.2f mixtures/sec" % mps)
         return
     # pre-flight contention probe: another live TPU process of this repo
@@ -363,6 +399,7 @@ def main():
         "value": round(mps, 2),
         "unit": "mixtures/sec/chip",
         "vs_baseline": round(mps / CPU_BASELINE_MIX_PER_SEC, 2),
+        "steps_per_call": shipping_steps_per_call(),
     }
     if rivals or contention_from_blocks(block_times):
         record["contended"] = True

@@ -609,15 +609,32 @@ class Trainer:
                 b"danet-epoch-%d-retry-%d-seed-%d"
                 % (epoch, nan_retries, data_seed)))
             cli_report = OrderedDict()
+            # pending: (step0, device-metrics dict, s/step, k) — scalars for
+            # single steps, [K] arrays for a TRAIN_STEPS_PER_CALL group
             pending = []
+            pending_steps = 0
 
             def flush_pending():
-                for step_idx, m, st in pending:
-                    m = {k: float(v) for k, v in m.items()}
-                    m["LR"] = self.get_learn_rate(state)
-                    writer.scalars("train", dict(m, step_time=st), step_idx)
-                    _dict_add(cli_report, m)
+                nonlocal pending_steps
+                if not pending:
+                    return
+                # ONE host transfer for the whole block (plus one LR fetch):
+                # a float(v) per metric per step is a full device RTT each
+                # and serializes the async dispatch pipeline — on the
+                # tunneled TPU the fetches, not the steps, dominated epoch
+                # wall time (and masked the TRAIN_STEPS_PER_CALL win)
+                fetched = jax.device_get([m for _, m, _, _ in pending])
+                lr = self.get_learn_rate(state)
+                for (step0, _, st, k), m in zip(pending, fetched):
+                    for j in range(k):
+                        row = {key: float(v[j] if k > 1 else v)
+                               for key, v in m.items()}
+                        row["LR"] = lr
+                        writer.scalars(
+                            "train", dict(row, step_time=st), step0 + j)
+                        _dict_add(cli_report, row)
                 pending.clear()
+                pending_steps = 0
 
             timer = StepTimer()
             n_batches = 0
@@ -642,10 +659,11 @@ class Trainer:
                     if self.ema_decay:
                         state["ema"] = ema_out
                     st = timer.stop() / k_call
-                    for j in range(k_call):
-                        pending.append((
-                            state["step"] + j,
-                            {k: v[j] for k, v in metrics_k.items()}, st))
+                    # keep the [K]-vector metric arrays whole on device —
+                    # indexing them here would dispatch K tiny gathers per
+                    # metric; flush_pending fetches and splits host-side
+                    pending.append((state["step"], metrics_k, st, k_call))
+                    pending_steps += k_call
                     state["step"] += k_call
                     n_batches += k_call
                     sys.stdout.write(":" * k_call)
@@ -662,11 +680,12 @@ class Trainer:
                     if self.ema_decay:
                         state["ema"] = self._ema_step(
                             state["ema"], state["params"])
-                    pending.append((state["step"], metrics, timer.stop()))
+                    pending.append((state["step"], metrics, timer.stop(), 1))
+                    pending_steps += 1
                     state["step"] += 1
                     n_batches += 1
                     sys.stdout.write(":")
-                if len(pending) >= metrics_every:
+                if pending_steps >= metrics_every:
                     flush_pending()
                 if profiling and state["step"] >= profile_at + profile_steps:
                     jax.profiler.stop_trace()
