@@ -27,6 +27,7 @@ import os
 import signal
 import sys
 import threading
+import time
 from collections import OrderedDict
 from math import isnan
 from typing import Optional
@@ -43,6 +44,11 @@ from danet_tpu.parallel import (batch_sharding, mesh_from_hparams,
                                 replicated, shard_params)
 from danet_tpu.train import checkpoint as ckpt_lib
 from danet_tpu.train.metrics import MetricsWriter, StepTimer
+
+# exit code of the hang watchdog (WATCHDOG_SECS): distinct from python's
+# 1/2 and shells' 126+ so supervisors can tell "device link hung, relaunch
+# and resume" from a real crash
+WATCHDOG_EXIT_CODE = 114
 
 
 def _dict_add(dst, src):
@@ -175,6 +181,8 @@ class Trainer:
         self.save_dir = save_dir
         self.optimizer = optim_lib.make_optimizer(self.hp)
         self._preempt = False
+        self._heartbeat = time.monotonic()
+        self._watchdog_on = False
         self.mesh = mesh if mesh is not None else mesh_from_hparams(self.hp)
         # a configured strategy must actually be provided by the mesh the
         # trainer runs on — model code falls back DENSE on meshes without
@@ -470,10 +478,60 @@ class Trainer:
         params — some batches of that epoch are seen twice, the standard
         preemption-recovery tradeoff.  A second signal restores the
         default handler so a third one can force-kill a hung step."""
-        with self._preempt_signals():
+        with self._preempt_signals(), self._hang_watchdog():
             return self._train_impl(
                 n_epoch, dataset, save_on_epoch, valid_on_epoch, state,
                 rng, writer, save_best, lr, data_seed)
+
+    @contextlib.contextmanager
+    def _hang_watchdog(self):
+        """Failure detection for dead device links (SURVEY.md §5).
+
+        A dropped TPU/tunnel connection leaves the dispatching thread
+        blocked forever inside a runtime call — no exception, no signal
+        delivery (the step loop never reaches its ``self._preempt`` check),
+        just a silent futex wait.  When WATCHDOG_SECS > 0, a daemon thread
+        watches a heartbeat that every completed train step / eval batch /
+        metric flush refreshes; if the heartbeat goes stale past the limit
+        the process prints a diagnosis and hard-exits with
+        WATCHDOG_EXIT_CODE so a supervisor (the staged-recipe retry loops,
+        a cluster runner) can relaunch and resume from the last epoch
+        checkpoint.  ``os._exit`` is deliberate: with the runtime wedged,
+        interpreter shutdown (atexit, buffer flushing into dead RPCs) can
+        itself hang.  The reference has no analogue — a hung sess.run
+        stalls it forever (main.py:402-510)."""
+        secs = float(getattr(self.hp, "WATCHDOG_SECS", 0) or 0)
+        if secs <= 0 or self._watchdog_on:  # nested: train() owns it
+            yield
+            return
+        self._heartbeat = time.monotonic()
+        self._watchdog_on = True
+        stop = threading.Event()
+
+        def watch():
+            while not stop.wait(min(15.0, secs / 4)):
+                stale = time.monotonic() - self._heartbeat
+                if stale > secs:
+                    msg = ("\n[watchdog] no step/batch completed in %.0f s "
+                           "(WATCHDOG_SECS=%.0f): device link presumed "
+                           "hung; exiting %d for supervised relaunch\n"
+                           % (stale, secs, WATCHDOG_EXIT_CODE))
+                    for stream in (sys.stderr, sys.stdout):
+                        try:
+                            stream.write(msg)
+                            stream.flush()
+                        except Exception:
+                            pass
+                    os._exit(WATCHDOG_EXIT_CODE)
+
+        thread = threading.Thread(
+            target=watch, daemon=True, name="hang-watchdog")
+        thread.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            self._watchdog_on = False
 
     @contextlib.contextmanager
     def _preempt_signals(self):
@@ -635,6 +693,7 @@ class Trainer:
                         _dict_add(cli_report, row)
                 pending.clear()
                 pending_steps = 0
+                self._heartbeat = time.monotonic()
 
             timer = StepTimer()
             n_batches = 0
@@ -685,6 +744,7 @@ class Trainer:
                     state["step"] += 1
                     n_batches += 1
                     sys.stdout.write(":")
+                self._heartbeat = time.monotonic()
                 if pending_steps >= metrics_every:
                     flush_pending()
                 if profiling and state["step"] >= profile_at + profile_steps:
@@ -879,6 +939,7 @@ class Trainer:
             acc = metrics if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, metrics)
             n += 1
+            self._heartbeat = time.monotonic()
             sys.stdout.write(".")
             sys.stdout.flush()
         if acc is None:
@@ -892,7 +953,8 @@ class Trainer:
         """One metrics pass over a subset (reference main.py:512-532; unlike
         the reference, reports the *average* over batches, not the sum)."""
         bucket = effective_bucket(self.hp)
-        cli_report = self._metrics_sweep(state, dataset, subset, bucket)
+        with self._hang_watchdog():
+            cli_report = self._metrics_sweep(state, dataset, subset, bucket)
         sys.stdout.write("\n%s: %s\n" % (name, _dict_format(cli_report)))
         return cli_report
 

@@ -73,6 +73,10 @@ def main():
     hparams.INFER_ESTIMATOR_METHOD = args.infer_est
     hparams.SYNTH_BATCHES = args.batches
     hparams.METRICS_EVERY = 10
+    # hang watchdog: a dropped tunnel/device link otherwise leaves the
+    # stage blocked forever; exit 114 lets the recipes' retry loops
+    # relaunch + resume (overridable via --set WATCHDOG_SECS=...)
+    hparams.WATCHDOG_SECS = 900
     hparams.SUMMARY_TITLE = "synth extended"
     apply_overrides(hparams, args.overrides)
     hparams.digest()

@@ -849,3 +849,94 @@ def test_dc_metric_notice_under_grad_accum(fresh_hparams, capsys):
     assert "raw-DC diagnostic" in capsys.readouterr().out
     hp.GRAD_ACCUM = 1
     hp.DC_LOSS_WEIGHT = 0.0
+
+
+def test_hang_watchdog_fires_on_stale_heartbeat(fresh_hparams, monkeypatch):
+    """WATCHDOG_SECS>0: a heartbeat that goes stale fires the watchdog
+    (failure detection for dead device links — a dropped tunnel/TPU
+    connection blocks the dispatch thread forever with no exception);
+    a regularly-refreshed heartbeat must NOT fire it."""
+    import threading
+    import time
+
+    from danet_tpu.train import trainer as trainer_mod
+
+    hp = _tiny_hp(fresh_hparams)
+    hp.WATCHDOG_SECS = 0.5
+    tr = Trainer(DaNet(), name="wd",
+                 mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    fired = threading.Event()
+    monkeypatch.setattr(trainer_mod.os, "_exit", lambda code: fired.set())
+    with tr._hang_watchdog():
+        # healthy phase: refresh faster than the limit — no fire
+        for _ in range(5):
+            tr._heartbeat = time.monotonic()
+            time.sleep(0.2)
+        assert not fired.is_set()
+        # hang phase: stop refreshing — must fire within a few polls
+        assert fired.wait(5.0), "watchdog did not fire on stale heartbeat"
+    # watchdog thread is stopped on context exit; nested use is a no-op
+    fired.clear()
+    with tr._hang_watchdog():
+        assert tr._watchdog_on
+        with tr._hang_watchdog():  # nested (test() inside train())
+            pass
+        assert tr._watchdog_on  # inner exit must not tear down the outer
+
+
+def test_hang_watchdog_exits_hung_training_process(fresh_hparams, tmp_path):
+    """End-to-end: a training subprocess whose data source hangs after a
+    few batches exits WATCHDOG_EXIT_CODE (114) with a diagnosis instead of
+    blocking forever — the recipes' retry loops key off a nonzero exit to
+    relaunch + resume."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "hang_train.py"
+    script.write_text(textwrap.dedent("""
+        import sys, time
+        import numpy as np
+        sys.path.insert(0, %r)
+        import jax
+        from danet_tpu.hparams import hparams
+        import danet_tpu  # registries
+
+        hparams.load_json(%r)
+        hparams.BATCH_SIZE = 2
+        hparams.MAX_TRAIN_LEN = 16
+        hparams.TIME_BUCKET = 16
+        hparams.WATCHDOG_SECS = 45  # > toy-step compile time on CPU
+        hparams.digest()
+
+        from danet_tpu.models import DaNet
+        from danet_tpu.train.trainer import Trainer
+
+        class HangingData:
+            def epoch(self, subset, batch_size, shuffle=False):
+                rng = np.random.RandomState(0)
+                for _ in range(3):
+                    yield (rng.rand(batch_size, 16, hparams.FEATURE_SIZE)
+                           .astype(np.float32),)
+                print("HANGING-NOW", flush=True)
+                time.sleep(600)  # a dead device link, in effect
+
+        t = Trainer(DaNet(), name="wd", save_dir=%r)
+        t.train(1, HangingData(), save_on_epoch=False,
+                valid_on_epoch=False)
+        print("UNREACHABLE", flush=True)
+    """ % (repo, os.path.join(repo, "default.json"),
+           str(tmp_path / "sv"))))
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [_sys.executable, str(script)], env=env, cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=300)
+    from danet_tpu.train.trainer import WATCHDOG_EXIT_CODE
+    assert proc.returncode == WATCHDOG_EXIT_CODE, (
+        proc.returncode, proc.stdout[-2000:], proc.stderr[-2000:])
+    assert "HANGING-NOW" in proc.stdout  # steps ran before the hang
+    assert "UNREACHABLE" not in proc.stdout
+    assert "[watchdog]" in proc.stdout + proc.stderr
