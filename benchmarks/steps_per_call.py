@@ -61,11 +61,22 @@ def main():
     hparams.digest()
     ds = _FixedBatches(hparams.FEATURE_SIZE)
 
-    print("%-16s %12s %12s" % ("steps/call", "mixtures/s", "ms/step"),
-          flush=True)
-    for k in (1, 8):
+    # the framework loop moves the full batch host->device every step;
+    # on a tunneled link that transfer can dominate (and cap) everything
+    # this probe measures — print the volume so the regime is explicit
+    elems_step = BATCH * N_SIGNAL * T * hparams.FEATURE_SIZE * 2
+    print("h2d transfer: %.1f MB/step f32 wire / %.1f MB/step bf16 wire "
+          "(batch %d x %d srcs x T=%d x F=%d ri)"
+          % (elems_step * 4 / 1e6, elems_step * 2 / 1e6, BATCH, N_SIGNAL,
+             T, hparams.FEATURE_SIZE), flush=True)
+    print("%-22s %12s %12s %14s" % ("steps/call / wire", "mixtures/s",
+                                    "ms/step", "eff MB/s h2d"), flush=True)
+    for k, wire in ((1, "float32"), (8, "float32"), (8, "bfloat16")):
+        bytes_step = elems_step * (2 if wire == "bfloat16" else 4)
         hparams.TRAIN_STEPS_PER_CALL = k
-        trainer = Trainer(DaNet(), name="spc%d" % k, save_dir="/tmp/spc_sv")
+        hparams.TRANSFER_DTYPE = wire
+        trainer = Trainer(DaNet(), name="spc%d%s" % (k, wire[:2]),
+                          save_dir="/tmp/spc_sv")
         state = trainer.train(1, ds, save_on_epoch=False,
                               valid_on_epoch=False)  # warmup + compile
         t0 = time.perf_counter()
@@ -77,8 +88,10 @@ def main():
         float(jax.tree_util.tree_leaves(state["params"])[0].ravel()[0])
         dt = time.perf_counter() - t0
         steps = n_epochs * N_BATCHES
-        print("%-16d %12.0f %12.2f"
-              % (k, BATCH * steps / dt, 1e3 * dt / steps), flush=True)
+        print("%-22s %12.0f %12.2f %14.1f"
+              % ("%d / %s" % (k, wire), BATCH * steps / dt,
+                 1e3 * dt / steps, bytes_step * steps / dt / 1e6),
+              flush=True)
 
 
 if __name__ == "__main__":

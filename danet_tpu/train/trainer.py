@@ -253,12 +253,18 @@ class Trainer:
                     l * inv, s * inv, {})
 
         def train_step(params, opt_state, src_ri, rng):
+            # TRANSFER_DTYPE='bfloat16' wire batches upcast here: loss /
+            # target math stays f32 (XLA fuses the convert into the first
+            # consumer); a no-op for the default f32 wire
+            src_ri = src_ri.astype(jnp.float32)
             grads, loss, snr, extra = grads_and_metrics(params, src_ri, rng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, {"loss": loss, "SNR": snr, **extra}
 
         def valid_step(params, src_ri):
+            src_ri = src_ri.astype(jnp.float32)  # bf16-wire upcast (no-op
+            # for the default f32 wire)
             m = model.valid_metrics(params, src_ri)
             return {k: v for k, v in m.items() if k != "separated_ri"}
 
@@ -392,11 +398,26 @@ class Trainer:
             state["ema"] = jax.tree_util.tree_map(jnp.copy, params)
         return state
 
+    def _wire_cast(self, batch_np: np.ndarray) -> np.ndarray:
+        """TRANSFER_DTYPE='bfloat16': cast the prepared batch host-side so
+        the host->device transfer moves half the bytes (PCIe/DCN input
+        bandwidth on real hosts; the dominant framework-loop cost on a
+        tunneled link).  The jitted steps upcast back to f32 at entry, so
+        compute/loss precision is unchanged — the only effect is bf16
+        quantization of the input spectra (~8-bit mantissa, a noise floor
+        ~48 dB under the signal; irrelevant at training SNRs).  Off by
+        default; eval protocols should keep f32."""
+        if str(getattr(self.hp, "TRANSFER_DTYPE", "float32")) == "bfloat16":
+            import ml_dtypes
+            return batch_np.astype(ml_dtypes.bfloat16)
+        return batch_np
+
     def _put_batch(self, batch_np: np.ndarray):
         """Single-host: device_put with the batch sharding.  Multi-host:
         every host prepares the identical global batch (seeded shuffles —
         see train()), keeps only its row slice, and assembles the global
         array (parallel/multihost.py)."""
+        batch_np = self._wire_cast(batch_np)
         if jax.process_count() > 1:
             from danet_tpu.parallel import multihost
             rows = multihost.host_batch_slice(batch_np.shape[0])
@@ -641,7 +662,8 @@ class Trainer:
             if batch_np.ndim == 6:  # [K, B, N, T, F, 2] stack
                 from danet_tpu.parallel import stacked_batch_sharding
                 return jax.device_put(
-                    batch_np, stacked_batch_sharding(self.mesh))
+                    self._wire_cast(batch_np),
+                    stacked_batch_sharding(self.mesh))
             return self._put_batch(batch_np)
 
         # cumulative epoch numbering: a resumed run continues from the

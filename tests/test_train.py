@@ -940,3 +940,48 @@ def test_hang_watchdog_exits_hung_training_process(fresh_hparams, tmp_path):
     assert "HANGING-NOW" in proc.stdout  # steps ran before the hang
     assert "UNREACHABLE" not in proc.stdout
     assert "[watchdog]" in proc.stdout + proc.stderr
+
+
+def test_transfer_dtype_bf16_wire(fresh_hparams):
+    """TRANSFER_DTYPE='bfloat16' halves host->device bytes; the jitted
+    steps upcast to f32 at entry, so the train loss matches the f32 wire
+    up to input quantization (~1e-2 relative here)."""
+    hp = _tiny_hp(fresh_hparams)
+    rng = np.random.RandomState(0)
+    flat = rng.rand(hp.BATCH_SIZE * hp.MAX_N_SIGNAL, 32,
+                    hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, hp.BATCH_SIZE, hp.MAX_N_SIGNAL)
+
+    losses = {}
+    for wire in ("float32", "bfloat16"):
+        hp.TRANSFER_DTYPE = wire
+        trainer = Trainer(DaNet(), name="wire-" + wire[:2],
+                          mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        src = trainer._put_batch(batch)
+        if wire == "bfloat16":
+            assert src.dtype == jnp.bfloat16  # half the wire bytes
+        else:
+            assert src.dtype == jnp.float32
+        _, _, m = trainer._train_step(
+            state["params"], state["opt_state"], src, jax.random.PRNGKey(1))
+        losses[wire] = float(m["loss"])
+    assert np.isfinite(losses["bfloat16"])
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=2e-2)
+
+
+def test_transfer_dtype_bf16_full_loop(fresh_hparams, tmp_path):
+    """The bf16 wire drives the full train loop (prefetch, k-groups,
+    valid sweep) end-to-end, including TRAIN_STEPS_PER_CALL stacking."""
+    hp = _tiny_hp(fresh_hparams)
+    hp.TRANSFER_DTYPE = "bfloat16"
+    hp.TRAIN_STEPS_PER_CALL = 4
+    hp.SUMMARY_DIR = str(tmp_path / "logs")
+    trainer = Trainer(DaNet(), name="wire16",
+                      save_dir=str(tmp_path / "sv"))
+    dataset = WhiteNoiseData()
+    dataset.install_and_load()
+    state = trainer.train(1, dataset, save_on_epoch=False,
+                          valid_on_epoch=True)
+    assert state["step"] == 10
