@@ -34,7 +34,7 @@ for arm in noaux aux; do
       --batches 120 --dataset synth-speech --eval-si-snr \
       --epochs 40 --lr 3e-4 \
       --set ANCHOR_AUX_LOSS=$AUX --set LSTM_LEGACY_CELL=true \
-      --set VALID_CRASH_FACTOR=1.5 --set TRAIN_STEPS_PER_CALL=8
+      --set VALID_CRASH_FACTOR=1.5 --set TRAIN_STEPS_PER_CALL=8 --set TRANSFER_DTYPE=\"bfloat16\"
   echo "=== eval arm $arm (latest)"
   retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/latest" \
       --dataset synth-speech --batches 120 \

@@ -21,7 +21,7 @@ retry() {
 
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
     --dataset synth-speech --eval-si-snr --encoder conv-bilstm-v1 \
-    --set VALID_CRASH_FACTOR=1.5 --set TRAIN_STEPS_PER_CALL=8"
+    --set VALID_CRASH_FACTOR=1.5 --set TRAIN_STEPS_PER_CALL=8 --set TRANSFER_DTYPE=\"bfloat16\""
 
 echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
 retry $PY --epochs 12 --lr 1e-3

@@ -22,7 +22,7 @@ retry() {
 
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
     --dataset synth-speech --eval-si-snr --encoder lstm-orig \
-    --set VALID_CRASH_FACTOR=1.5"
+    --set VALID_CRASH_FACTOR=1.5 --set TRANSFER_DTYPE=\"bfloat16\" --set TRAIN_STEPS_PER_CALL=8"
 
 echo "=== stage A: PIT-MSE @ 1e-3 (12 epochs)"
 retry $PY --epochs 12 --lr 1e-3
