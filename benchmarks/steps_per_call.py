@@ -31,16 +31,26 @@ N_BATCHES = int(os.environ.get("SPC_BATCHES", 60))
 
 
 class _FixedBatches:
-    """Dataset stub: N_BATCHES pregenerated random spectra batches."""
+    """Dataset stub: N_BATCHES pregenerated random spectra batches (and
+    matching-length random waveforms for the TRANSFER_DOMAIN='wave' arm —
+    throughput only, content is irrelevant here)."""
 
-    def __init__(self, feature_size):
+    def __init__(self, feature_size, stride):
         rng = np.random.RandomState(0)
         self._batches = [
             rng.rand(BATCH * N_SIGNAL, T, feature_size).astype(np.float32)
             for _ in range(N_BATCHES)]
+        n_samples = (T - 1) * stride  # the T-frame sample grid
+        self._waves = [
+            rng.uniform(-1, 1, (BATCH * N_SIGNAL, n_samples))
+            .astype(np.float32) for _ in range(N_BATCHES)]
 
     def epoch(self, subset, batch_size, shuffle=False):
         for b in self._batches:
+            yield (b,)
+
+    def epoch_wave(self, subset, batch_size, shuffle=False):
+        for b in self._waves:
             yield (b,)
 
 
@@ -59,22 +69,31 @@ def main():
     hparams.METRICS_EVERY = 30
     hparams.SUMMARY_DIR = "/tmp/spc_logs"
     hparams.digest()
-    ds = _FixedBatches(hparams.FEATURE_SIZE)
+    ds = _FixedBatches(hparams.FEATURE_SIZE, hparams.FFT_STRIDE)
 
     # the framework loop moves the full batch host->device every step;
     # on a tunneled link that transfer can dominate (and cap) everything
     # this probe measures — print the volume so the regime is explicit
     elems_step = BATCH * N_SIGNAL * T * hparams.FEATURE_SIZE * 2
-    print("h2d transfer: %.1f MB/step f32 wire / %.1f MB/step bf16 wire "
+    wave_elems = BATCH * N_SIGNAL * (T - 1) * hparams.FFT_STRIDE
+    print("h2d transfer: %.1f MB/step f32 wire / %.1f MB/step bf16 wire / "
+          "%.1f MB/step int16-wave wire "
           "(batch %d x %d srcs x T=%d x F=%d ri)"
-          % (elems_step * 4 / 1e6, elems_step * 2 / 1e6, BATCH, N_SIGNAL,
+          % (elems_step * 4 / 1e6, elems_step * 2 / 1e6,
+             wave_elems * 2 / 1e6, BATCH, N_SIGNAL,
              T, hparams.FEATURE_SIZE), flush=True)
     print("%-22s %12s %12s %14s" % ("steps/call / wire", "mixtures/s",
                                     "ms/step", "eff MB/s h2d"), flush=True)
-    for k, wire in ((1, "float32"), (8, "float32"), (8, "bfloat16")):
-        bytes_step = elems_step * (2 if wire == "bfloat16" else 4)
+    arms = ((1, "float32", "spectra"), (8, "float32", "spectra"),
+            (8, "bfloat16", "spectra"), (8, "int16", "wave"))
+    for k, wire, domain in arms:
+        if domain == "wave":
+            bytes_step = wave_elems * 2
+        else:
+            bytes_step = elems_step * (2 if wire == "bfloat16" else 4)
         hparams.TRAIN_STEPS_PER_CALL = k
         hparams.TRANSFER_DTYPE = wire
+        hparams.TRANSFER_DOMAIN = domain
         trainer = Trainer(DaNet(), name="spc%d%s" % (k, wire[:2]),
                           save_dir="/tmp/spc_sv")
         state = trainer.train(1, ds, save_on_epoch=False,
@@ -89,7 +108,9 @@ def main():
         dt = time.perf_counter() - t0
         steps = n_epochs * N_BATCHES
         print("%-22s %12.0f %12.2f %14.1f"
-              % ("%d / %s" % (k, wire), BATCH * steps / dt,
+              % ("%d / %s%s" % (k, wire,
+                                "-wave" if domain == "wave" else ""),
+                 BATCH * steps / dt,
                  1e3 * dt / steps, bytes_step * steps / dt / 1e6),
               flush=True)
 

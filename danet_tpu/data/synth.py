@@ -62,14 +62,42 @@ class SyntheticTonesData(Dataset):
             wav += env * np.sin(2 * np.pi * freq * t + phase)
         return (wav / self.N_TONES).astype(np.float32)
 
+    def _rng_for(self, subset: str, b: int) -> np.random.RandomState:
+        base = {"train": 0, "valid": 10 ** 6, "test": 2 * 10 ** 6}[subset]
+        return np.random.RandomState(self.seed + base + b)
+
     def _make_batch(self, subset: str, batch_size: int,
                     b: int) -> np.ndarray:
         from danet_tpu.data.audio import stft_np
-        base = {"train": 0, "valid": 10 ** 6, "test": 2 * 10 ** 6}[subset]
-        rng = np.random.RandomState(self.seed + base + b)
+        rng = self._rng_for(subset, b)
         return np.stack([
             stft_np(self._utterance(rng)).astype(hparams.COMPLEXX)
             for _ in range(batch_size)])
+
+    def _make_batch_wave(self, subset: str, batch_size: int,
+                         b: int) -> np.ndarray:
+        # SAME RNG stream as _make_batch: batch b's waveforms are exactly
+        # the signals the spectra epoch STFTs (stft_np consumes nothing
+        # from rng), so wave-wire and spectra-wire training see identical
+        # utterances — the basis of the wave/spectra parity tests
+        rng = self._rng_for(subset, b)
+        return np.stack([self._utterance(rng)
+                         for _ in range(batch_size)])
+
+    def _cached_batches(self, key, n_batches: int, make):
+        cached = self._cache.get(key)
+        for b in range(n_batches):
+            if cached is not None and b < len(cached):
+                batch = cached[b]
+            else:
+                batch = make(b)
+                if self._cache_bytes + batch.nbytes <= self.CACHE_BYTES_MAX:
+                    if cached is None:
+                        cached = self._cache[key] = []
+                    if b == len(cached):
+                        cached.append(batch)
+                        self._cache_bytes += batch.nbytes
+            yield (batch,)
 
     def epoch(self, subset, batch_size, shuffle=False):
         if not self.is_loaded:
@@ -79,16 +107,19 @@ class SyntheticTonesData(Dataset):
         key = (subset, batch_size, self.N_BATCHES, hparams.FFT_SIZE,
                hparams.FFT_STRIDE, hparams.SMPRATE, hparams.COMPLEXX,
                getattr(hparams, "FFT_WND", "sqrt-hann"))
-        cached = self._cache.get(key)
-        for b in range(self.N_BATCHES):
-            if cached is not None and b < len(cached):
-                batch = cached[b]
-            else:
-                batch = self._make_batch(subset, batch_size, b)
-                if self._cache_bytes + batch.nbytes <= self.CACHE_BYTES_MAX:
-                    if cached is None:
-                        cached = self._cache[key] = []
-                    if b == len(cached):
-                        cached.append(batch)
-                        self._cache_bytes += batch.nbytes
-            yield (batch,)
+        yield from self._cached_batches(
+            key, self.N_BATCHES,
+            lambda b: self._make_batch(subset, batch_size, b))
+
+    def epoch_wave(self, subset, batch_size, shuffle=False):
+        """Waveform epochs for TRANSFER_DOMAIN='wave': [batch, S] float32
+        utterances; the STFT runs on-device inside the jitted step
+        (ops/dsp.py GEMM STFT).  4-8x fewer host->device wire bytes than
+        the spectra contract — the front-end moves onto the chip instead
+        of shipping its (redundant, f32-wide) output over the link."""
+        if not self.is_loaded:
+            raise RuntimeError("Dataset is not loaded.")
+        key = ("wave", subset, batch_size, self.N_BATCHES, hparams.SMPRATE)
+        yield from self._cached_batches(
+            key, self.N_BATCHES,
+            lambda b: self._make_batch_wave(subset, batch_size, b))

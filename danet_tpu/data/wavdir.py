@@ -129,7 +129,22 @@ class WavDirDataset(Dataset):
             self._cache_bytes += spec.nbytes
         return spec
 
-    def epoch(self, subset, batch_size, shuffle=False):
+    def _wave(self, path: str) -> np.ndarray:
+        """Raw resampled waveform (for TRANSFER_DOMAIN='wave'); cached in
+        the same byte budget as the spectra (waves are ~4x smaller)."""
+        key = ("wave", path)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        from danet_tpu.data.audio import load_wav_raw
+        wav = load_wav_raw(path, hparams.SMPRATE).astype(np.float32)
+        cap = float(getattr(hparams, "WAVDIR_CACHE_MB", 2048) or 0)
+        if self._cache_bytes + wav.nbytes <= cap * 1e6:
+            self._cache[key] = wav
+            self._cache_bytes += wav.nbytes
+        return wav
+
+    def _epoch_impl(self, subset, batch_size, shuffle, load, pad_axis):
         if not self.is_loaded:
             raise RuntimeError("Dataset is not loaded.")
         if subset not in self.files:
@@ -147,10 +162,10 @@ class WavDirDataset(Dataset):
             tot = batch_size
 
         def make_batch(sel):
-            sigs = [self._spectra(files[j]) for j in sel]
+            sigs = [load(files[j]) for j in sel]
             max_len = max(len(s) for s in sigs)
             batch = np.stack([
-                random_zeropad(s, max_len - len(s), axis=-2)
+                random_zeropad(s, max_len - len(s), axis=pad_axis)
                 for s in sigs])
             return (batch,)
 
@@ -158,3 +173,14 @@ class WavDirDataset(Dataset):
             yield make_batch(idx[i:i + batch_size])
         if tot >= batch_size and tot % batch_size:
             yield make_batch(idx[-batch_size:])
+
+    def epoch(self, subset, batch_size, shuffle=False):
+        yield from self._epoch_impl(
+            subset, batch_size, shuffle, self._spectra, pad_axis=-2)
+
+    def epoch_wave(self, subset, batch_size, shuffle=False):
+        """Waveform epochs (TRANSFER_DOMAIN='wave'): [batch, S] float32,
+        batch-padded with the random left/right zeropad augmentation on
+        the sample axis; the STFT runs on-device in the jitted step."""
+        yield from self._epoch_impl(
+            subset, batch_size, shuffle, self._wave, pad_axis=-1)

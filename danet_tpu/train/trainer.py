@@ -169,6 +169,53 @@ def prepare_batch(flat_spectra: np.ndarray, batch_size: int, n_signal: int,
     return audio.to_ri(spectra)
 
 
+def prepare_batch_wave(flat_wave: np.ndarray, batch_size: int, n_signal: int,
+                       fft_size: int, stride: int,
+                       max_len: Optional[int] = None,
+                       bucket: Optional[int] = None,
+                       rng: Optional[np.random.RandomState] = None
+                       ) -> np.ndarray:
+    """Host-side prep for TRANSFER_DOMAIN='wave': flat [B*N, S] waveforms
+    -> [B, N, S'] float32, crop/bucket expressed in STFT FRAMES so the
+    device-side GEMM STFT (ops/dsp.py::stft_ri, scipy-compatible framing)
+    lands on exactly the same static [T', F] grid the spectra wire uses.
+
+    Same semantics as prepare_batch: consecutive-utterance reshape IS the
+    speaker mixing (reference main.py:414-421), random MAX_TRAIN_LEN crop
+    (main.py:422-426, at frame granularity: a crop of L frames spans
+    (L-1)*stride samples of the un-boundary-padded signal), zero-pad up
+    to the TIME_BUCKET frame multiple.  The wire moves raw audio instead
+    of its (f32-wide, redundant at overlap>0) STFT — 4x fewer bytes than
+    bf16 spectra, 8x fewer than the f32 spectra wire at the default
+    fft=256/stride=64, before the optional int16 wire quantization."""
+    b_total = flat_wave.shape[0]
+    assert b_total == batch_size * n_signal, (b_total, batch_size, n_signal)
+    wave = flat_wave.reshape(batch_size, n_signal, -1)
+    from danet_tpu.ops.dsp import stft_frame_count
+    t = stft_frame_count(wave.shape[-1], fft_size, stride)
+    if max_len is not None and t > max_len:
+        rng = rng or np.random
+        beg = rng.randint(0, t - max_len)
+        span = (max_len - 1) * stride  # samples spanning max_len frames
+        wave = wave[:, :, beg * stride:beg * stride + span]
+        t = max_len
+        if wave.shape[-1] < span:  # crop ran off the tail (boundary
+            # padding counts toward t); zero-fill to the exact frame grid
+            wave = np.pad(
+                wave, [(0, 0), (0, 0), (0, span - wave.shape[-1])])
+    if bucket:
+        t = t + ((-t) % bucket)
+    # canonicalize the sample length to the frame grid: every S in
+    # ((t-2)*stride, (t-1)*stride] yields t frames, so snapping S up to
+    # (t-1)*stride dedupes compile shapes without changing t (zero-pad
+    # past the signal = the spectra wire's zero frames)
+    target = (t - 1) * stride
+    if wave.shape[-1] < target:
+        wave = np.pad(
+            wave, [(0, 0), (0, 0), (0, target - wave.shape[-1])])
+    return wave.astype(np.float32)
+
+
 class Trainer:
     """Owns the optimizer, the mesh, the jitted step functions, and the
     training/eval loops. ``state`` is {params, opt_state, step, epoch}."""
@@ -206,6 +253,45 @@ class Trainer:
     # ------------------------------------------------------------------
     def _build_steps(self):
         model, opt = self.model, self.optimizer
+        # TRANSFER_DOMAIN='wave': the wire carries raw waveforms [B, N, S]
+        # (optionally int16 PCM) and the jitted steps run the GEMM STFT
+        # on-device — the host->device link moves 4-8x fewer bytes than
+        # the spectra contract and the front-end rides the MXU.  The
+        # reference has no equivalent: its feed_dict ships f32 complex
+        # spectra every step (main.py:427-431).
+        domain = str(getattr(self.hp, "TRANSFER_DOMAIN", "spectra"))
+        if domain not in ("spectra", "wave"):
+            raise ValueError(
+                "TRANSFER_DOMAIN=%r: expected 'spectra' or 'wave'" % domain)
+        self._wave_mode = domain == "wave"
+        wire_dtype = str(getattr(self.hp, "TRANSFER_DTYPE", "float32"))
+        if wire_dtype == "int16" and not self._wave_mode:
+            raise ValueError(
+                "TRANSFER_DTYPE='int16' is PCM quantization of the wave "
+                "wire — it requires TRANSFER_DOMAIN='wave' (spectra have "
+                "no natural int16 encoding)")
+        if self._wave_mode and int(getattr(self.hp, "MESH_SEQ", 1) or 1) > 1:
+            raise ValueError(
+                "TRANSFER_DOMAIN='wave' does not compose with MESH_SEQ>1 "
+                "yet: the sequence axis is sharded in frames while the "
+                "wave wire ships samples; use the spectra wire for "
+                "sequence-parallel training")
+        if self._wave_mode:
+            from danet_tpu.ops import dsp as _dsp
+            _fft = int(self.hp.FFT_SIZE)
+            _stride = int(self.hp.FFT_STRIDE)
+            _wnd = np.asarray(self.hp.FFT_WND_ARRAY, dtype=np.float32)
+
+            def ingest(src):
+                x = src.astype(jnp.float32)
+                if src.dtype == jnp.int16:
+                    x = x * (1.0 / 32767.0)
+                return _dsp.stft_ri(x, _fft, _stride, _wnd)
+        else:
+            def ingest(src):
+                # bf16-wire upcast: loss/target math stays f32 (XLA fuses
+                # the convert into the first consumer); f32-wire no-op
+                return src.astype(jnp.float32)
         accum = int(getattr(self.hp, "GRAD_ACCUM", 1) or 1)
         if accum > 1 and self.hp.BATCH_SIZE % accum != 0:
             raise ValueError(
@@ -253,18 +339,15 @@ class Trainer:
                     l * inv, s * inv, {})
 
         def train_step(params, opt_state, src_ri, rng):
-            # TRANSFER_DTYPE='bfloat16' wire batches upcast here: loss /
-            # target math stays f32 (XLA fuses the convert into the first
-            # consumer); a no-op for the default f32 wire
-            src_ri = src_ri.astype(jnp.float32)
+            # wire ingest: bf16-spectra upcast, or wave -> on-device STFT
+            src_ri = ingest(src_ri)
             grads, loss, snr, extra = grads_and_metrics(params, src_ri, rng)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, {"loss": loss, "SNR": snr, **extra}
 
         def valid_step(params, src_ri):
-            src_ri = src_ri.astype(jnp.float32)  # bf16-wire upcast (no-op
-            # for the default f32 wire)
+            src_ri = ingest(src_ri)  # wire ingest (see train_step)
             m = model.valid_metrics(params, src_ri)
             return {k: v for k, v in m.items() if k != "separated_ri"}
 
@@ -406,11 +489,34 @@ class Trainer:
         compute/loss precision is unchanged — the only effect is bf16
         quantization of the input spectra (~8-bit mantissa, a noise floor
         ~48 dB under the signal; irrelevant at training SNRs).  Off by
-        default; eval protocols should keep f32."""
-        if str(getattr(self.hp, "TRANSFER_DTYPE", "float32")) == "bfloat16":
+        default; eval protocols should keep f32.
+
+        TRANSFER_DTYPE='int16' (TRANSFER_DOMAIN='wave' only): PCM
+        quantization of the wave wire — 2 bytes/sample like bf16 but
+        EXACT for material that was 16-bit on disk, and a ~90 dB noise
+        floor for synthetic floats; the jitted steps rescale by 1/32767
+        at ingest."""
+        td = str(getattr(self.hp, "TRANSFER_DTYPE", "float32"))
+        if td == "bfloat16":
             import ml_dtypes
             return batch_np.astype(ml_dtypes.bfloat16)
+        if td == "int16":
+            return np.round(
+                np.clip(batch_np, -1.0, 1.0) * 32767.0).astype(np.int16)
         return batch_np
+
+    def _epoch_fn(self, dataset):
+        """The dataset iterator matching the configured wire domain."""
+        if not self._wave_mode:
+            return dataset.epoch
+        fn = getattr(dataset, "epoch_wave", None)
+        if fn is None:
+            raise ValueError(
+                "TRANSFER_DOMAIN='wave' needs a wave-capable dataset "
+                "(synth, synth-speech, wav-dir expose epoch_wave); %s "
+                "stores spectra only — use the default spectra wire"
+                % type(dataset).__name__)
+        return fn
 
     def _put_batch(self, batch_np: np.ndarray):
         """Single-host: device_put with the batch sharding.  Multi-host:
@@ -625,12 +731,20 @@ class Trainer:
         # full async dispatch + prefetch overlap)
         metrics_every = int(getattr(hp, "METRICS_EVERY", 1) or 1)
 
+        epoch_fn = self._epoch_fn(dataset)
+
         def device_batches():
-            for data_pt in dataset.epoch(
+            for data_pt in epoch_fn(
                     "train", hp.BATCH_SIZE * hp.MAX_N_SIGNAL, shuffle=True):
-                yield prepare_batch(
-                    data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
-                    max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
+                if self._wave_mode:
+                    yield prepare_batch_wave(
+                        data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
+                        hp.FFT_SIZE, hp.FFT_STRIDE,
+                        max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
+                else:
+                    yield prepare_batch(
+                        data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
+                        max_len=hp.MAX_TRAIN_LEN, bucket=bucket)
 
         # TRAIN_STEPS_PER_CALL: stack K prepared batches host-side (one
         # [K, B, ...] transfer) and run them through one scanned dispatch
@@ -658,8 +772,12 @@ class Trainer:
                     buf = []
             yield from buf
 
+        # single batches: spectra [B,N,T,F,2] (5d) / wave [B,N,S] (3d);
+        # a TRAIN_STEPS_PER_CALL stack adds the leading K axis
+        stacked_ndim = 4 if self._wave_mode else 6
+
         def put_any(batch_np):
-            if batch_np.ndim == 6:  # [K, B, N, T, F, 2] stack
+            if batch_np.ndim == stacked_ndim:
                 from danet_tpu.parallel import stacked_batch_sharding
                 return jax.device_put(
                     self._wire_cast(batch_np),
@@ -720,7 +838,7 @@ class Trainer:
             timer = StepTimer()
             n_batches = 0
             for src_ri in prefetch_to_device(grouped_batches(), put_any):
-                stacked = src_ri.ndim == 6
+                stacked = src_ri.ndim == stacked_ndim
                 if (profile_at >= 0 and not profiling
                         and state["step"] >= profile_at):
                     jax.profiler.start_trace(
@@ -952,10 +1070,16 @@ class Trainer:
         hp = self.hp
         acc = None
         n = 0
-        for data_pt in dataset.epoch(
+        for data_pt in self._epoch_fn(dataset)(
                 subset, hp.BATCH_SIZE * hp.MAX_N_SIGNAL, shuffle=False):
-            batch = prepare_batch(
-                data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL, bucket=bucket)
+            if self._wave_mode:
+                batch = prepare_batch_wave(
+                    data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
+                    hp.FFT_SIZE, hp.FFT_STRIDE, bucket=bucket)
+            else:
+                batch = prepare_batch(
+                    data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
+                    bucket=bucket)
             metrics = self._valid_step(
                 self.eval_params(state), self._put_batch(batch))
             acc = metrics if acc is None else jax.tree_util.tree_map(
