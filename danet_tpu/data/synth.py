@@ -23,6 +23,9 @@ class SyntheticTonesData(Dataset):
 
     DURATION_S = 1.5
     N_TONES = 3
+    # int16-wave-wire amplitude bound: utterances are a /N_TONES-scaled
+    # sum of N_TONES unit-envelope sines, so |x| <= 1 by construction
+    WAVE_SCALE = 1.0
 
     @property
     def N_BATCHES(self):

@@ -63,6 +63,12 @@ class SyntheticSpeechData(SyntheticTonesData):
     """Deterministic-seed formant-synthesis corpus, STFT'd on the fly."""
 
     DURATION_S = 1.5
+    # amplitude bound declared for the int16 wave wire: utterances are
+    # RMS-normalized to 0.2 with no peak limit, and impulse-train
+    # excitation reaches crest factors well past 1.0 — the PCM wire
+    # quantizes x/WAVE_SCALE, so 4.0 gives clip-free headroom at a
+    # still-~13-bit effective depth (set WAVE_PCM_SCALE=4 in configs)
+    WAVE_SCALE = 4.0
 
     def _utterance(self, rng: np.random.RandomState) -> np.ndarray:
         from scipy.signal import lfilter, lfilter_zi

@@ -119,30 +119,37 @@ class WavDirDataset(Dataset):
 
     # ------------------------------------------------------------------
     def _spectra(self, path: str) -> np.ndarray:
-        hit = self._cache.get(path)
-        if hit is not None:
-            return hit
-        spec = load_wavfile(path).astype(np.complex64)
-        cap = float(getattr(hparams, "WAVDIR_CACHE_MB", 2048) or 0)
-        if self._cache_bytes + spec.nbytes <= cap * 1e6:
-            self._cache[path] = spec
-            self._cache_bytes += spec.nbytes
-        return spec
+        return self._cached(
+            path, lambda: load_wavfile(path).astype(np.complex64))
 
-    def _wave(self, path: str) -> np.ndarray:
-        """Raw resampled waveform (for TRANSFER_DOMAIN='wave'); cached in
-        the same byte budget as the spectra (waves are ~4x smaller)."""
-        key = ("wave", path)
+    def _cached(self, key, make) -> np.ndarray:
+        """Shared WAVDIR_CACHE_MB-budgeted loader cache (spectra + wave)."""
         hit = self._cache.get(key)
         if hit is not None:
             return hit
-        from danet_tpu.data.audio import load_wav_raw
-        wav = load_wav_raw(path, hparams.SMPRATE).astype(np.float32)
+        arr = make()
         cap = float(getattr(hparams, "WAVDIR_CACHE_MB", 2048) or 0)
-        if self._cache_bytes + wav.nbytes <= cap * 1e6:
-            self._cache[key] = wav
-            self._cache_bytes += wav.nbytes
-        return wav
+        if self._cache_bytes + arr.nbytes <= cap * 1e6:
+            self._cache[key] = arr
+            self._cache_bytes += arr.nbytes
+        return arr
+
+    # waves carry the SAME scale whose STFT is this dataset's spectra
+    # contract (load_wavfile STFTs raw integer-PCM-scale samples, the
+    # reference's convention, utils.py:95-122) — so wave-wire and
+    # spectra-wire training are interchangeable on one checkpoint.  The
+    # int16 wire must be told this scale: set WAVE_PCM_SCALE=32768 in the
+    # config (the trainer verifies it against this attribute).
+    WAVE_SCALE = 32768.0
+
+    def _wave(self, path: str) -> np.ndarray:
+        """Raw-PCM-scale resampled waveform (for TRANSFER_DOMAIN='wave');
+        cached in the same byte budget as the spectra (~4x smaller)."""
+        from danet_tpu.data.audio import load_wav_raw
+        return self._cached(
+            ("wave", path),
+            lambda: (load_wav_raw(path, hparams.SMPRATE)
+                     * self.WAVE_SCALE).astype(np.float32))
 
     def _epoch_impl(self, subset, batch_size, shuffle, load, pad_axis):
         if not self.is_loaded:

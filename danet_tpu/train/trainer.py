@@ -195,20 +195,24 @@ def prepare_batch_wave(flat_wave: np.ndarray, batch_size: int, n_signal: int,
     t = stft_frame_count(wave.shape[-1], fft_size, stride)
     if max_len is not None and t > max_len:
         rng = rng or np.random
+        # beg <= t - max_len - 1, so the slice end (beg + max_len - 1) *
+        # stride <= (t - 2) * stride < S — always a full in-bounds slice
         beg = rng.randint(0, t - max_len)
         span = (max_len - 1) * stride  # samples spanning max_len frames
         wave = wave[:, :, beg * stride:beg * stride + span]
         t = max_len
-        if wave.shape[-1] < span:  # crop ran off the tail (boundary
-            # padding counts toward t); zero-fill to the exact frame grid
-            wave = np.pad(
-                wave, [(0, 0), (0, 0), (0, span - wave.shape[-1])])
     if bucket:
         t = t + ((-t) % bucket)
     # canonicalize the sample length to the frame grid: every S in
     # ((t-2)*stride, (t-1)*stride] yields t frames, so snapping S up to
-    # (t-1)*stride dedupes compile shapes without changing t (zero-pad
-    # past the signal = the spectra wire's zero frames)
+    # (t-1)*stride dedupes compile shapes without changing t.  NOTE:
+    # unlike the spectra wire's appended all-zero frames, bucket-pad
+    # frames here are STFTs of the zero-padded tail (windows overlapping
+    # the last real samples are nonzero), and crop-edge frames see zero
+    # boundary context instead of the neighboring samples the spectra
+    # wire's crop retained — a training-level augmentation difference,
+    # not a defect; the two wires are frame-exact only on uncropped,
+    # unbucketed signals (tests/test_wave_wire.py pins that case).
     target = (t - 1) * stride
     if wave.shape[-1] < target:
         wave = np.pad(
@@ -276,16 +280,25 @@ class Trainer:
                 "yet: the sequence axis is sharded in frames while the "
                 "wave wire ships samples; use the spectra wire for "
                 "sequence-parallel training")
+        # wire dtype + PCM scale are frozen HERE so the host-side cast
+        # (_wire_cast) and the in-graph dequantization (ingest) can never
+        # desync under a post-construction hparams mutation
+        self._wire_dtype = wire_dtype
+        self._pcm_scale = float(getattr(self.hp, "WAVE_PCM_SCALE", 1.0)
+                                or 1.0)
         if self._wave_mode:
             from danet_tpu.ops import dsp as _dsp
             _fft = int(self.hp.FFT_SIZE)
             _stride = int(self.hp.FFT_STRIDE)
             _wnd = np.asarray(self.hp.FFT_WND_ARRAY, dtype=np.float32)
+            _dq = self._pcm_scale / 32768.0  # symmetric PCM dequant:
+            # wire = round(x * 32768 / scale) -> x' = wire * scale/32768
+            # reproduces 16-bit-origin samples EXACTLY at scale=32768
 
             def ingest(src):
                 x = src.astype(jnp.float32)
                 if src.dtype == jnp.int16:
-                    x = x * (1.0 / 32767.0)
+                    x = x * _dq
                 return _dsp.stft_ri(x, _fft, _stride, _wnd)
         else:
             def ingest(src):
@@ -493,16 +506,18 @@ class Trainer:
 
         TRANSFER_DTYPE='int16' (TRANSFER_DOMAIN='wave' only): PCM
         quantization of the wave wire — 2 bytes/sample like bf16 but
-        EXACT for material that was 16-bit on disk, and a ~90 dB noise
-        floor for synthetic floats; the jitted steps rescale by 1/32767
-        at ingest."""
-        td = str(getattr(self.hp, "TRANSFER_DTYPE", "float32"))
-        if td == "bfloat16":
+        EXACT for material that was 16-bit on disk when WAVE_PCM_SCALE
+        matches the dataset's declared WAVE_SCALE (symmetric 32768
+        scaling both ways; _epoch_fn enforces the match).  Wire dtype and
+        scale were frozen at construction (_build_steps) so this cast and
+        the jitted ingest cannot desync."""
+        if self._wire_dtype == "bfloat16":
             import ml_dtypes
             return batch_np.astype(ml_dtypes.bfloat16)
-        if td == "int16":
-            return np.round(
-                np.clip(batch_np, -1.0, 1.0) * 32767.0).astype(np.int16)
+        if self._wire_dtype == "int16":
+            return np.clip(
+                np.round(batch_np * (32768.0 / self._pcm_scale)),
+                -32768, 32767).astype(np.int16)
         return batch_np
 
     def _epoch_fn(self, dataset):
@@ -516,6 +531,20 @@ class Trainer:
                 "(synth, synth-speech, wav-dir expose epoch_wave); %s "
                 "stores spectra only — use the default spectra wire"
                 % type(dataset).__name__)
+        if self._wire_dtype == "int16":
+            # the PCM wire normalizes by WAVE_PCM_SCALE; a mismatch with
+            # the dataset's declared amplitude bound either clips peaks
+            # (scale too small) or throws away bits (too large) — fail
+            # loudly instead of training on silently distorted audio
+            want = float(getattr(dataset, "WAVE_SCALE", 1.0))
+            if self._pcm_scale != want:
+                raise ValueError(
+                    "TRANSFER_DTYPE='int16' with WAVE_PCM_SCALE=%g but "
+                    "%s declares WAVE_SCALE=%g — set WAVE_PCM_SCALE=%g "
+                    "in the config (it is frozen into the compiled step, "
+                    "so it is an hparam, not auto-adopted)"
+                    % (self._pcm_scale, type(dataset).__name__, want,
+                       want))
         return fn
 
     def _put_batch(self, batch_np: np.ndarray):

@@ -138,6 +138,44 @@ def test_wave_train_loop_end_to_end(fresh_hparams, tmp_path):
     assert state["step"] == ds.N_BATCHES
 
 
+def test_int16_wire_exact_for_16bit_material(fresh_hparams):
+    """Symmetric 32768 scaling: integer-PCM-origin samples cross the
+    int16 wire bit-exactly when WAVE_PCM_SCALE matches the dataset's
+    raw scale (the wav-dir convention, WAVE_SCALE=32768)."""
+    hp = _hp(fresh_hparams, TRANSFER_DOMAIN="wave",
+             TRANSFER_DTYPE="int16", WAVE_PCM_SCALE=32768.0)
+    tr = _one_device_trainer("pcmexact")
+    rng = np.random.RandomState(0)
+    ints = rng.randint(-32768, 32768, size=(2, 2, 256)).astype(np.float32)
+    wire = tr._wire_cast(ints)  # raw-PCM-scale floats -> int16 wire
+    assert wire.dtype == np.int16
+    np.testing.assert_array_equal(wire.astype(np.float32), ints)
+    # the jitted ingest dequantizes by WAVE_PCM_SCALE/32768 — on raw
+    # PCM-scale data that reproduces the original samples exactly
+    np.testing.assert_array_equal(
+        wire.astype(np.float32) * (tr._pcm_scale / 32768.0), ints)
+
+
+def test_int16_wire_scale_mismatch_raises(fresh_hparams):
+    """synth-speech declares WAVE_SCALE=4.0 (crest factors past 1.0);
+    running its int16 wire at the default WAVE_PCM_SCALE=1 would clip
+    peaks — the trainer refuses instead of training on distorted audio."""
+    from danet_tpu.data.synth_speech import SyntheticSpeechData
+    hp = _hp(fresh_hparams, TRANSFER_DOMAIN="wave", TRANSFER_DTYPE="int16")
+    ds = SyntheticSpeechData()
+    ds.install_and_load()
+    tr = _one_device_trainer("pcmmismatch")
+    state = tr.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="WAVE_PCM_SCALE"):
+        tr.train(1, ds, save_on_epoch=False, valid_on_epoch=False,
+                 state=state)
+    # with the declared scale configured, the same setup trains
+    hp.WAVE_PCM_SCALE = 4.0
+    tr2 = Trainer(DaNet(), name="pcmok",
+                  mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    next(iter(tr2._epoch_fn(ds)("train", 4)))  # resolves without raising
+
+
 def test_wave_mode_rejects_spectra_only_dataset(fresh_hparams):
     hp = _hp(fresh_hparams, TRANSFER_DOMAIN="wave")
     ds = WhiteNoiseData()
