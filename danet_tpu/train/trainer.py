@@ -274,12 +274,13 @@ class Trainer:
                 "TRANSFER_DTYPE='int16' is PCM quantization of the wave "
                 "wire — it requires TRANSFER_DOMAIN='wave' (spectra have "
                 "no natural int16 encoding)")
-        if self._wave_mode and int(getattr(self.hp, "MESH_SEQ", 1) or 1) > 1:
-            raise ValueError(
-                "TRANSFER_DOMAIN='wave' does not compose with MESH_SEQ>1 "
-                "yet: the sequence axis is sharded in frames while the "
-                "wave wire ships samples; use the spectra wire for "
-                "sequence-parallel training")
+        # MESH_SEQ composes: the wire batch is only data-sharded (axis 0,
+        # batch_sharding) for BOTH domains — the encoders reshard frames
+        # onto 'seq' inside their own shard_maps — so the on-device STFT
+        # runs before any seq partitioning, and effective_bucket's
+        # granularity*n_seq frame quantum is honored by
+        # prepare_batch_wave's frame-denominated bucketing
+        # (tested: test_wave_wire.py::test_wave_wire_under_mesh_seq)
         # wire dtype + PCM scale are frozen HERE so the host-side cast
         # (_wire_cast) and the in-graph dequantization (ingest) can never
         # desync under a post-construction hparams mutation

@@ -64,7 +64,7 @@ _SLOW_NAMES = (
     "test_anchor_aux_loss", "test_separate_stream_chunk_invariance",
     "test_attention_padding_invariance", "test_separate_long_streaming",
     "test_pallas_lstm_gradients", "test_fused_bilstm_matches",
-    "test_train_grads_under_bf16",
+    "test_train_grads_under_bf16", "test_wave_wire_under_mesh_seq",
 )
 
 

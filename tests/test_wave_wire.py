@@ -193,12 +193,42 @@ def test_int16_requires_wave_domain(fresh_hparams):
         _one_device_trainer()
 
 
-def test_wave_rejects_mesh_seq(fresh_hparams):
-    hp = _hp(fresh_hparams, TRANSFER_DOMAIN="wave",
-             ENCODER_TYPE="bilstm-orig")  # an SP-capable encoder, so the
-    hp.MESH_SEQ = 2                       # wave-wire check is what fires
-    # a mesh that DOES carry the seq axis, so the wave-wire check (not
-    # the trainer's axis-presence check) is what fires
-    with pytest.raises(ValueError, match="wave"):
-        Trainer(DaNet(), name="waveseq",
-                mesh=make_mesh(1, 1, devices=jax.devices()[:2], n_seq=2))
+def test_wave_wire_under_mesh_seq(fresh_hparams):
+    """The wave wire composes with sequence parallelism: the wire batch
+    is only data-sharded, the on-device STFT runs before the encoder's
+    own 'seq' shard_map resharding — a MESH_SEQ=2 wave-wire train step
+    matches the dense single-device spectra-wire step numerically."""
+    from danet_tpu.train.trainer import effective_bucket
+    hp = _hp(fresh_hparams, ENCODER_TYPE="bilstm-orig",
+             MAX_TRAIN_LEN=None)
+    hp.MESH_SEQ = 2
+    ds = SyntheticTonesData()
+    ds.install_and_load()
+    bs = hp.BATCH_SIZE * hp.MAX_N_SIGNAL
+    spec = next(iter(ds.epoch("train", bs)))[0]
+    wave = next(iter(ds.epoch_wave("train", bs)))[0]
+    bucket = effective_bucket(hp)
+
+    # dense spectra reference on one device
+    hp.MESH_SEQ = 1
+    t_ref = Trainer(DaNet(), name="spref",
+                    mesh=make_mesh(1, 1, devices=jax.devices()[:1]))
+    state = t_ref.init_state(jax.random.PRNGKey(0))
+    ref = jax.device_get(t_ref._valid_step(
+        state["params"], t_ref._put_batch(prepare_batch(
+            spec, hp.BATCH_SIZE, hp.MAX_N_SIGNAL, bucket=bucket))))
+
+    hp.MESH_SEQ = 2
+    hp.TRANSFER_DOMAIN = "wave"
+    t_sp = Trainer(DaNet(), name="spwave",
+                   mesh=make_mesh(1, 1, devices=jax.devices()[:2], n_seq=2))
+    # host copies: the ref trainer's params are committed to a 1-device
+    # mesh and must not leak that placement into the 2-device jit
+    params_host = jax.tree_util.tree_map(np.asarray, state["params"])
+    got = jax.device_get(t_sp._valid_step(
+        params_host, t_sp._put_batch(prepare_batch_wave(
+            wave, hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
+            hp.FFT_SIZE, hp.FFT_STRIDE, bucket=bucket))))
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=2e-5,
+                                   err_msg=k)
