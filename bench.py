@@ -223,8 +223,17 @@ def other_tpu_processes():
     signals anything."""
     import os
     skip = _ancestor_pids()
-    markers = ("main.py", "experiments/", "bench.py", "eval_checkpoint",
-               "synth_extended")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    # entry points of THIS repo only: "main.py"/"bench.py" are among the
+    # most common python entry names on any machine, so a bare-name match
+    # would flag unrelated projects' processes as rivals (false
+    # "contended", discarding a clean artifact) — require either an
+    # absolute path under this repo in the argv, or a repo-specific
+    # module/script marker
+    markers = ("danet_tpu", "eval_checkpoint", "synth_extended",
+               "steps_per_call", "tail_profile", "long_context",
+               repo + "/")
+    generic = ("main.py", "bench.py", "experiments/")
     hits = []
     for pid in os.listdir("/proc"):
         if not pid.isdigit() or int(pid) in skip:
@@ -243,7 +252,13 @@ def other_tpu_processes():
         if not exe.startswith("python"):
             continue
         cmd = " ".join(a for a in argv if a)
-        if any(m in cmd for m in markers):
+        try:
+            cwd = os.readlink("/proc/%s/cwd" % pid)
+        except OSError:
+            cwd = ""
+        in_repo = cwd.startswith(repo) or (repo + "/") in cmd
+        if (any(m in cmd for m in markers)
+                or (in_repo and any(m in cmd for m in generic))):
             hits.append("%s: %s" % (pid, cmd.strip()[:120]))
     return hits
 

@@ -269,6 +269,12 @@ class Trainer:
                 "TRANSFER_DOMAIN=%r: expected 'spectra' or 'wave'" % domain)
         self._wave_mode = domain == "wave"
         wire_dtype = str(getattr(self.hp, "TRANSFER_DTYPE", "float32"))
+        if wire_dtype not in ("float32", "bfloat16", "int16"):
+            # an unknown value must not silently fall through to the f32
+            # wire — the user believes the bytes were halved
+            raise ValueError(
+                "TRANSFER_DTYPE=%r: expected 'float32', 'bfloat16' or "
+                "'int16'" % wire_dtype)
         if wire_dtype == "int16" and not self._wave_mode:
             raise ValueError(
                 "TRANSFER_DTYPE='int16' is PCM quantization of the wave "
@@ -548,12 +554,19 @@ class Trainer:
                        want))
         return fn
 
-    def _put_batch(self, batch_np: np.ndarray):
+    def _put_batch(self, batch_np: np.ndarray, for_eval: bool = False):
         """Single-host: device_put with the batch sharding.  Multi-host:
         every host prepares the identical global batch (seeded shuffles —
         see train()), keeps only its row slice, and assembles the global
-        array (parallel/multihost.py)."""
-        batch_np = self._wire_cast(batch_np)
+        array (parallel/multihost.py).
+
+        for_eval=True skips the lossy wire casts: valid/test sweeps
+        always ship full-precision f32 so quality metrics stay
+        protocol-comparable (PARITY.md evals are f32-wire) even when the
+        TRAIN wire runs bf16/int16 — quantized inputs are a training
+        throughput trade, never an eval one."""
+        if not for_eval:
+            batch_np = self._wire_cast(batch_np)
         if jax.process_count() > 1:
             from danet_tpu.parallel import multihost
             rows = multihost.host_batch_slice(batch_np.shape[0])
@@ -1111,7 +1124,8 @@ class Trainer:
                     data_pt[0], hp.BATCH_SIZE, hp.MAX_N_SIGNAL,
                     bucket=bucket)
             metrics = self._valid_step(
-                self.eval_params(state), self._put_batch(batch))
+                self.eval_params(state), self._put_batch(
+                    batch, for_eval=True))
             acc = metrics if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, metrics)
             n += 1

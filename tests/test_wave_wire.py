@@ -176,6 +176,23 @@ def test_int16_wire_scale_mismatch_raises(fresh_hparams):
     next(iter(tr2._epoch_fn(ds)("train", 4)))  # resolves without raising
 
 
+def test_eval_sweeps_ship_f32_wire(fresh_hparams):
+    """Quantized wires are a TRAIN throughput trade only: _put_batch
+    with for_eval=True skips the bf16/int16 casts so valid/test metrics
+    stay comparable to the f32-wire eval protocol."""
+    _hp(fresh_hparams, TRANSFER_DTYPE="bfloat16")
+    tr = _one_device_trainer("evalwire")
+    x = np.random.RandomState(0).rand(2, 2, 8, 129, 2).astype(np.float32)
+    assert str(tr._put_batch(x).dtype) == "bfloat16"         # train wire
+    assert str(tr._put_batch(x, for_eval=True).dtype) == "float32"
+
+
+def test_unknown_transfer_dtype_raises(fresh_hparams):
+    _hp(fresh_hparams, TRANSFER_DTYPE="fp16")
+    with pytest.raises(ValueError, match="TRANSFER_DTYPE"):
+        _one_device_trainer("badwire")
+
+
 def test_wave_mode_rejects_spectra_only_dataset(fresh_hparams):
     hp = _hp(fresh_hparams, TRANSFER_DOMAIN="wave")
     ds = WhiteNoiseData()
