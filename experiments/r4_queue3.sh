@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-4 third TPU queue: runs after r4_queue2.sh drains.
+# Completes the per-family perf table with the two remaining reference
+# encoders, then the doubled-corpus conv-bilstm quality probe, then a
+# final clean bench capture so the round-end artifact is uncontended.
+set -u
+cd "$(dirname "$0")/.."
+Q=/tmp/r4_queue.log
+stage() { echo "=== STAGE $1 start $(date)" | tee -a "$Q"; }
+done_() { echo "=== STAGE $1 done rc=$2 $(date)" | tee -a "$Q"; }
+
+stage bench_convbilstm
+timeout 1800 python -u bench.py --encoder conv-bilstm-v1 > /tmp/bench_r4_convbilstm.log 2>&1
+done_ bench_convbilstm $?
+
+stage bench_lstm_orig
+timeout 1800 python -u bench.py --encoder lstm-orig > /tmp/bench_r4_lstm.log 2>&1
+done_ bench_lstm_orig $?
+
+stage convbilstm_big
+bash experiments/synth_speech_convbilstm_big.sh > /tmp/convbilstm_big_run.log 2>&1
+done_ convbilstm_big $?
+
+stage bench_final3
+timeout 1800 python -u bench.py > /tmp/bench_r4_final3.log 2>&1
+done_ bench_final3 $?
+
+echo "=== QUEUE3 COMPLETE $(date)" | tee -a "$Q"
