@@ -330,7 +330,8 @@ def sweep():
     2/3).  Families run sequentially in one process — build_step reloads
     default.json each time, so the hparams singleton resets per row."""
     global ENCODER, MODEL
-    fams = [("danet", "bilstm-orig"), ("danet", "gru-v1"),
+    fams = [("danet", "bilstm-orig"), ("danet", "lstm-orig"),
+            ("danet", "conv-bilstm-v1"), ("danet", "gru-v1"),
             ("danet", "attn-v1"), ("danet", "dprnn-v1"),
             ("tasnet-v1", "bilstm-orig")]
     print("%-22s %12s %9s %10s %7s" % (
