@@ -332,7 +332,8 @@ def sweep():
     global ENCODER, MODEL
     fams = [("danet", "bilstm-orig"), ("danet", "lstm-orig"),
             ("danet", "conv-bilstm-v1"), ("danet", "gru-v1"),
-            ("danet", "attn-v1"), ("danet", "dprnn-v1"),
+            ("danet", "attn-v1"), ("danet", "moe-v1"),
+            ("danet", "tcn-v1"), ("danet", "dprnn-v1"),
             ("tasnet-v1", "bilstm-orig")]
     print("%-22s %12s %9s %10s %7s" % (
         "family", "mixtures/s", "ms/step", "TFLOP/s", "MFU%"), flush=True)

@@ -21,6 +21,10 @@ stage convbilstm_big
 bash experiments/synth_speech_convbilstm_big.sh > /tmp/convbilstm_big_run.log 2>&1
 done_ convbilstm_big $?
 
+stage bench_sweep_full
+timeout 3600 python -u bench.py --sweep > /tmp/bench_r4_sweep_full.log 2>&1
+done_ bench_sweep_full $?
+
 stage bench_final3
 timeout 1800 python -u bench.py > /tmp/bench_r4_final3.log 2>&1
 done_ bench_final3 $?
