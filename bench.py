@@ -429,6 +429,34 @@ def main():
         record["tflops_per_sec"] = tflops
         if mfu is not None:
             record["mfu_pct_bf16_peak"] = mfu
+    # The headline metric stays pinned to the r1 bilstm-orig workload so
+    # BENCH_r{N}.json values compare across rounds — but the SHIPPING
+    # flagship is configs/tpu.json's ENCODER_TYPE (attn-v1 since r4, see
+    # PARITY.md "Flagship decision"), so a default run also measures it
+    # and embeds the result in the same record (VERDICT r4 item 4's
+    # ">=16% MFU at the shipping config" lives here).
+    if not any(f in sys.argv for f in ("--encoder", "--model", "--batch")):
+        import os
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "configs", "tpu.json")) as f:
+            ship_enc = json.load(f).get("ENCODER_TYPE", ENCODER)
+        if ship_enc != ENCODER:
+            saved = (MODEL, ENCODER)
+            try:
+                MODEL, ENCODER = "danet", ship_enc
+                mps2, handles2, bt2 = measure()
+                ship = {"encoder": ship_enc,
+                        "mixtures_per_sec": round(mps2, 2)}
+                t2, m2 = mfu_stats(*handles2, mix_per_sec=mps2)
+                if t2 is not None:
+                    ship["tflops_per_sec"] = t2
+                    if m2 is not None:
+                        ship["mfu_pct_bf16_peak"] = m2
+                if contention_from_blocks(bt2):
+                    ship["contended"] = True
+                record["shipping_flagship"] = ship
+            finally:
+                MODEL, ENCODER = saved
     print(json.dumps(record))
 
 

@@ -57,6 +57,38 @@ def test_other_tpu_processes_sees_rivals_not_ancestors():
         child.wait()
 
 
+def test_default_record_embeds_shipping_flagship(monkeypatch, capsys):
+    """A default `python bench.py` run measures BOTH the pinned
+    cross-round workload (headline metric) and configs/tpu.json's
+    shipping flagship encoder, embedding the latter as
+    record['shipping_flagship'] (VERDICT r4 item 4: the >=16%-MFU
+    shipping number must live in the official BENCH artifact)."""
+    import json
+
+    calls = []
+
+    def fake_measure(*a, **k):
+        calls.append(bench.ENCODER)
+        return 5000.0, (None, None, None, None), [1.0, 1.0, 1.0]
+
+    monkeypatch.setattr(bench, "measure", fake_measure)
+    monkeypatch.setattr(bench, "mfu_stats",
+                        lambda *a, **k: (25.0, 13.0))
+    monkeypatch.setattr(bench, "other_tpu_processes", lambda: [])
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    record = json.loads(out)
+    assert record["metric"] == "train_mixtures_per_sec"
+    ship = record["shipping_flagship"]
+    assert ship["encoder"] == "attn-v1"  # configs/tpu.json ENCODER_TYPE
+    assert ship["mixtures_per_sec"] == 5000.0
+    assert ship["mfu_pct_bf16_peak"] == 13.0
+    assert calls == ["bilstm-orig", "attn-v1"]
+    # the globals are restored after the flagship measurement
+    assert bench.ENCODER == "bilstm-orig" and bench.MODEL == "danet"
+
+
 def test_other_tpu_processes_ignores_shells_quoting_python():
     """A shell whose -c string merely QUOTES a python TPU command (the
     launcher/monitor pattern: `bash -c 'setsid python bench.py &; sleep
