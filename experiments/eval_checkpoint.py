@@ -55,6 +55,12 @@ def main():
     hparams.EVAL_SDR = not args.no_sdr
     if args.kmeans_iter is not None:
         hparams.KMEANS_ITER = args.kmeans_iter
+    # hang watchdog (same default as synth_extended.py): a wedged tunnel
+    # grant otherwise blocks the metrics sweep at its first device op
+    # forever and hangs any queue driving this script — observed r4: a
+    # post-training eval sat 20 min in a silent device wait.  Trainer.test
+    # arms the watchdog itself when WATCHDOG_SECS > 0.
+    hparams.WATCHDOG_SECS = 900
     apply_overrides(hparams, args.overrides)
     hparams.digest()
 
