@@ -55,6 +55,7 @@ _SLOW_MODULES = {
     "test_train",           # multi-epoch Trainer loops
     "test_preprocess",      # offline-pipeline subprocesses
     "test_dressrehearsal",  # CLI subprocess journeys
+    "test_experiments",     # staged-recipe driver subprocess journeys
 }
 _SLOW_NAMES = (
     "test_dprnn_stream_hidden", "test_encoder_shapes",
