@@ -1,8 +1,8 @@
 #!/bin/bash
 # Round-4 third TPU queue: runs after r4_queue2.sh drains.
-# Completes the per-family perf table with the two remaining reference
-# encoders, then the doubled-corpus conv-bilstm quality probe, then a
-# final clean bench capture so the round-end artifact is uncontended.
+# All short measurement passes FIRST (so they land even if the round-end
+# window closes early), then the doubled-corpus conv-bilstm quality
+# probe, then a final clean bench capture.
 set -u
 cd "$(dirname "$0")/.."
 Q=/tmp/r4_queue.log
@@ -17,13 +17,17 @@ stage bench_lstm_orig
 timeout 1800 python -u bench.py --encoder lstm-orig > /tmp/bench_r4_lstm.log 2>&1
 done_ bench_lstm_orig $?
 
-stage convbilstm_big
-bash experiments/synth_speech_convbilstm_big.sh > /tmp/convbilstm_big_run.log 2>&1
-done_ convbilstm_big $?
-
 stage bench_sweep_full
 timeout 3600 python -u bench.py --sweep > /tmp/bench_r4_sweep_full.log 2>&1
 done_ bench_sweep_full $?
+
+stage bench_shipping
+timeout 1800 python -u bench.py > /tmp/bench_r4_shipping.log 2>&1
+done_ bench_shipping $?
+
+stage convbilstm_big
+bash experiments/synth_speech_convbilstm_big.sh > /tmp/convbilstm_big_run.log 2>&1
+done_ convbilstm_big $?
 
 stage bench_final3
 timeout 1800 python -u bench.py > /tmp/bench_r4_final3.log 2>&1

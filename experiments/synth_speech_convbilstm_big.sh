@@ -33,9 +33,8 @@ echo "=== stage C: waveform uPIT SI-SNR @ 1e-4 (16 epochs)"
 retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --resume
 echo "=== stage D: unrolled-kmeans SI-SNR @ 1e-4 (16 epochs)"
 retry $PY --epochs 16 --lr 1e-4 --loss pit-si-snr --infer-est kmeans --resume
-echo "=== stage E: unrolled-kmeans SI-SNR @ 5e-5 (12 epochs, from best)"
-rm -rf "$SAVE/latest" && cp -r "$SAVE/synthext_best" "$SAVE/latest"
-retry $PY --epochs 12 --lr 5e-5 --loss pit-si-snr --infer-est kmeans --resume
+# (no stage-E polish: the r4 round-end window is bounded; the attn
+# ladder's stage E moved its final number by <0.1 dB)
 echo "=== eval (latest)"
 retry python -u experiments/eval_checkpoint.py --ckpt "$SAVE/latest" \
     --dataset synth-speech --batches 120 --encoder conv-bilstm-v1
