@@ -256,7 +256,8 @@ def other_tpu_processes():
             cwd = os.readlink("/proc/%s/cwd" % pid)
         except OSError:
             cwd = ""
-        in_repo = cwd.startswith(repo) or (repo + "/") in cmd
+        in_repo = (cwd == repo or cwd.startswith(repo + os.sep)
+                   or (repo + "/") in cmd)
         if (any(m in cmd for m in markers)
                 or (in_repo and any(m in cmd for m in generic))):
             hits.append("%s: %s" % (pid, cmd.strip()[:120]))
@@ -436,13 +437,17 @@ def main():
     # and embeds the result in the same record (VERDICT r4 item 4's
     # ">=16% MFU at the shipping config" lives here).
     if not any(f in sys.argv for f in ("--encoder", "--model", "--batch")):
-        import os
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "configs", "tpu.json")) as f:
-            ship_enc = json.load(f).get("ENCODER_TYPE", ENCODER)
-        if ship_enc != ENCODER:
-            saved = (MODEL, ENCODER)
-            try:
+        # best-effort: a failure here (missing config, encoder build/
+        # compile error on an unsupported chip) must not discard the
+        # already-measured headline record
+        saved = (MODEL, ENCODER)
+        try:
+            import os
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "configs", "tpu.json")) as f:
+                ship_enc = json.load(f).get("ENCODER_TYPE", ENCODER)
+            if ship_enc != ENCODER:
                 MODEL, ENCODER = "danet", ship_enc
                 mps2, handles2, bt2 = measure()
                 ship = {"encoder": ship_enc,
@@ -455,8 +460,12 @@ def main():
                 if contention_from_blocks(bt2):
                     ship["contended"] = True
                 record["shipping_flagship"] = ship
-            finally:
-                MODEL, ENCODER = saved
+        except Exception as e:
+            sys.stderr.write("[bench] shipping-flagship measurement "
+                             "failed (%s: %s) — headline record kept\n"
+                             % (type(e).__name__, e))
+        finally:
+            MODEL, ENCODER = saved
     print(json.dumps(record))
 
 
