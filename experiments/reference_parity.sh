@@ -16,14 +16,7 @@
 set -e
 cd "$(dirname "$0")/.."
 
-retry() {
-  for i in 1 2 3; do
-    "$@" && return 0
-    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
-    sleep 90
-  done
-  return 1
-}
+. experiments/lib.sh
 
 for arm in noaux aux; do
   SAVE=saves/ref_parity_$arm

@@ -10,14 +10,7 @@ mkdir -p "$SAVE"
 # The tunneled remote-compile service occasionally drops a response
 # ("response body closed before all bytes were read"); every stage is
 # checkpoint-resumable, so transient failures just retry the stage.
-retry() {
-  for i in 1 2 3; do
-    "$@" && return 0
-    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
-    sleep 90
-  done
-  return 1
-}
+. experiments/lib.sh
 
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
     --eval-si-snr --n-signal 3"

@@ -12,14 +12,7 @@ cd "$(dirname "$0")/.."
 SAVE=saves/synth_speech_attn_n3
 mkdir -p "$SAVE"
 
-retry() {
-  for i in 1 2 3; do
-    "$@" && return 0
-    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
-    sleep 90
-  done
-  return 1
-}
+. experiments/lib.sh
 
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 240 \
     --dataset synth-speech --eval-si-snr --encoder attn-v1 --n-signal 3 \

@@ -9,14 +9,7 @@ cd "$(dirname "$0")/.."
 SAVE=saves/synth_speech_attn_xl
 mkdir -p "$SAVE"
 
-retry() {
-  for i in 1 2 3; do
-    "$@" && return 0
-    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
-    sleep 90
-  done
-  return 1
-}
+. experiments/lib.sh
 
 ARCH="--set ATTN_DIM=384 --set ATTN_HEADS=6 --set ATTN_LAYERS=6"
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 240 \

@@ -11,14 +11,7 @@ cd "$(dirname "$0")/.."
 SAVE=saves/synth_speech_dc
 mkdir -p "$SAVE"
 
-retry() {
-  for i in 1 2 3; do
-    "$@" && return 0
-    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
-    sleep 90
-  done
-  return 1
-}
+. experiments/lib.sh
 
 # VALID_CRASH_FACTOR: roll back to keep-best + replay when an epoch's
 # valid loss exceeds 1.5x the invocation best (normal fluctuation here

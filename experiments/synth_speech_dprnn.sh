@@ -9,14 +9,7 @@ cd "$(dirname "$0")/.."
 SAVE=saves/synth_speech_dprnn
 mkdir -p "$SAVE"
 
-retry() {
-  for i in 1 2 3; do
-    "$@" && return 0
-    echo "stage attempt $i failed (rc=$?), retrying in 90s" >&2
-    sleep 90
-  done
-  return 1
-}
+. experiments/lib.sh
 
 PY="python experiments/synth_extended.py --save-dir $SAVE --batches 120 \
     --dataset synth-speech --eval-si-snr --encoder dprnn-v1"
