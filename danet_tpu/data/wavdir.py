@@ -135,21 +135,35 @@ class WavDirDataset(Dataset):
         return arr
 
     # waves carry the SAME scale whose STFT is this dataset's spectra
-    # contract (load_wavfile STFTs raw integer-PCM-scale samples, the
+    # contract (load_wavfile STFTs raw NATIVE-scale samples, the
     # reference's convention, utils.py:95-122) — so wave-wire and
-    # spectra-wire training are interchangeable on one checkpoint.  The
-    # int16 wire must be told this scale: set WAVE_PCM_SCALE=32768 in the
-    # config (the trainer verifies it against this attribute).
+    # spectra-wire training are interchangeable on one checkpoint for
+    # every source dtype (load_wav_raw normalize=False).  The int16
+    # QUANTIZED wire additionally assumes 16-bit-origin material: its
+    # declared scale below is the int16 bound, and _wave raises on
+    # non-int16 sources when that wire is active (float WAVs at native
+    # ~±1 would quantize at 1/32768 of the range; int32 would clip).
     WAVE_SCALE = 32768.0
 
     def _wave(self, path: str) -> np.ndarray:
-        """Raw-PCM-scale resampled waveform (for TRANSFER_DOMAIN='wave');
+        """Native-sample-scale resampled waveform (TRANSFER_DOMAIN='wave');
         cached in the same byte budget as the spectra (~4x smaller)."""
         from danet_tpu.data.audio import load_wav_raw
-        return self._cached(
-            ("wave", path),
-            lambda: (load_wav_raw(path, hparams.SMPRATE)
-                     * self.WAVE_SCALE).astype(np.float32))
+
+        def make():
+            wav, dtype = load_wav_raw(path, hparams.SMPRATE,
+                                      normalize=False, with_dtype=True)
+            if (dtype != np.int16 and str(getattr(
+                    hparams, "TRANSFER_DTYPE", "float32")) == "int16"):
+                raise ValueError(
+                    "TRANSFER_DTYPE='int16' wave wire: %r holds %s "
+                    "samples — the symmetric 32768 PCM quantization is "
+                    "only exact/well-scaled for 16-bit PCM sources. Use "
+                    "TRANSFER_DTYPE='bfloat16'/'float32' or convert the "
+                    "corpus to 16-bit WAVs." % (path, np.dtype(dtype).name))
+            return wav
+
+        return self._cached(("wave", path), make)
 
     def _epoch_impl(self, subset, batch_size, shuffle, load, pad_axis):
         if not self.is_loaded:

@@ -80,9 +80,7 @@ class Wsj0Dataset(Dataset):
             out.append(feats[start + r].reshape(t, f))
         return out
 
-    def epoch(self, subset, batch_size, shuffle=False):
-        if not self.is_loaded:
-            raise RuntimeError("Dataset is not loaded.")
+    def _epoch_rows(self, subset, batch_size, shuffle):
         _, start, stop = self.splits[subset]
         size = stop - start
         n_pad = ((size + batch_size - 1) // batch_size) * batch_size
@@ -90,10 +88,44 @@ class Wsj0Dataset(Dataset):
         if shuffle:
             np.random.shuffle(indices)
         for i in range(0, n_pad, batch_size):
-            batch_rows = indices[i:i + batch_size]
+            yield indices[i:i + batch_size]
+
+    def epoch(self, subset, batch_size, shuffle=False):
+        if not self.is_loaded:
+            raise RuntimeError("Dataset is not loaded.")
+        for batch_rows in self._epoch_rows(subset, batch_size, shuffle):
             spectra_li = self._fetch(subset, batch_rows)
             max_len = max(len(x) for x in spectra_li)
             spectra = np.stack([
                 random_zeropad(x, max_len - len(x), axis=-2)
                 for x in spectra_li])
             yield (spectra,)
+
+    # the stored spectra are STFTs of raw 16-bit PCM samples (the
+    # preprocessing STFTs sph2pipe/sphere-decoder output verbatim,
+    # reference WSJ0/process.py:175-179), so the inverted waveforms come
+    # back at int16 scale — the int16 wave wire's WAVE_PCM_SCALE=32768
+    # contract (trainer-enforced) is bit-exact for this corpus
+    WAVE_SCALE = 32768.0
+
+    def epoch_wave(self, subset, batch_size, shuffle=False):
+        """Waveform epochs for TRANSFER_DOMAIN='wave': [batch, S] float32.
+
+        The HDF5 artifacts stay spectra; each utterance's stored STFT is
+        inverted host-side once (exact, audio.spectra_to_wave) and cached
+        (Dataset._wave_from_spectra), so the wire moves raw samples — 8x
+        fewer bytes than the f32 spectra contract the reference feeds
+        every step (main.py:427-431) — and the on-device GEMM STFT
+        reproduces the stored spectra to float precision."""
+        if not self.is_loaded:
+            raise RuntimeError("Dataset is not loaded.")
+        for batch_rows in self._epoch_rows(subset, batch_size, shuffle):
+            spectra_li = self._fetch(subset, batch_rows)
+            waves = [
+                self._wave_from_spectra((subset, int(r)), x)
+                for r, x in zip(batch_rows, spectra_li)]
+            max_len = max(len(w) for w in waves)
+            batch = np.stack([
+                random_zeropad(w, max_len - len(w), axis=-1)
+                for w in waves])
+            yield (batch,)

@@ -527,18 +527,23 @@ class Trainer:
                 -32768, 32767).astype(np.int16)
         return batch_np
 
-    def _epoch_fn(self, dataset):
-        """The dataset iterator matching the configured wire domain."""
+    def _epoch_fn(self, dataset, for_eval: bool = False):
+        """The dataset iterator matching the configured wire domain.
+
+        for_eval=True skips the int16-wire scale validation: eval sweeps
+        always ship f32 (_put_batch for_eval) and never quantize, so an
+        int16-configured trainer can still Trainer.test a dataset with a
+        different declared WAVE_SCALE."""
         if not self._wave_mode:
             return dataset.epoch
         fn = getattr(dataset, "epoch_wave", None)
         if fn is None:
             raise ValueError(
                 "TRANSFER_DOMAIN='wave' needs a wave-capable dataset "
-                "(synth, synth-speech, wav-dir expose epoch_wave); %s "
-                "stores spectra only — use the default spectra wire"
-                % type(dataset).__name__)
-        if self._wire_dtype == "int16":
+                "(synth, synth-speech, wav-dir, wsj0, timit expose "
+                "epoch_wave); %s stores spectra only — use the default "
+                "spectra wire" % type(dataset).__name__)
+        if self._wire_dtype == "int16" and not for_eval:
             # the PCM wire normalizes by WAVE_PCM_SCALE; a mismatch with
             # the dataset's declared amplitude bound either clips peaks
             # (scale too small) or throws away bits (too large) — fail
@@ -1113,7 +1118,7 @@ class Trainer:
         hp = self.hp
         acc = None
         n = 0
-        for data_pt in self._epoch_fn(dataset)(
+        for data_pt in self._epoch_fn(dataset, for_eval=True)(
                 subset, hp.BATCH_SIZE * hp.MAX_N_SIGNAL, shuffle=False):
             if self._wave_mode:
                 batch = prepare_batch_wave(
