@@ -89,6 +89,66 @@ def test_default_record_embeds_shipping_flagship(monkeypatch, capsys):
     assert bench.ENCODER == "bilstm-orig" and bench.MODEL == "danet"
 
 
+def test_shipping_arm_measures_full_config(monkeypatch, capsys):
+    """ADVICE r4: the shipping-flagship arm must measure the ACTUAL
+    shipping program — configs/tpu.json's batch and step-shaping keys
+    applied, non-step (wire/driver) keys recorded as not_applied."""
+    import json
+
+    seen = []
+
+    def fake_measure(*a, **k):
+        seen.append((bench.ENCODER, bench.BATCH,
+                     dict(bench.CONFIG_OVERRIDES or {})))
+        return 5000.0, (None, None, None, None), [1.0, 1.0, 1.0]
+
+    monkeypatch.setattr(bench, "measure", fake_measure)
+    monkeypatch.setattr(bench, "mfu_stats", lambda *a, **k: (25.0, 13.0))
+    monkeypatch.setattr(bench, "other_tpu_processes", lambda: [])
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    bench.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ship = record["shipping_flagship"]
+    # configs/tpu.json: attn-v1 at BATCH_SIZE=64 with the aux losses
+    assert ship["batch"] == 64
+    assert seen[1][1] == 64
+    assert seen[1][2].get("ANCHOR_AUX_LOSS") == 0.5
+    # wire/driver keys are measured elsewhere and say so
+    assert "TRANSFER_DOMAIN" in ship["not_applied"]
+    # headline arm ran at the pinned protocol
+    assert seen[0][:2] == ("bilstm-orig", 32)
+    assert bench.BATCH == 32 and bench.CONFIG_OVERRIDES is None
+
+
+def test_arg_accepts_equals_form(monkeypatch):
+    monkeypatch.setattr(
+        sys, "argv", ["bench.py", "--encoder=gru-v1", "--batch", "64"])
+    assert bench._arg("--encoder") == "gru-v1"
+    assert bench._arg("--batch") == "64"
+    assert bench._arg("--model") is None
+
+
+def test_wait_for_rivals_drains_then_clean(monkeypatch, capsys):
+    """VERDICT r4 item 1b: bench WAITS (bounded) for rivals to exit and
+    then measures clean — the record carries the wait, not a contended
+    flag."""
+    import json
+
+    polls = [["123: python rival"], ["123: python rival"], []]
+    monkeypatch.setattr(
+        bench, "other_tpu_processes", lambda: polls.pop(0) if polls else [])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(
+        bench, "measure",
+        lambda *a, **k: (5000.0, (None,) * 4, [1.0, 1.0, 1.0]))
+    monkeypatch.setattr(bench, "mfu_stats", lambda *a, **k: (None, None))
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--encoder", "gru-v1"])
+    bench.main()
+    record = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "contended" not in record
+    assert record["waited_for_rivals_secs"] >= 0
+
+
 def test_other_tpu_processes_ignores_shells_quoting_python():
     """A shell whose -c string merely QUOTES a python TPU command (the
     launcher/monitor pattern: `bash -c 'setsid python bench.py &; sleep
