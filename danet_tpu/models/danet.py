@@ -88,11 +88,12 @@ class DaNet:
         if n("MESH_SEQ") > 1 and not isinstance(
                 enc, (enc_mod.BiLstmEncoder, enc_mod.AttentionEncoder,
                       enc_mod.GruEncoder, enc_mod.TcnEncoder,
-                      enc_mod.DprnnEncoder)):
+                      enc_mod.DprnnEncoder, enc_mod.ConvBiLstmEncoder)):
             raise ValueError(
                 "MESH_SEQ>1 requires a sequence-parallel encoder "
                 "(bilstm-orig, gru-v1, attn-v1, moe-v1, tcn-v1, "
-                "dprnn-v1); got ENCODER_TYPE=%r" % hp.ENCODER_TYPE)
+                "dprnn-v1, conv-bilstm-v1); got ENCODER_TYPE=%r"
+                % hp.ENCODER_TYPE)
         if n("MESH_EXPERT") > 1 and not isinstance(
                 enc, enc_mod.MoEAttentionEncoder):
             raise ValueError(

@@ -1149,6 +1149,10 @@ class ConvBiLstmEncoder(Encoder):
     pixel-shuffle x2, conv16-conv8; dense head to F*E.
     """
 
+    def sp_granularity(self) -> int:
+        # each SP chunk must land on the double-pooled grid (T % 4*S == 0)
+        return 4
+
     def init(self, rng):
         hp = self.hp
         nfft = hp.FFT_SIZE
@@ -1177,6 +1181,27 @@ class ConvBiLstmEncoder(Encoder):
         alpha = hp.RELU_LEAKAGE
         act = _candidate_activation(hp)
         keep = hp.DROPOUT_KEEP_PROB if train else 1.0
+        n_seq = int(getattr(hp, "MESH_SEQ", 1) or 1)
+        seq_mesh = _route_mesh("seq", n_seq) if n_seq > 1 else None
+        if seq_mesh is not None and tap is None:
+            # trainer-reachable EXACT sequence parallelism: conv halos +
+            # psum centerings + boundary-state-relay BiLSTM core
+            # (parallel/seq_parallel.py::conv_bilstm_sp); debug taps run
+            # the dense path
+            from danet_tpu.parallel.seq_parallel import conv_bilstm_sp
+            t = log_spectra.shape[1]
+            if t % (4 * n_seq):
+                raise ValueError(
+                    "MESH_SEQ=%d needs T %% (4*MESH_SEQ) == 0 for the "
+                    "conv-bilstm pooled grid; got T=%d — pick "
+                    "MAX_TRAIN_LEN / TIME_BUCKET accordingly"
+                    % (n_seq, t))
+            dk = (list(jax.random.split(rng, 2))
+                  if (rng is not None and keep < 1.0) else None)
+            return conv_bilstm_sp(
+                params, log_spectra, seq_mesh, nfft, hp.FEATURE_SIZE,
+                hp.EMBED_SIZE, alpha, act, drop_keys=dk, keep_prob=keep,
+                remat=bool(getattr(hp, "REMAT", False)))
         drop_keys = (jax.random.split(rng, 2)
                      if (rng is not None and keep < 1.0) else [None, None])
         b = log_spectra.shape[0]

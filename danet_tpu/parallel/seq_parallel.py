@@ -441,6 +441,138 @@ def bilstm_stack_sp(params_list, x, mesh, halo: int = 32,
     return run(params_list, x, keys_in)
 
 
+def conv_bilstm_sp(params, x, mesh, nfft: int, feature_size: int,
+                   embed_size: int, alpha: float, act: str,
+                   seq_axis: str = "seq", data_axis: str = "data",
+                   drop_keys=None, keep_prob: float = 1.0,
+                   remat: bool = False):
+    """EXACT sequence-parallel conv-bilstm-v1 encoder (VERDICT r4 item 5:
+    the reference's measured-strongest architecture gets a first-class SP
+    route).
+
+    Composition of the two exact SP mechanisms this module already
+    carries, matched to the encoder's mixed architecture
+    (models/encoders.py::ConvBiLstmEncoder, reference modules.py:263-379):
+
+    - every SAME conv exchanges exactly its k//2-frame halo with the ring
+      neighbours (the tcn_stack_sp mechanism); the ppermute zero-fill at
+      the ring edges IS the zero padding the global SAME conv applies, so
+      the sharded conv is bit-exact;
+    - the 2x2/2 max pools are shard-local and exact because each chunk's
+      frame count stays even (T must divide by 4*S, the dense contract's
+      LENGTH_ALIGN times the ring size);
+    - the per-example global mean centerings psum partial sums over the
+      ring;
+    - the two BiLSTM layers run the EXACT boundary-state relay
+      (_bilstm_layer_relay, the bilstm-orig SP scheme);
+    - pixel-shuffle upsampling and the dense head are pointwise in the
+      chunk and stay local.
+
+    Args:
+        params: the ConvBiLstmEncoder param tree
+        x: GLOBAL log spectra [B, T, F]; T must divide by 4*S and each
+            chunk must keep >= 2 frames after the double pooling
+        nfft/feature_size/embed_size/alpha/act: encoder hyperparameters
+    Returns:
+        embeddings [B, T, F, E] (global, T-sharded internally)
+    """
+    from danet_tpu.ops import nn
+    s = mesh.shape[seq_axis]
+    t = x.shape[1]
+    assert t % (4 * s) == 0, (
+        "T=%d must divide by 4*MESH_SEQ=%d (the conv-bilstm pools twice "
+        "and every chunk boundary must land on the pooled grid)"
+        % (t, 4 * s))
+    assert t // (4 * s) >= 2, (
+        "chunk too short for the k=3 conv halos after double pooling — "
+        "raise MAX_TRAIN_LEN/TIME_BUCKET or lower MESH_SEQ")
+    d_axis = _mesh_data_axis(mesh, x.shape[0], data_axis)
+    x_spec = P(d_axis, seq_axis, None)
+    out_spec = P(d_axis, seq_axis, None, None)
+    if drop_keys is None:
+        drop_keys = [None, None]
+    key_mask = [k is not None for k in drop_keys]
+    keys_in = [k for k in drop_keys if k is not None]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), x_spec, P()),
+        out_specs=out_spec)
+    def run(params, x_loc, keys_in):
+        coord = jax.lax.axis_index(seq_axis)
+        if d_axis is not None:
+            coord = coord * jax.lax.psum(1, d_axis) \
+                + jax.lax.axis_index(d_axis)
+        kiter = iter(keys_in)
+        vary = (seq_axis,) if d_axis is None else (seq_axis, d_axis)
+        b = x_loc.shape[0]
+
+        def conv_sp(p, v):
+            # halo-extended VALID conv in T x SAME in F == global SAME
+            w = p["w"]
+            h = w.shape[2] // 2
+            parts = []
+            if h:
+                parts.append(_shift_from_left(v[:, :, -h:], seq_axis))
+            parts.append(v)
+            if h:
+                parts.append(_shift_from_right(v[:, :, :h], seq_axis))
+            vc = jnp.concatenate(parts, axis=2) if h else v
+            y = jax.lax.conv_general_dilated(
+                vc, w.astype(v.dtype), window_strides=(1, 1),
+                padding=[(0, 0), (h, h)],
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            return y + p["b"].astype(v.dtype)[None, :, None, None]
+
+        def centered(v):
+            # per-example mean over (C, T_global, F): psum partial sums
+            loc = jnp.sum(v.astype(jnp.float32), axis=(1, 2, 3),
+                          keepdims=True)
+            tot = jax.lax.psum(loc, seq_axis)
+            cnt = v.shape[1] * v.shape[2] * v.shape[3] * s
+            return v - (tot / cnt).astype(v.dtype)
+
+        v = x_loc[:, None]                                # [B,1,Tc,F]
+        v = nn.leaky_relu(conv_sp(params["down0a"], v), alpha)
+        v = nn.leaky_relu(conv_sp(params["down0b"], v), alpha)
+        v = nn.max_pool_2x2(v)
+        v = nn.leaky_relu(conv_sp(params["down1a"], v), alpha)
+        v = nn.leaky_relu(conv_sp(params["down1b"], v), alpha)
+        v = nn.max_pool_2x2(v)                     # [B,16,Tc/4,nfft/8]
+        v = centered(v)
+        skip = v
+
+        seq = jnp.transpose(v, (0, 2, 1, 3)).reshape(
+            b, v.shape[2], nfft * 2)
+        for p, has_key in zip((params["lstm0"], params["lstm1"]),
+                              key_mask):
+            layer = _maybe_ckpt(lambda pp, u: _bilstm_layer_relay(
+                pp, u, seq_axis, act, vary_axes=vary), remat)
+            seq = layer(p, seq)
+            if has_key:
+                from danet_tpu.ops.nn import dropout
+                seq = dropout(jax.random.fold_in(next(kiter), coord),
+                              seq, keep_prob)
+        v = jnp.transpose(
+            seq.reshape(b, -1, 16, nfft // 8), (0, 2, 1, 3)) + skip
+        v = centered(v)
+
+        v = nn.leaky_relu(conv_sp(params["up0a"], v), alpha)
+        v = nn.leaky_relu(conv_sp(params["up0b"], v), alpha)
+        t4 = v.shape[2]
+        v = v.reshape(b, 16, 2, 2, t4, nfft // 8)
+        v = jnp.transpose(v, (0, 1, 4, 2, 5, 3))
+        v = v.reshape(b, 16, t4 * 2, nfft // 4)
+        v = nn.leaky_relu(conv_sp(params["up1a"], v), alpha)
+        v = nn.leaky_relu(conv_sp(params["up1b"], v), alpha)
+        v = jnp.transpose(v, (0, 2, 1, 3)).reshape(b, -1, nfft)
+
+        out = nn.linear_apply(params["output"], v)
+        return out.reshape(b, -1, feature_size, embed_size)
+
+    return run(params, x, keys_in)
+
+
 def dprnn_stack_sp(params, x, mesh, p: int, n_blocks: int,
                    inter_causal: bool, backend: str = "auto",
                    seq_axis: str = "seq", data_axis: str = "data",

@@ -336,6 +336,84 @@ def test_sequence_parallel_gru_relay_exact(fresh_hparams):
                                    atol=5e-4, rtol=1e-4)
 
 
+def test_sequence_parallel_conv_bilstm_exact(fresh_hparams):
+    """conv_bilstm_sp == the dense ConvBiLstmEncoder at S=2 and S=4, fwd
+    + parameter gradients (VERDICT r4 item 5: first-class SP for the
+    reference's measured-strongest architecture).  Conv halos, psum
+    centerings and the relay BiLSTM core are all exact mechanisms."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from danet_tpu.models.encoders import ConvBiLstmEncoder
+    from danet_tpu.parallel.seq_parallel import conv_bilstm_sp
+
+    hp = fresh_hparams
+    hp.FFT_SIZE = 32  # FEATURE_SIZE 17 -> conv grid 32/8 = 4
+    hp.EMBED_SIZE = 4
+    hp.digest()
+    enc = ConvBiLstmEncoder(hp, "encoder")
+    params = enc.init(jax.random.PRNGKey(0))
+    B, T = 2, 32
+    x = jnp.asarray(np.random.RandomState(0).randn(
+        B, T, hp.FEATURE_SIZE).astype(np.float32))
+
+    dense = np.asarray(enc.apply(params, x))
+    for s in (2, 4):
+        mesh = Mesh(np.asarray(jax.devices()[:s]), axis_names=("seq",))
+        out = np.asarray(conv_bilstm_sp(
+            params, x, mesh, hp.FFT_SIZE, hp.FEATURE_SIZE,
+            hp.EMBED_SIZE, hp.RELU_LEAKAGE, "tanh"))
+        np.testing.assert_allclose(out, dense, atol=2e-5, rtol=1e-5,
+                                   err_msg="S=%d" % s)
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("seq",))
+    g_dense = jax.grad(
+        lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
+    g_sp = jax.grad(lambda p: jnp.sum(conv_bilstm_sp(
+        p, x, mesh, hp.FFT_SIZE, hp.FEATURE_SIZE, hp.EMBED_SIZE,
+        hp.RELU_LEAKAGE, "tanh") ** 2))(params)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_dense),
+            jax.tree_util.tree_leaves_with_path(g_sp)):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4, err_msg=str(ka))
+
+
+def test_trainer_seq_parallel_conv_bilstm_step(fresh_hparams):
+    """Trainer-reachable: MESH_SEQ=2 + ENCODER_TYPE=conv-bilstm-v1
+    routes sequence-parallel and matches the dense single-device train
+    step numerically."""
+    import jax.numpy as jnp  # noqa: F401
+    from danet_tpu.models import DaNet
+    from danet_tpu.parallel import make_mesh
+    from danet_tpu.train.trainer import Trainer, prepare_batch
+
+    hp = fresh_hparams
+    hp.ENCODER_TYPE = "conv-bilstm-v1"
+    hp.FFT_SIZE = 32
+    hp.EMBED_SIZE = 4
+    hp.BATCH_SIZE = 2
+    hp.digest()
+    flat = np.random.RandomState(0).rand(
+        2 * hp.MAX_N_SIGNAL, 16, hp.FEATURE_SIZE).astype(np.float32)
+    batch = prepare_batch(flat, 2, hp.MAX_N_SIGNAL)
+
+    def one_step(n_seq):
+        hp.MESH_SEQ = n_seq
+        trainer = Trainer(DaNet(), name="cbsp%d" % n_seq)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        _, _, m = trainer._train_step(
+            state["params"], state["opt_state"],
+            trainer._put_batch(batch), jax.random.PRNGKey(1))
+        return {k: float(v) for k, v in m.items()}
+
+    m_sp = one_step(2)
+    m_ref = one_step(1)
+    for k in ("loss", "SNR"):
+        np.testing.assert_allclose(
+            m_sp[k], m_ref[k], rtol=2e-4, atol=2e-5, err_msg=k)
+
+
 def test_sequence_parallel_relay_dp_cosharding(fresh_hparams):
     """relay SP with the batch co-sharded over 'data' (dp2 x sp2) still
     matches the dense stack exactly."""
