@@ -422,7 +422,7 @@ def _arg(name: str):
 
 
 def main():
-    global FORCE_BACKEND, ENCODER, MODEL, BATCH, CONFIG_OVERRIDES
+    global FORCE_BACKEND, ENCODER, MODEL, BATCH, CONFIG_OVERRIDES, T
     if _arg("--encoder") is not None:
         ENCODER = _arg("--encoder")
     if _arg("--model") is not None:
@@ -431,6 +431,21 @@ def main():
         # batch-scaling probe (VERDICT r2 item 3): the B=32 recurrent
         # step is latency-bound; larger B fills the MXU's 128 rows
         BATCH = int(_arg("--batch"))
+    if _arg("--seqlen") is not None:
+        # sequence-length probe (VERDICT r4 item 7): more frames per
+        # dispatch = more MXU work per fixed overhead; at T>=256 the
+        # 'auto' attention backend also engages the flash kernel
+        T = int(_arg("--seqlen"))
+    for kv in (a for i, a in enumerate(sys.argv)
+               if i and sys.argv[i - 1] == "--set"):
+        # generic hparam override for perf probes, e.g.
+        # --set ATTN_BACKEND=flash (strings bare, numbers parsed)
+        k, _, v = kv.partition("=")
+        try:
+            v = json.loads(v)
+        except ValueError:
+            pass
+        CONFIG_OVERRIDES = dict(CONFIG_OVERRIDES or {}, **{k: v})
     if _arg("--chain") is not None:
         # dispatch-free device throughput probe: N steps per dispatch
         n_chain = int(_arg("--chain"))
@@ -510,8 +525,8 @@ def main():
     # config's own BATCH_SIZE + aux losses since r5 — ADVICE r4: the arm
     # previously adopted only ENCODER_TYPE), so a default run also
     # measures it and embeds the result in the same record.
-    if not any(_arg(f) is not None
-               for f in ("--encoder", "--model", "--batch")):
+    if not any(_arg(f) is not None for f in (
+            "--encoder", "--model", "--batch", "--seqlen", "--set")):
         # best-effort: a failure here (missing config, encoder build/
         # compile error on an unsupported chip) must not discard the
         # already-measured headline record
