@@ -613,6 +613,12 @@ def test_effective_bucket_seq_alignment(fresh_hparams):
     assert effective_bucket(hp) == 48    # lcm(12, 8*2)
     hp.TIME_BUCKET = None
     assert effective_bucket(hp) == 16    # unbucketed -> P * n_seq
+    # conv-bilstm: chunks must land on the double-pooled grid (4 * S)
+    hp.ENCODER_TYPE = "conv-bilstm-v1"
+    hp.MESH_SEQ, hp.TIME_BUCKET = 2, 12
+    assert effective_bucket(hp) == 24    # lcm(12, 4*2)
+    hp.TIME_BUCKET = None
+    assert effective_bucket(hp) == 8     # unbucketed -> 4 * n_seq
 
 
 def test_trainer_seq_parallel_attention_step(fresh_hparams):
