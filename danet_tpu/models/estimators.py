@@ -137,7 +137,7 @@ class KMeansEstimator(Estimator):
         # anchor-based initialization (same as AnchoredEstimator)
         init = AnchoredEstimator.apply(self, params, embed)
 
-        def step(_, centroids):
+        def step(centroids):
             # soft assignment by dot-product similarity (softmax over N)
             logits = ee("bke,bne->bkn", embed_flat,
                         centroids.astype(embed_flat.dtype))
@@ -146,7 +146,15 @@ class KMeansEstimator(Estimator):
             wsum = jnp.sum(assign, axis=1)[..., None]
             return (sums / (wsum + hp.EPS)).astype(centroids.dtype)
 
-        return jax.lax.fori_loop(0, n_iter, step, init)
+        # statically unrolled (KMEANS_ITER is small): unlike a
+        # fori_loop/scan, the unrolled chain lets XLA fuse across
+        # iterations and differentiates without a carried-loop stack —
+        # this runs inside every shipping train step (unrolled-kmeans
+        # fine-tuning, ANCHOR_AUX_LOSS + INFER_ESTIMATOR_METHOD=kmeans)
+        centroids = init
+        for _ in range(n_iter):
+            centroids = step(centroids)
+        return centroids
 
 
 @hparams.register_estimator("anchor")
@@ -165,6 +173,49 @@ class AnchoredEstimator(Estimator):
                 rng, (hp.NUM_ANCHOR, hp.EMBED_SIZE), dtype=jnp.float32),
         }
 
+    @staticmethod
+    def _attractor_sets_pairs(embed, anchors, combs):
+        """N=2 strength reduction of eq (6)-(7).
+
+        A two-way softmax is a sigmoid of the logit difference, so the
+        [B, P, T, F, 2] assignment tensor (P = C(A, 2) subsets) never
+        materializes: one [B, K, A] anchor-dot GEMM (A distinct anchors
+        instead of P*2 subset slots), one [B, K, P] sigmoid, and one
+        [B, P, E] contraction replace the eq-(6)/(7) chain; slot 1
+        follows by sum-complement (softmax weights sum to 1 per bin).
+        Exact in real arithmetic — softmax([x, y]) ==
+        [sigmoid(x-y), sigmoid(y-x)].  This path runs EVERY training
+        step under the shipping config (ANCHOR_AUX_LOSS through the
+        kmeans estimator, whose init is the anchor mechanism), where
+        the materialized form dominated the non-MXU step tail."""
+        b, e_dim = embed.shape[0], embed.shape[-1]
+        e_flat = embed.reshape(b, -1, e_dim)                # [B, K, E]
+        k = e_flat.shape[1]
+        d = ee("bke,ae->bka", e_flat, anchors)              # [B, K, A]
+        s = jax.nn.sigmoid(
+            d[..., jnp.asarray(combs[:, 0])]
+            - d[..., jnp.asarray(combs[:, 1])])             # [B, K, P]
+        num0 = ee("bkp,bke->bpe", s, e_flat)                # [B, P, E]
+        num1 = jnp.sum(e_flat, axis=1)[:, None] - num0
+        den0 = jnp.sum(s.astype(jnp.float32), axis=1)       # [B, P]
+        den1 = jnp.asarray(k, jnp.float32) - den0
+        att0 = num0 / den0[..., None].astype(embed.dtype)
+        att1 = num1 / den1[..., None].astype(embed.dtype)
+        return jnp.stack([att0, att1], axis=2)              # [B, P, 2, E]
+
+    @staticmethod
+    def _attractor_sets_general(embed, anchors, combs):
+        """eq (6)-(7) for any N: materialized per-subset softmax."""
+        anchor_sets = anchors[jnp.asarray(combs)]           # [P, N, E]
+        # eq (6): soft assignment of each TF bin to a subset's anchors
+        logits = ee("btfe,pce->bptfc", embed, anchor_sets)
+        assignment = jax.nn.softmax(logits, axis=-1)
+        # eq (7): assignment-weighted mean embedding per anchor
+        attractor_sets = ee("bptfc,btfe->bpce", assignment, embed)
+        return attractor_sets / jnp.sum(
+            assignment.astype(jnp.float32), axis=(2, 3)
+        )[..., None].astype(embed.dtype)
+
     def apply(self, params, embed, src_pwr=None, mix_pwr=None):
         hp = self.hp
         n = hp.MAX_N_SIGNAL
@@ -172,17 +223,15 @@ class AnchoredEstimator(Estimator):
             list(itertools.combinations(range(hp.NUM_ANCHOR), n)),
             dtype=np.int32)
         anchors = params["anchors"].astype(embed.dtype)
-        anchor_sets = anchors[jnp.asarray(combs)]              # [P, N, E]
-
-        # eq (6): soft assignment of each TF bin to the anchors in a subset
-        logits = ee("btfe,pce->bptfc", embed, anchor_sets)
-        assignment = jax.nn.softmax(logits, axis=-1)
-
-        # eq (7): assignment-weighted mean embedding per anchor
-        attractor_sets = ee("bptfc,btfe->bpce", assignment, embed)
-        attractor_sets = attractor_sets / jnp.sum(
-            assignment.astype(jnp.float32), axis=(2, 3)
-        )[..., None].astype(embed.dtype)
+        # via the class, not self: KMeansEstimator borrows this apply for
+        # its anchor-based init (AnchoredEstimator.apply(self, ...)) and
+        # is not a subclass
+        if n == 2:
+            attractor_sets = AnchoredEstimator._attractor_sets_pairs(
+                embed, anchors, combs)
+        else:
+            attractor_sets = AnchoredEstimator._attractor_sets_general(
+                embed, anchors, combs)
 
         # eq (8): in-set max pairwise similarity between DISTINCT
         # attractors.  The reference takes the max over the full Gram
