@@ -137,20 +137,45 @@ class KMeansEstimator(Estimator):
         # anchor-based initialization (same as AnchoredEstimator)
         init = AnchoredEstimator.apply(self, params, embed)
 
-        def step(centroids):
-            # soft assignment by dot-product similarity (softmax over N)
-            logits = ee("bke,bne->bkn", embed_flat,
-                        centroids.astype(embed_flat.dtype))
-            assign = jax.nn.softmax(logits, axis=-1) * w   # [B, K, N]
-            sums = ee("bkn,bke->bne", assign, embed_flat)
-            wsum = jnp.sum(assign, axis=1)[..., None]
-            return (sums / (wsum + hp.EPS)).astype(centroids.dtype)
+        n_src = init.shape[1]
+        if n_src == 2:
+            # N=2 strength reduction (same identity as the anchor init's
+            # fast path): the two-way softmax is a sigmoid of the logit
+            # difference, and the complement slot follows from the
+            # loop-INVARIANT weighted totals — per iteration one [B, K]
+            # contraction + one sigmoid instead of two [B, K, 2] einsums
+            # + a softmax.  This loop runs inside every shipping train
+            # step (unrolled-kmeans fine-tuning).
+            w1 = w[..., 0]                                  # [B, K]
+            sums_w = ee("bk,bke->be", w1, embed_flat)       # invariant
+            wsum_w = jnp.sum(w1.astype(jnp.float32), axis=1,
+                             keepdims=True)                 # [B, 1]
+
+            def step(centroids):
+                dc = (centroids[:, 0] - centroids[:, 1]).astype(
+                    embed_flat.dtype)                       # [B, E]
+                s = jax.nn.sigmoid(
+                    ee("bke,be->bk", embed_flat, dc)) * w1  # [B, K]
+                sums0 = ee("bk,bke->be", s, embed_flat)
+                wsum0 = jnp.sum(s.astype(jnp.float32), axis=1,
+                                keepdims=True)
+                c0 = sums0 / (wsum0 + hp.EPS).astype(sums0.dtype)
+                c1 = (sums_w - sums0) / (wsum_w - wsum0
+                                         + hp.EPS).astype(sums0.dtype)
+                return jnp.stack([c0, c1], axis=1).astype(centroids.dtype)
+        else:
+            def step(centroids):
+                # soft assignment by dot-product similarity (softmax/N)
+                logits = ee("bke,bne->bkn", embed_flat,
+                            centroids.astype(embed_flat.dtype))
+                assign = jax.nn.softmax(logits, axis=-1) * w  # [B, K, N]
+                sums = ee("bkn,bke->bne", assign, embed_flat)
+                wsum = jnp.sum(assign, axis=1)[..., None]
+                return (sums / (wsum + hp.EPS)).astype(centroids.dtype)
 
         # statically unrolled (KMEANS_ITER is small): unlike a
         # fori_loop/scan, the unrolled chain lets XLA fuse across
-        # iterations and differentiates without a carried-loop stack —
-        # this runs inside every shipping train step (unrolled-kmeans
-        # fine-tuning, ANCHOR_AUX_LOSS + INFER_ESTIMATOR_METHOD=kmeans)
+        # iterations and differentiates without a carried-loop stack
         centroids = init
         for _ in range(n_iter):
             centroids = step(centroids)

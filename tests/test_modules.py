@@ -141,6 +141,33 @@ def test_anchor_pairs_fast_path_matches_general(fresh_hparams):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_kmeans_pairs_step_matches_softmax(fresh_hparams):
+    """The N=2 kmeans refinement (sigmoid + complement-of-invariant
+    totals, r5) matches the general weighted-softmax iteration."""
+    hp = fresh_hparams
+    hp.KMEANS_ITER = 3
+    est = hp.get_estimator("kmeans")(hp, "e")
+    params = est.init(jax.random.PRNGKey(2))
+    embed, _, mix_pwr = _estimator_inputs(hp, seed=11)
+    embed, mix_pwr = jnp.asarray(embed), jnp.asarray(mix_pwr)
+    got = np.asarray(est.apply(params, embed, mix_pwr=mix_pwr))
+
+    # oracle: explicit softmax iteration from the anchor init
+    from danet_tpu.models.estimators import (AnchoredEstimator,
+                                             _flatten_embed)
+    init = AnchoredEstimator.apply(est, params, embed)
+    e_flat = _flatten_embed(embed)
+    w = mix_pwr.reshape(embed.shape[0], -1, 1).astype(e_flat.dtype)
+    c = init
+    for _ in range(3):
+        logits = jnp.einsum("bke,bne->bkn", e_flat, c.astype(e_flat.dtype))
+        assign = jax.nn.softmax(logits, axis=-1) * w
+        sums = jnp.einsum("bkn,bke->bne", assign, e_flat)
+        wsum = jnp.sum(assign, axis=1)[..., None]
+        c = (sums / (wsum + hp.EPS)).astype(c.dtype)
+    np.testing.assert_allclose(got, np.asarray(c), rtol=1e-3, atol=1e-4)
+
+
 def test_separator_sigmoid_oracle(fresh_hparams):
     hp = fresh_hparams
     sep = hp.get_separator("dot-sigmoid-orig")(hp, "s")
