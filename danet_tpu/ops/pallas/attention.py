@@ -46,24 +46,27 @@ def flash_attention_masked(q, k, v, key_mask):
 
 
 def attn_backend_default(t: int, hp=None) -> str:
-    """'flash' on TPU platforms for block-aligned long sequences, 'xla'
-    (dense) otherwise.  128 is the kernel's minimum block size; below
-    ~256 frames the dense path is faster (single-block kernel overhead,
-    and T=128 logits are tiny).
+    """'xla' (dense einsum attention) at every measured size.
 
-    Under tensor parallelism (MESH_MODEL > 1, read from the model's own
-    hp when given) 'auto' resolves to the dense einsum path: the flash
-    kernel is an opaque pallas_call with no GSPMD partitioning rule, so
-    selecting it would silently all-gather the head-sharded QKV and run
-    attention replicated on every model shard — the same failure mode
-    ops/rnn.py::lstm_backend_default guards for the LSTM kernel."""
-    if hp is None:
-        from danet_tpu.hparams import hparams as hp
-    if int(getattr(hp, "MESH_MODEL", 1) or 1) > 1:
-        return "xla"
-    if t >= 256 and t % 128 == 0 and \
-            jax.default_backend() in ("tpu", "axon"):
-        return "flash"
+    MEASURED r5 (bench.py --seqlen, attn-v1 train step, v5e, bf16): the
+    stock flash kernel LOSES to XLA's fused dense attention at this
+    model's shapes (4 heads, head dim 64) across the whole range —
+    T=256: 11.0 vs 20.7% MFU, T=512: 8.1 vs 15.4, T=1024: 5.6 vs 12.1
+    (1.6-1.9x slower throughout) — so 'auto' no longer switches to it
+    by sequence length.  'flash' remains an explicit opt-in
+    (ATTN_BACKEND='flash') for NON-causal sequences long enough that
+    the dense [B, H, T, T] logits do not fit memory; the shipping
+    long-context path is ATTN_CAUSAL + the exact chunked banded
+    attention (ops/local_attention.py — ~1M frames/s at T=8192 where
+    the dense band collapses, PARITY.md), which needs no flash.
+
+    Under tensor parallelism (MESH_MODEL > 1) 'flash' must also never
+    auto-engage: the kernel is an opaque pallas_call with no GSPMD
+    partitioning rule, so it would silently all-gather the head-sharded
+    QKV and run attention replicated on every model shard — the same
+    failure mode ops/rnn.py::lstm_backend_default guards for the LSTM
+    kernel.  (That guard now coincides with the measured default.)"""
+    del t, hp
     return "xla"
 
 

@@ -647,14 +647,14 @@ def test_apply_debug_without_tap_kwarg(fresh_hparams):
 
 
 def test_attn_backend_resolution(fresh_hparams):
-    """ATTN_BACKEND selection: dense off-TPU/short-T, flash only for
-    block-aligned long sequences on TPU; typos rejected."""
+    """ATTN_BACKEND selection: 'auto' is dense at every size (r5
+    measured flash 1.6-1.9x slower across T=128..1024 at this model's
+    shapes); 'flash' is explicit opt-in; typos rejected."""
     import pytest
     from danet_tpu.ops.pallas import attention as attn
 
     hp = fresh_hparams
     dense = object()
-    # CPU platform: always dense
     assert attn.resolve_attn_fn(hp, 512, dense) is dense
     hp.ATTN_BACKEND = "flash"
     assert attn.resolve_attn_fn(hp, 512, dense) \
@@ -664,12 +664,11 @@ def test_attn_backend_resolution(fresh_hparams):
     hp.ATTN_BACKEND = "bogus"
     with pytest.raises(ValueError, match="ATTN_BACKEND"):
         attn.resolve_attn_fn(hp, 512, dense)
-    # default heuristic (platform-independent parts)
+    # the measured default: dense regardless of platform or length
     import unittest.mock as mock
     with mock.patch("jax.default_backend", return_value="tpu"):
-        assert attn.attn_backend_default(512) == "flash"
-        assert attn.attn_backend_default(128) == "xla"   # too short
-        assert attn.attn_backend_default(300) == "xla"   # not aligned
+        for t in (128, 300, 512, 4096):
+            assert attn.attn_backend_default(t) == "xla"
 
 
 @pytest.mark.parametrize("enc", ["lstm-orig", "gru-v1", "tcn-v1",
