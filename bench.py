@@ -556,6 +556,23 @@ def main():
                 if contention_from_blocks(bt2):
                     ship["contended"] = True
                 record["shipping_flagship"] = ship
+                # the quality recipes' stage-A/B program (no aux loss
+                # yet) is equally shipped semantics and the cross-round
+                # comparable point (r4's 13,583 B=64 headline was this
+                # program) — embed it alongside the full-recipe number
+                # so the artifact carries both protocols explicitly
+                if float(cfg.get("ANCHOR_AUX_LOSS", 0) or 0) > 0:
+                    CONFIG_OVERRIDES = dict(cfg, ANCHOR_AUX_LOSS=0)
+                    mps3, handles3, bt3 = measure()
+                    ab = {"mixtures_per_sec": round(mps3, 2)}
+                    t3, m3 = mfu_stats(*handles3, mix_per_sec=mps3)
+                    if t3 is not None:
+                        ab["tflops_per_sec"] = t3
+                        if m3 is not None:
+                            ab["mfu_pct_bf16_peak"] = m3
+                    if contention_from_blocks(bt3):
+                        ab["contended"] = True
+                    ship["stage_ab_program"] = ab
         except Exception as e:
             sys.stderr.write("[bench] shipping-flagship measurement "
                              "failed (%s: %s) — headline record kept\n"

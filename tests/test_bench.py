@@ -84,7 +84,9 @@ def test_default_record_embeds_shipping_flagship(monkeypatch, capsys):
     assert ship["encoder"] == "attn-v1"  # configs/tpu.json ENCODER_TYPE
     assert ship["mixtures_per_sec"] == 5000.0
     assert ship["mfu_pct_bf16_peak"] == 13.0
-    assert calls == ["bilstm-orig", "attn-v1"]
+    # headline + full shipping program + its stage-A/B (no-aux) arm
+    assert calls == ["bilstm-orig", "attn-v1", "attn-v1"]
+    assert "stage_ab_program" in ship
     # the globals are restored after the flagship measurement
     assert bench.ENCODER == "bilstm-orig" and bench.MODEL == "danet"
 
