@@ -288,6 +288,21 @@ def other_tpu_processes():
         if (any(m in cmd for m in markers)
                 or ((in_repo or other_checkout)
                     and any(m in cmd for m in generic))):
+            # a CPU-pinned process cannot hold the device grant and is
+            # NOT a rival (observed r5: the full test suite's subprocess
+            # CLI tests — spawned with JAX_PLATFORMS=cpu and the axon
+            # pool env dropped — stalled a bench capture for nothing).
+            # Either marker suffices: the tests/conftest recipe sets
+            # both.
+            try:
+                with open("/proc/%s/environ" % pid, "rb") as f:
+                    penv = f.read().split(b"\0")
+            except OSError:
+                penv = []
+            if penv and (b"JAX_PLATFORMS=cpu" in penv
+                         or not any(e.startswith(b"PALLAS_AXON_POOL_IPS=")
+                                    for e in penv)):
+                continue
             hits.append("%s: %s" % (pid, cmd.strip()[:120]))
     return hits
 

@@ -38,9 +38,16 @@ def test_other_tpu_processes_sees_rivals_not_ancestors():
     own = bench._ancestor_pids()
     assert os.getpid() in own and 1 not in own
 
+    # the fake rival must LOOK like a TPU-capable process: the scan
+    # skips CPU-pinned children (JAX_PLATFORMS=cpu / no axon pool env —
+    # exactly what this pytest process carries), so give it a
+    # TPU-looking environment
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["PALLAS_AXON_POOL_IPS"] = "10.0.0.1"
     child = subprocess.Popen(
         [sys.executable, "-c",
          "import sys, time; time.sleep(30)", "experiments/fake_marker"],
+        env=env,
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
     try:
         deadline = time.time() + 10
