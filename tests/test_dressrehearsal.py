@@ -83,6 +83,42 @@ def test_timit_dress_rehearsal_cli(tmp_path, fresh_hparams):
         assert len(wav) > 0 and np.isfinite(wav).all()
 
 
+def test_shipping_config_dress_rehearsal_cli(tmp_path, fresh_hparams):
+    """The SHIPPING configuration end-to-end through the real CLI: the
+    configs/tpu.json semantics (attn-v1 + kmeans inference +
+    ANCHOR_AUX_LOSS + TRAIN_STEPS_PER_CALL + the int16 WAVE wire) on a
+    wsj0-schema fixture — i.e. `main.py -m train -c configs/tpu.json`
+    as a wsj0 user would run it, sized down for CPU."""
+    from tests.test_wave_wire import _write_consistent_wsj0_h5
+    pytest.importorskip("h5py")
+    h5 = str(tmp_path / "wsj0-danet.hdf5")
+    _write_consistent_wsj0_h5(h5, fresh_hparams, n=8, n_samples=2000)
+
+    with open(os.path.join(REPO, "configs", "tpu.json")) as f:
+        ship = json.load(f)
+    assert ship["TRANSFER_DOMAIN"] == "wave"
+    assert ship["TRANSFER_DTYPE"] == "int16"
+    ship.update({
+        "WSJ0_PATH": h5,
+        # sized-down (CPU rehearsal), semantics unchanged
+        "BATCH_SIZE": 2, "MAX_TRAIN_LEN": 24, "TIME_BUCKET": 8,
+        "METRICS_EVERY": 2, "TRAIN_STEPS_PER_CALL": 2,
+        "ATTN_DIM": 32, "ATTN_LAYERS": 2, "ATTN_HEADS": 4,
+    })
+    cfg = tmp_path / "ship.json"
+    cfg.write_text(json.dumps(ship))
+    ckpt = str(tmp_path / "saves" / "ship")
+
+    out = _run_cli(["-m", "train", "-ds", "wsj0", "-c", str(cfg),
+                    "-ne", "1", "--no-valid-on-epoch",
+                    "--no-save-on-epoch", "-o", ckpt], cwd=tmp_path)
+    assert "Epoch 1/1" in out, out
+
+    out = _run_cli(["-m", "valid", "-ds", "wsj0", "-c", str(cfg),
+                    "-i", ckpt], cwd=tmp_path)
+    assert "loss" in out, out
+
+
 def test_wavdir_dress_rehearsal_cli(tmp_path, fresh_hparams):
     """A plain folder of WAVs trains through the CLI with NO offline
     preprocessing (the 'wav-dir' dataset): train -> valid -> demo."""
