@@ -365,6 +365,15 @@ def test_sequence_parallel_conv_bilstm_exact(fresh_hparams):
         np.testing.assert_allclose(out, dense, atol=2e-5, rtol=1e-5,
                                    err_msg="S=%d" % s)
 
+    # dp x sp co-sharding: batch over 'data' in the same shard_map
+    mesh_dp = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                   axis_names=("data", "seq"))
+    out_dp = np.asarray(conv_bilstm_sp(
+        params, x, mesh_dp, hp.FFT_SIZE, hp.FEATURE_SIZE,
+        hp.EMBED_SIZE, hp.RELU_LEAKAGE, "tanh"))
+    np.testing.assert_allclose(out_dp, dense, atol=2e-5, rtol=1e-5,
+                               err_msg="dp2xsp2")
+
     mesh = Mesh(np.asarray(jax.devices()[:2]), axis_names=("seq",))
     g_dense = jax.grad(
         lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
